@@ -1,0 +1,185 @@
+"""Grid clustering — the SQL-checkable, order-independent decomposition of
+the reference's hierarchical radius clustering (SURVEY.md §2a A1 variant b).
+
+The reference clusters greedily within radius r = radius/(extent·2^zoom)
+in Web-Mercator space, per zoom, top-down (arrow-cluster-engine.ts:354-416,
+zoom loop :107-112). The grid variant discretizes Mercator space into cells
+of exactly that radius — `cell = floor(coord · extent·2^zoom / radius)` —
+and aggregates per cell: count (A3), count-weighted centroid (A2). Points
+in the same cell are within ~r of each other, so the hierarchy, counts and
+centroids carry the same semantics while being fully order-independent and
+relational (hash-matchable against a DuckDB oracle). The faithful greedy
+variant lives in operators/greedy.py and is checked by golden parity tests.
+
+Scale design (100 TB):
+  * `cluster_grid` (one zoom) is scan → map → one hash aggregation; partial
+    aggregation (map-side combine) means the shuffle carries one row per
+    cell per input partition, not per point.
+  * `cluster_hierarchy` (all zooms) aggregates raw points ONCE at the leaf
+    zoom, then rolls up level-by-level over aggregates only — the exact-cell
+    identity floor(u/2) == floor(floor(u)/2) makes parent cells derivable
+    from child cells, so levels maxZoom−1..0 never touch raw data. 18
+    levels cost one full shuffle + 17 shuffles over exponentially shrinking
+    aggregate tables (the Spark analog of the reference's per-level
+    re-index, §3.1, without re-reading points).
+  * Output is partitioned by `zoom` so bbox queries (Q1) prune 17/18 of
+    the data before the cell-range filter (§3.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from arrow_supercluster_spark.config import DEFAULT_OPTIONS, ClusterOptions
+from arrow_supercluster_spark.functions.projection import (
+    project,
+    sql_fround,
+    sql_lat_y,
+    sql_lng_x,
+)
+from arrow_supercluster_spark.operators.filters import drop_null_geometry
+
+NODE_COLS = [
+    "zoom", "cell_x", "cell_y", "num_points",
+    "sum_x", "sum_y", "min_id", "min_lng", "min_lat",
+]
+
+
+def prepare_points(points: DataFrame, lng: str = "lng", lat: str = "lat") -> DataFrame:
+    """Load-path prefix (§3.1 steps 2-3): null-drop (F2) then Mercator
+    projection with float32 rounding (P2+P4)."""
+    return project(drop_null_geometry(points, lng, lat), lng, lat)
+
+
+def with_cells(points_xy: DataFrame, zoom: int, opts: ClusterOptions = DEFAULT_OPTIONS) -> DataFrame:
+    """Attach grid-cell coordinates for one zoom. `scale` is computed in
+    Python (one double) and inlined, so the oracle multiplies by the
+    bit-identical literal."""
+    scale = opts.cell_scale(zoom)
+    return points_xy.withColumns(
+        {
+            "cell_x": F.floor(F.col("x") * F.lit(scale)),
+            "cell_y": F.floor(F.col("y") * F.lit(scale)),
+        }
+    )
+
+
+def cell_agg(points_cells: DataFrame, zoom: int) -> DataFrame:
+    """Per-cell aggregate node: count, coordinate sums (for exact rollup),
+    and singleton passthrough info (min_* is THE point when num_points=1 —
+    the reference's no-trig singleton fast path needs the original
+    coordinates, arrow-cluster-engine.ts:175-180)."""
+    return points_cells.groupBy("cell_x", "cell_y").agg(
+        F.count(F.lit(1)).alias("num_points"),
+        F.sum("x").alias("sum_x"),
+        F.sum("y").alias("sum_y"),
+        F.min("id").alias("min_id"),
+        F.min("lng").alias("min_lng"),
+        F.min("lat").alias("min_lat"),
+    ).select(F.lit(zoom).alias("zoom"), *[c for c in NODE_COLS if c != "zoom"])
+
+
+def cluster_grid(
+    points: DataFrame, zoom: int, opts: ClusterOptions = DEFAULT_OPTIONS,
+    prepared: bool = False,
+) -> DataFrame:
+    """A1-grid at a single zoom: one scan, one hash-agg shuffle."""
+    pts = points if prepared else prepare_points(points)
+    return cell_agg(with_cells(pts, zoom, opts), zoom)
+
+
+def rollup_level(child: DataFrame, zoom: int) -> DataFrame:
+    """Nodes at `zoom` from nodes at `zoom+1`: parent cell = child cell >> 1
+    (exact — see module docstring); sums/counts/mins aggregate exactly."""
+    return (
+        child.groupBy(
+            F.floor(F.col("cell_x") / 2).alias("cell_x"),
+            F.floor(F.col("cell_y") / 2).alias("cell_y"),
+        )
+        .agg(
+            F.sum("num_points").alias("num_points"),
+            F.sum("sum_x").alias("sum_x"),
+            F.sum("sum_y").alias("sum_y"),
+            F.min("min_id").alias("min_id"),
+            F.min("min_lng").alias("min_lng"),
+            F.min("min_lat").alias("min_lat"),
+        )
+        .select(F.lit(zoom).alias("zoom"), *[c for c in NODE_COLS if c != "zoom"])
+    )
+
+
+def cluster_hierarchy(
+    points: DataFrame, opts: ClusterOptions = DEFAULT_OPTIONS, prepared: bool = False,
+) -> DataFrame:
+    """Full per-zoom node table, zooms min_zoom..leaf_zoom (leaf_zoom =
+    maxZoom+1 = the unclustered level the reference indexes raw points at).
+    Driver-side loop = the sequential zoom recursion of §3.1; each level is
+    derived from the previous level's aggregates (rollup), then all levels
+    are unioned and repartitioned by zoom for partition pruning in Q1."""
+    pts = points if prepared else prepare_points(points)
+    leaf = cell_agg(with_cells(pts, opts.leaf_zoom, opts), opts.leaf_zoom)
+    levels = [leaf]
+    cur = leaf
+    for z in range(opts.max_zoom, opts.min_zoom - 1, -1):
+        cur = rollup_level(cur, z)
+        levels.append(cur)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.repartition("zoom")
+
+
+def finalize_clusters(nodes: DataFrame, opts: ClusterOptions = DEFAULT_OPTIONS) -> DataFrame:
+    """Node table → ClusterOutput-shaped result (types.ts:4-15): centroid
+    inverse-projected for clusters, ORIGINAL coordinates for singletons
+    (bit-exact, no trig — arrow-cluster-engine.ts:175-180), point count,
+    is_cluster flag."""
+    from arrow_supercluster_spark.functions.projection import x_lng, y_lat
+
+    cx = F.col("sum_x") / F.col("num_points")
+    cy = F.col("sum_y") / F.col("num_points")
+    is_cluster = F.col("num_points") >= opts.min_points
+    return nodes.select(
+        "zoom", "cell_x", "cell_y",
+        F.col("num_points"),
+        is_cluster.alias("is_cluster"),
+        F.when(is_cluster, x_lng(cx)).otherwise(F.col("min_lng")).alias("lng"),
+        F.when(is_cluster, y_lat(cy)).otherwise(F.col("min_lat")).alias("lat"),
+        F.col("min_id").alias("rep_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL twins (DuckDB oracle)
+# ---------------------------------------------------------------------------
+
+def sql_points_xy(points_sql: str) -> str:
+    """points (id,lng,lat,city) → + x,y (f32-rounded Mercator), null-dropped."""
+    x = sql_fround(sql_lng_x("lng"))
+    y = sql_fround(sql_lat_y("lat"))
+    return f"""
+SELECT id, lng, lat, city, {x} AS x, {y} AS y
+FROM ({points_sql})
+WHERE lng IS NOT NULL AND lat IS NOT NULL AND NOT isnan(lng) AND NOT isnan(lat)
+"""
+
+
+def sql_cells(points_xy_sql: str, zoom: int, opts: ClusterOptions = DEFAULT_OPTIONS) -> str:
+    scale = opts.cell_scale(zoom)
+    return f"""
+SELECT *, CAST(floor(x * {scale!r}) AS BIGINT) AS cell_x,
+          CAST(floor(y * {scale!r}) AS BIGINT) AS cell_y
+FROM ({points_xy_sql})
+"""
+
+
+def sql_cell_agg(points_xy_sql: str, zoom: int, opts: ClusterOptions = DEFAULT_OPTIONS) -> str:
+    return f"""
+SELECT {zoom} AS zoom, cell_x, cell_y,
+       COUNT(*) AS num_points,
+       SUM(x) AS sum_x, SUM(y) AS sum_y,
+       MIN(id) AS min_id, MIN(lng) AS min_lng, MIN(lat) AS min_lat
+FROM ({sql_cells(points_xy_sql, zoom, opts)})
+GROUP BY cell_x, cell_y
+"""

@@ -1,0 +1,258 @@
+"""Query registry — every operator from SURVEY.md §2 as a (spark_fn,
+oracle_sql) pair.
+
+Each entry is `name → QueryDef(spark, sql)`:
+  * `spark(spark_session, sf_dir) → DataFrame`
+  * `sql` — ANSI SQL for the DuckDB oracle over the same parquet views
+    (None ⇒ non-SQL-expressible, driver records rows-only).
+
+Float-parity discipline (SURVEY §7 hard-part 3): IEEE +,-,*,/ and casts are
+bit-exact across engines when the op order matches, so SQL twins mirror the
+Column expressions token-for-token. Transcendentals (sin/ln/atan/exp/pow)
+and aggregate sums (association order) are compared after ROUND at a digit
+budget that keeps the residual error orders of magnitude below the rounding
+grid (boundary-crossing risk ≲1e-7 per value).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arrow_supercluster_spark.config import DEFAULT_OPTIONS as OPTS
+from arrow_supercluster_spark.functions import projection as proj
+from arrow_supercluster_spark.operators import filters, grid_cluster as gc
+from arrow_supercluster_spark.sources.points import (
+    SQL_POINTS,
+    derived_points,
+)
+
+
+@dataclass
+class QueryDef:
+    spark: Callable[[SparkSession, str], DataFrame]
+    sql: Optional[str]  # None ⇒ rows-only check
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, sql: Optional[str]):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(spark=fn, sql=sql)
+        return fn
+    return deco
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return derived_points(spark, sf_dir)
+
+
+def _points_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gc.prepare_points(derived_points(spark, sf_dir))
+
+
+_SQL_XY = gc.sql_points_xy(SQL_POINTS)
+
+
+# ===========================================================================
+# S1/P1-P4 — scan + projection layer
+# ===========================================================================
+
+@register("q_scan_points", SQL_POINTS)
+def q_scan_points(spark, sf_dir):
+    """S1 — GeoParquet scan + deterministic point derivation (SURVEY §2a S1;
+    reference readParquet examples/basic/src/main.ts:39-52). Pure
+    integer/double arithmetic → exact cross-engine match, no rounding."""
+    return derived_points(spark, sf_dir)
+
+
+@register(
+    "q_unpack_geometry",
+    f"""
+    SELECT id, geom[1] AS lng, geom[2] AS lat
+    FROM (SELECT id, [lng, lat] AS geom FROM ({SQL_POINTS}) WHERE lng IS NOT NULL)
+    """,
+)
+def q_unpack_geometry(spark, sf_dir):
+    """P1 — FixedSizeList[2] geometry → flat lng/lat columns
+    (arrow-helpers.ts:12-69). We synthesize the array column then unpack,
+    exercising the same projection shape."""
+    pts = derived_points(spark, sf_dir).filter(F.col("lng").isNotNull())
+    packed = pts.select("id", F.array("lng", "lat").alias("geom"))
+    return packed.select(
+        "id",
+        packed.geom[0].alias("lng"),
+        packed.geom[1].alias("lat"),
+    )
+
+
+@register(
+    "q_mercator_fwd",
+    f"""
+    SELECT id,
+           round({proj.sql_fround(proj.sql_lng_x('lng'))}, 7) AS x,
+           round({proj.sql_fround(proj.sql_lat_y('lat'))}, 7) AS y
+    FROM ({SQL_POINTS}) WHERE lng IS NOT NULL
+    """,
+)
+def q_mercator_fwd(spark, sf_dir):
+    """P2+P4 — forward Web-Mercator with f32 rounding (mercator.ts:9-18,
+    arrow-cluster-engine.ts:94). f32 rounding collapses sub-ulp
+    transcendental differences; round(7) guards the residual."""
+    pts = derived_points(spark, sf_dir).filter(F.col("lng").isNotNull())
+    return pts.select(
+        "id",
+        F.round(proj.fround(proj.lng_x(F.col("lng"))), 7).alias("x"),
+        F.round(proj.fround(proj.lat_y(F.col("lat"))), 7).alias("y"),
+    )
+
+
+@register(
+    "q_mercator_inv",
+    f"""
+    SELECT id,
+           round({proj.sql_x_lng(proj.sql_fround(proj.sql_lng_x('lng')))}, 5) AS lng2,
+           round({proj.sql_y_lat(proj.sql_fround(proj.sql_lat_y('lat')))}, 5) AS lat2
+    FROM ({SQL_POINTS}) WHERE lng IS NOT NULL
+    """,
+)
+def q_mercator_inv(spark, sf_dir):
+    """P3 — inverse Mercator round-trip (mercator.ts:21-29); positions
+    compared to 5 decimals (reference's own parity tolerance is 4,
+    engine.test.ts:78-81)."""
+    pts = derived_points(spark, sf_dir).filter(F.col("lng").isNotNull())
+    x = proj.fround(proj.lng_x(F.col("lng")))
+    y = proj.fround(proj.lat_y(F.col("lat")))
+    return pts.select(
+        "id",
+        F.round(proj.x_lng(x), 5).alias("lng2"),
+        F.round(proj.y_lat(y), 5).alias("lat2"),
+    )
+
+
+# ===========================================================================
+# F1-F4 — filters
+# ===========================================================================
+
+@register(
+    "q_drop_null_geom",
+    f"SELECT id, lng, lat FROM ({SQL_POINTS}) "
+    "WHERE lng IS NOT NULL AND lat IS NOT NULL AND NOT isnan(lng) AND NOT isnan(lat)",
+)
+def q_drop_null_geom(spark, sf_dir):
+    """F2 — null/NaN geometry drop (arrow-cluster-engine.ts:84-91)."""
+    return filters.drop_null_geometry(derived_points(spark, sf_dir)).select("id", "lng", "lat")
+
+
+@register(
+    "q_filter_mask",
+    f"SELECT id, lng, lat FROM ({SQL_POINTS}) WHERE id % 3 != 0",
+)
+def q_filter_mask(spark, sf_dir):
+    """F1 — filter-mask semantics: masked rows excluded before clustering
+    (arrow-cluster-engine.ts:79). Mask = id%3!=0 (deterministic)."""
+    pts = derived_points(spark, sf_dir)
+    return filters.apply_mask(pts, (F.col("id") % 3) != 0).select("id", "lng", "lat")
+
+
+_CITIES = ["city_3", "city_7", "city_11"]
+
+@register(
+    "q_city_mask",
+    f"""SELECT id, city, CAST(city IN ('city_3','city_7','city_11') AS INT) AS mask
+    FROM ({SQL_POINTS})""",
+)
+def q_city_mask(spark, sf_dir):
+    """F3 — predicate→mask build over a label column
+    (examples/basic/src/main.ts:56-63)."""
+    return filters.city_mask(derived_points(spark, sf_dir), _CITIES).select("id", "city", "mask")
+
+
+_BBOX = (-60.0, -30.0, 60.0, 40.0)
+
+@register(
+    "q_bbox_filter",
+    f"SELECT id, lng, lat FROM ({SQL_POINTS}) WHERE lng IS NOT NULL AND "
+    + filters.sql_bbox_predicate(*_BBOX),
+)
+def q_bbox_filter(spark, sf_dir):
+    """F4 — bbox range filter in lng/lat (arrow-cluster-engine.ts:130-156);
+    predicate pushed to the parquet scan."""
+    pts = derived_points(spark, sf_dir).filter(F.col("lng").isNotNull())
+    return pts.filter(filters.bbox_predicate(*_BBOX)).select("id", "lng", "lat")
+
+
+_BBOX_AM = (150.0, -40.0, -150.0, 40.0)  # crosses the antimeridian
+
+@register(
+    "q_bbox_antimeridian",
+    f"SELECT id, lng, lat FROM ({SQL_POINTS}) WHERE lng IS NOT NULL AND "
+    + filters.sql_bbox_predicate(*_BBOX_AM),
+)
+def q_bbox_antimeridian(spark, sf_dir):
+    """F4+Q6 — antimeridian bbox: reference splits into two queries and
+    merges (_mergeOutputs, arrow-cluster-engine.ts:139-143,445-462);
+    relationally it is an OR of two ranges."""
+    pts = derived_points(spark, sf_dir).filter(F.col("lng").isNotNull())
+    return pts.filter(filters.bbox_predicate(*_BBOX_AM)).select("id", "lng", "lat")
+
+
+# ===========================================================================
+# A2-A7 — aggregates
+# ===========================================================================
+
+@register(
+    "q_distinct_cities",
+    f"SELECT DISTINCT city FROM ({SQL_POINTS}) ORDER BY city",
+)
+def q_distinct_cities(spark, sf_dir):
+    """A4 — distinct label values (examples/basic/src/main.ts:65-72)."""
+    return derived_points(spark, sf_dir).select("city").distinct().orderBy("city")
+
+
+@register(
+    "q_filtered_count",
+    f"""SELECT COUNT(*) AS n FROM ({SQL_POINTS})
+    WHERE city IN ('city_3','city_7','city_11') AND lng IS NOT NULL""",
+)
+def q_filtered_count(spark, sf_dir):
+    """A5 — filtered count ("showing N", examples/basic/src/main.ts:271-278)."""
+    pts = derived_points(spark, sf_dir)
+    return (
+        pts.filter(F.col("city").isin(_CITIES) & F.col("lng").isNotNull())
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_bbox_agg",
+    f"""SELECT min(lng) AS min_lng, max(lng) AS max_lng,
+              min(lat) AS min_lat, max(lat) AS max_lat
+    FROM ({SQL_POINTS})""",
+)
+def q_bbox_agg(spark, sf_dir):
+    """A6 — dataset bbox aggregate (generate-geoparquet.ts:117-138). min/max
+    are order-independent → exact, no rounding needed."""
+    return derived_points(spark, sf_dir).agg(
+        F.min("lng").alias("min_lng"),
+        F.max("lng").alias("max_lng"),
+        F.min("lat").alias("min_lat"),
+        F.max("lat").alias("max_lat"),
+    )
+
+
+@register(
+    "q_indexed_count",
+    f"""SELECT COUNT(*) AS n FROM ({SQL_POINTS})
+    WHERE id % 3 != 0 AND lng IS NOT NULL AND lat IS NOT NULL
+      AND NOT isnan(lng) AND NOT isnan(lat)""",
+)
+def q_indexed_count(spark, sf_dir):
+    """A7 — indexedPointCount: rows surviving mask (F1) + null-drop (F2)
+    (arrow-cluster-engine.ts:49-53)."""
+    pts = filters.apply_mask(derived_points(spark, sf_dir), (F.col("id") % 3) != 0)
+    return filters.drop_null_geometry(pts).agg(F.count(F.lit(1)).alias("n"))

@@ -1,0 +1,29 @@
+"""Differential test: every SQL-backed registry query must match its DuckDB
+oracle at sf0.001 (the driver runs the same comparison at sf0.01)."""
+
+import pytest
+
+from arrow_supercluster_spark.plans.registry import REGISTRY
+from tests.oracle_harness import compare, duck_connection
+
+SQL_QUERIES = sorted(name for name, qd in REGISTRY.items() if qd.sql is not None)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connection(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SQL_QUERIES)
+def test_oracle_parity(name, spark, sf_dir, duck):
+    qd = REGISTRY[name]
+    errs = compare(name, qd.spark(spark, sf_dir), duck, qd.sql)
+    assert not errs, "\n".join(errs)
+
+
+def test_rows_only_queries_run(spark, sf_dir):
+    for name, qd in REGISTRY.items():
+        if qd.sql is None:
+            assert qd.spark(spark, sf_dir).count() >= 0, name

@@ -1,0 +1,200 @@
+"""Deduplication operators over document corpora (SURVEY.md §2b E1-E2).
+
+Extension surface for large-scale training-data pipelines: exact dedup,
+MinHash+LSH near-dedup, SimHash, and n-gram Jaccard verification.
+
+Scale design (100 TB):
+  * Exact dedup hashes the text ONCE (md5) and groups on the 128-bit
+    digest — the shuffle carries (digest, doc_id), never the text bytes.
+  * MinHash/LSH: per-doc signature computation is a narrow map (array
+    expressions, JVM-side, no Python); the candidate join shuffles on
+    (band_idx, band_hash) — documents only meet if they share a band
+    bucket, turning the O(n²) similarity join into an equi-join whose
+    fan-out is controlled by bands×rows-per-band. Bucket skew (e.g. empty
+    docs) is handled by AQE skew-join splitting.
+  * All hash primitives are Spark built-ins (xxhash64/murmur3) —
+    deterministic across partitions/executors by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(c) -> "F.Column":
+    """Lowercase + collapse whitespace — the canonical form both exact and
+    near dedup operate on."""
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+def exact_dedup_groups(docs: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+    """E1 — exact duplicate groups: md5(normalized text) → group; keeper =
+    min key (deterministic)."""
+    return (
+        docs.withColumn("text_hash", F.md5(normalize_text(F.col(text))))
+        .groupBy("text_hash")
+        .agg(
+            F.min(key).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def exact_dedup(docs: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+    """E1 — deduplicated corpus: keep the min-key row per distinct text."""
+    groups = exact_dedup_groups(docs, text, key)
+    return docs.join(
+        groups.select(F.col("keeper_id").alias(key)), on=key, how="leftsemi"
+    )
+
+
+def tokenize(c) -> "F.Column":
+    """Whitespace tokens of normalized text (array<string>)."""
+    return F.split(normalize_text(c), " ")
+
+
+def shingles(tokens, k: int = 3) -> "F.Column":
+    """Word k-shingles via sequence+transform (JVM-side; no UDF):
+    shingle[i] = tokens[i..i+k-1] joined by space. Short docs (<k tokens)
+    get one shingle = whole doc."""
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.array_join(F.slice(tokens, i + 1, k), " "),
+    )
+
+
+def minhash_signature(shingle_col, num_hashes: int = 16) -> "F.Column":
+    """MinHash signature: for seed j, min over shingles of xxhash64(shingle,
+    j). Array of num_hashes longs; entirely built-in expressions."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(j))))
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def minhash_docs(
+    docs: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signatures (narrow map stage)."""
+    return docs.select(
+        F.col(key),
+        minhash_signature(shingles(tokenize(F.col(text)), shingle_k), num_hashes).alias(
+            "signature"
+        ),
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """E2 — MinHash+LSH near-duplicate candidate pairs.
+
+    signature → `bands` band-hashes (rows_per_band = num_hashes/bands) →
+    explode → self-equi-join on (band_idx, band_hash) → distinct (a<b)
+    pairs with estimated Jaccard = fraction of matching signature slots.
+
+    The reference has no text operators; this implements the standard
+    Broder MinHash construction (public algorithm) Spark-first.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_docs(docs, text, key, num_hashes, shingle_k)
+    banded = sigs.select(
+        key,
+        "signature",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[F.element_at("signature", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.select(
+        F.col(key).alias("a_id"), F.col("signature").alias("a_sig"),
+        "band_idx", "band_hash",
+    )
+    b = banded.select(
+        F.col(key).alias("b_id"), F.col("signature").alias("b_sig"),
+        "band_idx", "band_hash",
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sig", "b_sig")
+        .distinct()
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("a_sig", "b_sig", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        )
+        / F.lit(float(num_hashes))
+    )
+    return pairs.select("a_id", "b_id", est.alias("est_jaccard"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    candidate_pairs: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """E2 verification — exact n-gram Jaccard for candidate pairs:
+    |A∩B| / |A∪B| over distinct shingle sets, via array_intersect/union.
+    Candidates are few (post-LSH), so the doc join is the only shuffle."""
+    sh = docs.select(
+        F.col(key),
+        F.array_distinct(shingles(tokenize(F.col(text)), shingle_k)).alias("sh"),
+    )
+    out = (
+        candidate_pairs.join(sh.withColumnsRenamed({key: "a_id", "sh": "a_sh"}), "a_id")
+        .join(sh.withColumnsRenamed({key: "b_id", "sh": "b_sh"}), "b_id")
+    )
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size(F.array_union("a_sh", "b_sh"))
+    return out.select(
+        "a_id", "b_id",
+        (inter / union.cast("double")).alias("jaccard"),
+    )
+
+
+def simhash_docs(docs: DataFrame, text: str = "text", key: str = "doc_id", bits: int = 32) -> DataFrame:
+    """E2 — SimHash fingerprint (Charikar): per token hash, vote per bit,
+    fingerprint bit b = 1 iff majority of token-hashes have bit b set.
+    Pure aggregate expressions: explode tokens → per-bit ±1 votes → sum.
+    At scale: one shuffle keyed by doc (partial aggregation applies)."""
+    toks = docs.select(F.col(key), F.explode(tokenize(F.col(text))).alias("tok"))
+    h = F.xxhash64("tok")
+    votes = toks.groupBy(key).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp + bit
+    return votes.select(F.col(key), fp.alias("simhash"))

@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (SURVEY.md §2b E3).
+
+Brute-force cosine top-k as the exactness baseline, plus an LSH-bucketed
+(random hyperplane) variant as the scale path.
+
+Scale design (100 TB):
+  * Brute force is a broadcast nested-loop: the QUERY set is broadcast
+    (small by construction), the corpus streams — no corpus shuffle at
+    all; per-row work is a JVM higher-order-function dot product.
+  * The hyperplane-LSH variant buckets both sides on sign-bit keys so
+    candidate generation is an equi-join on bucket id; recall is tuned by
+    n_planes / n_tables. Only candidates pay the exact dot product.
+  * Top-k = row_number window partitioned by query id — partial top-k
+    per partition via AQE; rank key includes the target id so results are
+    deterministic under repartitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def as_double(vec) -> "F.Column":
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a, b) -> "F.Column":
+    """Σ aᵢ·bᵢ — sequential left-to-right fold (deterministic order, same
+    as a C loop)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a) -> "F.Column":
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a, b) -> "F.Column":
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec: str = "embedding",
+    key: str = "vec_id",
+    qkey: str = "q_id",
+) -> DataFrame:
+    """E3 baseline — exact cosine top-k: broadcast(queries) × corpus →
+    cosine → windowed top-k. Rank orders by cosine rounded to 6 decimals
+    with id tiebreak so ranking is stable cross-engine/cross-partitioning."""
+    q = queries.select(
+        F.col(qkey), as_double(F.col(vec)).alias("q_vec")
+    )
+    c = corpus.select(F.col(key), as_double(F.col(vec)).alias("c_vec"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        qkey,
+        key,
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"),
+    )
+    w = Window.partitionBy(qkey).orderBy(F.col("cos").desc(), F.col(key))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qkey, key, "cos", "rank")
+    )
+
+
+def hyperplane_buckets(df: DataFrame, vec: str, out: str, n_planes: int = 8, seed: int = 42) -> DataFrame:
+    """Random-hyperplane LSH bucket id: bit j = sign(v · h_j) where h_j is
+    a deterministic pseudo-random hyperplane derived from xxhash64(j·dim+i)
+    (no Python RNG — reproducible across partitions). The 'hyperplane'
+    components are ±1 derived per (plane, component) from the hash parity,
+    which is sufficient for sign-LSH and keeps everything JVM-side."""
+    def plane_dot(v, j: int):
+        # component sign: parity of a hash of (j, i) — deterministic ±1
+        return F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.size(v) - 1),
+                lambda x, i: F.when(
+                    F.pmod(F.xxhash64(i, F.lit(j), F.lit(seed)), 2) == 0, x
+                ).otherwise(-x),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = None
+    for j in range(n_planes):
+        bit = F.when(plane_dot(as_double(F.col(vec)), j) >= 0, F.lit(2**j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return df.withColumn(out, bucket.cast("long"))
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec: str = "embedding",
+    key: str = "vec_id",
+    qkey: str = "q_id",
+    n_planes: int = 6,
+) -> DataFrame:
+    """E3 scale path — bucketed ANN: exact cosine only within matching
+    sign-LSH buckets (equi-join on bucket id). Approximate: a neighbor in a
+    different bucket is missed; recall rises as n_planes falls."""
+    c = hyperplane_buckets(
+        corpus.select(key, F.col(vec)), vec, "bucket", n_planes
+    )
+    q = hyperplane_buckets(
+        queries.select(F.col(qkey), F.col(vec).alias("q_emb")), "q_emb", "bucket", n_planes
+    )
+    scored = c.join(F.broadcast(q), "bucket").select(
+        qkey,
+        key,
+        F.round(cosine(as_double(F.col("q_emb")), as_double(F.col(vec))), 6).alias("cos"),
+    )
+    w = Window.partitionBy(qkey).orderBy(F.col("cos").desc(), F.col(key))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qkey, key, "cos", "rank")
+    )

@@ -245,6 +245,15 @@ def q_bbox_agg(spark, sf_dir):
     )
 
 
+def _load_extended_registries():
+    """Import side-effect modules that register additional queries.
+    Called at the bottom of this module (after `register` exists)."""
+    from arrow_supercluster_spark.plans import (  # noqa: F401
+        registry_cluster,
+        registry_ext,
+    )
+
+
 @register(
     "q_indexed_count",
     f"""SELECT COUNT(*) AS n FROM ({SQL_POINTS})
@@ -256,3 +265,6 @@ def q_indexed_count(spark, sf_dir):
     (arrow-cluster-engine.ts:49-53)."""
     pts = filters.apply_mask(derived_points(spark, sf_dir), (F.col("id") % 3) != 0)
     return filters.drop_null_geometry(pts).agg(F.count(F.lit(1)).alias("n"))
+
+
+_load_extended_registries()

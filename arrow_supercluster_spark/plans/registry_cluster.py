@@ -1,0 +1,564 @@
+"""Registry entries: grid clustering (A1-A3), cluster query surface
+(Q1-Q6), hierarchy navigation (Q2-Q4, J1-J2), style layer (V1-V4),
+percentiles (X1). See registry.py for the parity discipline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arrow_supercluster_spark.config import DEFAULT_OPTIONS as OPTS
+from arrow_supercluster_spark.functions import projection as proj
+from arrow_supercluster_spark.operators import grid_cluster as gc
+from arrow_supercluster_spark.plans.registry import (
+    _SQL_XY,
+    _points_xy,
+    register,
+)
+from arrow_supercluster_spark.sources.points import SQL_POINTS
+
+
+def _sql_nodes(zoom: int) -> str:
+    return gc.sql_cell_agg(_SQL_XY, zoom, OPTS)
+
+
+def _nodes(spark, sf_dir, zoom: int):
+    return gc.cluster_grid(_points_xy(spark, sf_dir), zoom, OPTS, prepared=True)
+
+
+def _sql_nodes_union(zmin: int, zmax: int) -> str:
+    return " UNION ALL ".join(f"({_sql_nodes(z)})" for z in range(zmin, zmax + 1))
+
+
+def _nodes_all(spark, sf_dir, zmin: int, zmax: int):
+    """All-zoom node table via a zoom-range cross join: ONE scan + one
+    shuffle keyed (zoom, cell) — at 100 TB this beats per-zoom rescans;
+    the load path proper (bench) uses the exact rollup in
+    gc.cluster_hierarchy which shuffles raw points only once."""
+    pts = _points_xy(spark, sf_dir)
+    zooms = spark.range(zmin, zmax + 1).select(F.col("id").cast("int").alias("zoom"))
+    scale = (
+        F.lit(float(OPTS.extent)) * F.pow(F.lit(2.0), F.col("zoom")) / F.lit(OPTS.radius)
+    )
+    return (
+        pts.crossJoin(F.broadcast(zooms))
+        .withColumns(
+            {
+                "cell_x": F.floor(F.col("x") * scale),
+                "cell_y": F.floor(F.col("y") * scale),
+            }
+        )
+        .groupBy("zoom", "cell_x", "cell_y")
+        .agg(
+            F.count(F.lit(1)).alias("num_points"),
+            F.sum("x").alias("sum_x"),
+            F.sum("y").alias("sum_y"),
+            F.min("id").alias("min_id"),
+            F.min("lng").alias("min_lng"),
+            F.min("lat").alias("min_lat"),
+        )
+    )
+
+
+# ===========================================================================
+# A1-grid per-zoom clustering
+# ===========================================================================
+
+def _mk_cluster_grid(zoom: int):
+    @register(
+        f"q_cluster_grid_z{zoom}",
+        f"""
+        SELECT zoom, cell_x, cell_y, num_points,
+               round(sum_x / num_points, 7) AS cx,
+               round(sum_y / num_points, 7) AS cy
+        FROM ({_sql_nodes(zoom)})
+        """,
+    )
+    def q(spark, sf_dir, _z=zoom):
+        """A1-grid + A2 weighted centroid + A3 count at one zoom
+        (arrow-cluster-engine.ts:354-416 grid decomposition). One scan →
+        one partial-agg shuffle; centroid compared at 7 decimals."""
+        nodes = _nodes(spark, sf_dir, _z)
+        return nodes.select(
+            "zoom", "cell_x", "cell_y", "num_points",
+            F.round(F.col("sum_x") / F.col("num_points"), 7).alias("cx"),
+            F.round(F.col("sum_y") / F.col("num_points"), 7).alias("cy"),
+        )
+    return q
+
+
+for _z in (0, 4, 8, 12):
+    _mk_cluster_grid(_z)
+
+
+# ===========================================================================
+# Q1 — getClusters (bbox + zoom → ClusterOutput)
+# ===========================================================================
+
+_Q1_BBOX = (-120.0, -50.0, 120.0, 55.0)
+
+
+def _mk_get_clusters(zoom: int):
+    a, b, c, d = _Q1_BBOX
+    cx, cy = "(sum_x / num_points)", "(sum_y / num_points)"
+    out_lng = f"CASE WHEN num_points >= {OPTS.min_points} THEN {proj.sql_x_lng(cx)} ELSE min_lng END"
+    out_lat = f"CASE WHEN num_points >= {OPTS.min_points} THEN {proj.sql_y_lat(cy)} ELSE min_lat END"
+    @register(
+        f"q_get_clusters_z{zoom}",
+        f"""
+        SELECT zoom, cell_x, cell_y, num_points, is_cluster,
+               round(lng, 5) AS lng, round(lat, 5) AS lat
+        FROM (
+          SELECT zoom, cell_x, cell_y, num_points,
+                 num_points >= {OPTS.min_points} AS is_cluster,
+                 {out_lng} AS lng, {out_lat} AS lat
+          FROM ({_sql_nodes(zoom)})
+        )
+        WHERE lng BETWEEN {a!r} AND {c!r} AND lat BETWEEN {b!r} AND {d!r}
+        """,
+    )
+    def q(spark, sf_dir, _z=zoom):
+        """Q1 — getClusters(bbox, zoom) (arrow-cluster-engine.ts:126-193):
+        per-zoom nodes, clusters inverse-projected (P3), singletons keep
+        ORIGINAL coords bit-exactly (no-trig fast path :175-180), bbox
+        filter on output positions. Positions compared at 5 decimals
+        (reference's own differential tolerance is 4,
+        engine.test.ts:78-81)."""
+        out = gc.finalize_clusters(_nodes(spark, sf_dir, _z), OPTS)
+        aa, bb, cc, dd = _Q1_BBOX
+        return (
+            out.filter(F.col("lng").between(aa, cc) & F.col("lat").between(bb, dd))
+            .select(
+                "zoom", "cell_x", "cell_y", "num_points", "is_cluster",
+                F.round("lng", 5).alias("lng"),
+                F.round("lat", 5).alias("lat"),
+            )
+        )
+    return q
+
+
+for _z in (2, 6):
+    _mk_get_clusters(_z)
+
+
+# ===========================================================================
+# A3 invariant — count conservation through the hierarchy
+# ===========================================================================
+
+@register(
+    "q_count_conservation",
+    f"""
+    SELECT zoom, COUNT(*) AS n_cells, SUM(num_points) AS total_points
+    FROM ({_sql_nodes_union(0, OPTS.leaf_zoom)})
+    GROUP BY zoom ORDER BY zoom
+    """,
+)
+def q_count_conservation(spark, sf_dir):
+    """A3 invariant — children's counts sum to parents' through all 18
+    levels (engine.test.ts:163-168). Spark side uses the EXACT rollup
+    (cluster_hierarchy: raw points shuffled once, then aggregate-only
+    levels); oracle recomputes every level from raw points — so this also
+    proves the rollup cell identity floor(u/2)==floor(floor(u)/2)."""
+    nodes = gc.cluster_hierarchy(_points_xy(spark, sf_dir), OPTS, prepared=True)
+    return (
+        nodes.filter(F.col("zoom") <= OPTS.leaf_zoom)
+        .groupBy("zoom")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("num_points").alias("total_points"),
+        )
+        .orderBy("zoom")
+    )
+
+
+# ===========================================================================
+# Q2-Q4, J1-J2 — hierarchy navigation (anchor: the cell containing id=1)
+# ===========================================================================
+
+def _sql_anchor_cell(zoom: int) -> str:
+    """Cell coordinates of the point id=1 at `zoom` (deterministic anchor —
+    custkey 1 always exists and 1 % 97 != 0 so it is never null)."""
+    return f"(SELECT cell_x AS ax, cell_y AS ay FROM ({_sql_nodes_points(zoom)}) WHERE id = 1)"
+
+
+def _sql_nodes_points(zoom: int) -> str:
+    return gc.sql_cells(_SQL_XY, zoom, OPTS)
+
+
+def _anchor_cell(spark, sf_dir, zoom: int):
+    pts = gc.with_cells(_points_xy(spark, sf_dir), zoom, OPTS)
+    return pts.filter(F.col("id") == 1).select(
+        F.col("cell_x").alias("ax"), F.col("cell_y").alias("ay")
+    )
+
+
+@register(
+    "q_get_children",
+    f"""
+    WITH anchor AS {_sql_anchor_cell(4)}
+    SELECT n.zoom, n.cell_x, n.cell_y, n.num_points,
+           round(n.sum_x / n.num_points, 7) AS cx,
+           round(n.sum_y / n.num_points, 7) AS cy
+    FROM ({_sql_nodes(5)}) n, anchor
+    WHERE CAST(floor(n.cell_x / 2.0) AS BIGINT) = anchor.ax
+      AND CAST(floor(n.cell_y / 2.0) AS BIGINT) = anchor.ay
+    """,
+)
+def q_get_children(spark, sf_dir):
+    """Q2 — getChildren(clusterId) (arrow-cluster-engine.ts:198-226): the
+    parent pointer is implicit in the grid — child cell >> 1 = parent cell
+    — so children = one broadcast-joined filter, no spatial search."""
+    anchor = _anchor_cell(spark, sf_dir, 4)
+    nodes = _nodes(spark, sf_dir, 5)
+    return (
+        nodes.join(
+            F.broadcast(anchor),
+            (F.floor(F.col("cell_x") / 2) == F.col("ax"))
+            & (F.floor(F.col("cell_y") / 2) == F.col("ay")),
+        )
+        .select(
+            "zoom", "cell_x", "cell_y", "num_points",
+            F.round(F.col("sum_x") / F.col("num_points"), 7).alias("cx"),
+            F.round(F.col("sum_y") / F.col("num_points"), 7).alias("cy"),
+        )
+    )
+
+
+@register(
+    "q_get_leaves",
+    f"""
+    WITH anchor AS {_sql_anchor_cell(6)},
+    leaves AS (
+      SELECT p.id, p.lng, p.lat,
+             row_number() OVER (ORDER BY p.id) AS rank
+      FROM ({_sql_nodes_points(6)}) p, anchor
+      WHERE p.cell_x = anchor.ax AND p.cell_y = anchor.ay
+    )
+    SELECT rank, id, lng, lat FROM leaves WHERE rank BETWEEN 3 AND 12
+    """,
+)
+def q_get_leaves(spark, sf_dir):
+    """Q3 — getLeaves(clusterId, limit, offset)
+    (arrow-cluster-engine.ts:231-235,312-348): recursive descent becomes a
+    membership filter (grid cell containment), pagination = row_number
+    window (offset=2, limit=10)."""
+    from pyspark.sql import Window
+
+    anchor = _anchor_cell(spark, sf_dir, 6)
+    pts = gc.with_cells(_points_xy(spark, sf_dir), 6, OPTS)
+    leaves = pts.join(
+        F.broadcast(anchor),
+        (F.col("cell_x") == F.col("ax")) & (F.col("cell_y") == F.col("ay")),
+    )
+    w = Window.orderBy("id")
+    return (
+        leaves.select("id", "lng", "lat", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank").between(3, 12))
+        .select("rank", "id", "lng", "lat")
+    )
+
+
+@register(
+    "q_expansion_zoom",
+    f"""
+    WITH splits AS (
+      {" UNION ALL ".join(
+        f'''(
+        SELECT {z + 1} AS zoom, COUNT(DISTINCT (p.cell_x, p.cell_y)) AS n_children
+        FROM ({_sql_nodes_points(z + 1)}) p,
+             (SELECT x AS anchor_x, y AS anchor_y FROM ({_SQL_XY}) q WHERE id = 1) a
+        WHERE CAST(floor(p.x * {OPTS.cell_scale(z)!r}) AS BIGINT)
+                = CAST(floor(a.anchor_x * {OPTS.cell_scale(z)!r}) AS BIGINT)
+          AND CAST(floor(p.y * {OPTS.cell_scale(z)!r}) AS BIGINT)
+                = CAST(floor(a.anchor_y * {OPTS.cell_scale(z)!r}) AS BIGINT)
+        )''' for z in range(0, 9)
+      )}
+    )
+    SELECT min(zoom) AS expansion_zoom FROM splits WHERE n_children > 1
+    """,
+)
+def q_expansion_zoom(spark, sf_dir):
+    """Q4 — getClusterExpansionZoom (arrow-cluster-engine.ts:240-256): walk
+    down from the anchor cluster until it splits into >1 child. Single-pass
+    Spark form: for each zoom, count distinct child cells among the points
+    sharing the anchor's cell; answer = min zoom with >1 (searched z∈[0,9))."""
+    pts = _points_xy(spark, sf_dir)
+    rows = []
+    for z in range(0, 9):
+        scale_p = OPTS.cell_scale(z)
+        cells = pts.withColumns(
+            {
+                "pcx": F.floor(F.col("x") * F.lit(scale_p)),
+                "pcy": F.floor(F.col("y") * F.lit(scale_p)),
+            }
+        )
+        anchor = cells.filter(F.col("id") == 1).select(
+            F.col("pcx").alias("ax"), F.col("pcy").alias("ay")
+        )
+        child = gc.with_cells(cells, z + 1, OPTS)
+        rows.append(
+            child.join(
+                F.broadcast(anchor),
+                (F.col("pcx") == F.col("ax")) & (F.col("pcy") == F.col("ay")),
+            )
+            .agg(
+                F.lit(z + 1).alias("zoom"),
+                F.countDistinct("cell_x", "cell_y").alias("n_children"),
+            )
+        )
+    splits = rows[0]
+    for r in rows[1:]:
+        splits = splits.unionByName(r)
+    return splits.filter(F.col("n_children") > 1).agg(
+        F.min("zoom").alias("expansion_zoom")
+    )
+
+
+@register(
+    "q_descendants",
+    f"""
+    WITH anchor AS {_sql_anchor_cell(2)}
+    SELECT n.zoom, n.cell_x, n.cell_y, n.num_points
+    FROM ({_sql_nodes_union(3, 8)}) n, anchor
+    WHERE CAST(floor(n.cell_x / pow(2.0, n.zoom - 2)) AS BIGINT) = anchor.ax
+      AND CAST(floor(n.cell_y / pow(2.0, n.zoom - 2)) AS BIGINT) = anchor.ay
+    """,
+)
+def q_descendants(spark, sf_dir):
+    """J2 — descendant closure (_updateFocusedChildren,
+    arrow-cluster-layer.ts:305-334): ALL sub-clusters of the anchor's z2
+    cell across zooms 3..8. The grid makes the BFS a closed-form ancestor
+    test: cell >> (z−2) == anchor — no recursion, no driver loop."""
+    anchor = _anchor_cell(spark, sf_dir, 2)
+    nodes = _nodes_all(spark, sf_dir, 3, 8)
+    return (
+        nodes.join(
+            F.broadcast(anchor),
+            (F.floor(F.col("cell_x") / F.pow(F.lit(2.0), F.col("zoom") - 2)) == F.col("ax"))
+            & (F.floor(F.col("cell_y") / F.pow(F.lit(2.0), F.col("zoom") - 2)) == F.col("ay")),
+        )
+        .select("zoom", "cell_x", "cell_y", "num_points")
+    )
+
+
+@register(
+    "q_pick_rows",
+    f"""
+    WITH anchor AS {_sql_anchor_cell(6)}
+    SELECT p.id, c.c_name, c.c_acctbal, c.c_mktsegment
+    FROM ({_sql_nodes_points(6)}) p, anchor, customer c
+    WHERE p.cell_x = anchor.ax AND p.cell_y = anchor.ay AND c.c_custkey = p.id
+    """,
+)
+def q_pick_rows(spark, sf_dir):
+    """J1 — picking row-materialization join (picking.ts:14-51): leaves of
+    the picked cluster joined back to full source rows; the leaf list is
+    tiny → broadcast join (the relational form of table.get(i))."""
+    anchor = _anchor_cell(spark, sf_dir, 6)
+    pts = gc.with_cells(_points_xy(spark, sf_dir), 6, OPTS)
+    leaves = pts.join(
+        F.broadcast(anchor),
+        (F.col("cell_x") == F.col("ax")) & (F.col("cell_y") == F.col("ay")),
+    ).select("id")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        cust.join(F.broadcast(leaves), cust.c_custkey == leaves.id)
+        .select("id", "c_name", "c_acctbal", "c_mktsegment")
+    )
+
+
+# ===========================================================================
+# Q5 — cluster-id encode/decode
+# ===========================================================================
+
+@register(
+    "q_clusterid_roundtrip",
+    f"""
+    SELECT id, enc,
+           ((enc - num) % 32) - 1 AS zoom2,
+           (enc - num) >> 5 AS origin2
+    FROM (
+      SELECT id, (id << 5) + ((id % 17) + 1) + ((id % 1000) + 2) AS enc,
+             (id % 1000) + 2 AS num
+      FROM ({SQL_POINTS})
+    )
+    """,
+)
+def q_clusterid_roundtrip(spark, sf_dir):
+    """Q5 — cluster-id bit packing id=(origin<<5)+(zoom+1)+numPoints and
+    its decode (arrow-cluster-engine.ts:378,258-266,304-310; round-trip
+    test pattern edge-cases.test.ts:127-148)."""
+    from arrow_supercluster_spark.sources.points import derived_points
+
+    pts = derived_points(spark, sf_dir)
+    zoom = F.col("id") % 17
+    num = (F.col("id") % 1000) + 2
+    enc = F.shiftleft(F.col("id"), 5) + (zoom + 1) + num
+    return pts.select(
+        "id",
+        enc.alias("enc"),
+        ((enc - num) % 32 - 1).alias("zoom2"),
+        F.shiftright(enc - num, 5).alias("origin2"),
+    )
+
+
+# ===========================================================================
+# V1-V4 — style layer
+# ===========================================================================
+
+@register(
+    "q_fill_colors",
+    f"""
+    SELECT id,
+           CASE WHEN id % 50 = 0 THEN 'selected'
+                WHEN id % 77 = 0 THEN 'secondary'
+                ELSE 'primary' END AS color
+    FROM ({SQL_POINTS})
+    """,
+)
+def q_fill_colors(spark, sf_dir):
+    """V1 — fill-color CASE with the tested priority order selected >
+    focused/descendant > primary (style-helpers.ts:11-47,
+    style-helpers.test.ts:103-118)."""
+    from arrow_supercluster_spark.sources.points import derived_points
+
+    pts = derived_points(spark, sf_dir)
+    return pts.select(
+        "id",
+        F.when(F.col("id") % 50 == 0, "selected")
+        .when(F.col("id") % 77 == 0, "secondary")
+        .otherwise("primary")
+        .alias("color"),
+    )
+
+
+@register(
+    "q_radii",
+    f"""
+    SELECT cell_x, cell_y, num_points,
+           round(4.0 + ln(num_points + 1.0) / ln(t.total + 1.0) * 50.0, 6) AS radius
+    FROM ({_sql_nodes(4)}) n,
+         (SELECT SUM(num_points) AS total FROM ({_sql_nodes(4)}) m) t
+    """,
+)
+def q_radii(spark, sf_dir):
+    """V2 — log-scaled radius r = 4 + (ln(n+1)/ln(total+1))·50
+    (style-helpers.ts:53-70; formula test style-helpers.test.ts:161-169).
+    `total` is a scalar aggregate → broadcast cross join."""
+    nodes = _nodes(spark, sf_dir, 4)
+    total = nodes.agg(F.sum("num_points").alias("total"))
+    return nodes.crossJoin(F.broadcast(total)).select(
+        "cell_x", "cell_y", "num_points",
+        F.round(
+            F.lit(4.0)
+            + F.log(F.col("num_points") + F.lit(1.0))
+            / F.log(F.col("total") + F.lit(1.0))
+            * F.lit(50.0),
+            6,
+        ).alias("radius"),
+    )
+
+
+@register(
+    "q_text_colors",
+    f"""
+    SELECT id, round(lum, 7) AS lum,
+           CASE WHEN lum > 0.179 THEN 'black' ELSE 'white' END AS text_color
+    FROM (
+      SELECT id,
+             0.2126 * (CASE WHEN r <= 0.03928 THEN r / 12.92 ELSE pow((r + 0.055) / 1.055, 2.4) END)
+           + 0.7152 * (CASE WHEN g <= 0.03928 THEN g / 12.92 ELSE pow((g + 0.055) / 1.055, 2.4) END)
+           + 0.0722 * (CASE WHEN b <= 0.03928 THEN b / 12.92 ELSE pow((b + 0.055) / 1.055, 2.4) END) AS lum
+      FROM (
+        SELECT id, (id % 256) / 255.0 AS r, (id * 7 % 256) / 255.0 AS g,
+               (id * 13 % 256) / 255.0 AS b
+        FROM ({SQL_POINTS})
+      )
+    )
+    """,
+)
+def q_text_colors(spark, sf_dir):
+    """V3 — WCAG relative luminance → black/white label color
+    (style-helpers.ts:75-109): sRGB linearization + weighted sum,
+    threshold 0.179."""
+    from arrow_supercluster_spark.sources.points import derived_points
+
+    pts = derived_points(spark, sf_dir)
+
+    def lin(c):
+        return F.when(c <= 0.03928, c / F.lit(12.92)).otherwise(
+            F.pow((c + F.lit(0.055)) / F.lit(1.055), F.lit(2.4))
+        )
+
+    r = (F.col("id") % 256) / F.lit(255.0)
+    g = (F.col("id") * 7 % 256) / F.lit(255.0)
+    b = (F.col("id") * 13 % 256) / F.lit(255.0)
+    lum = F.lit(0.2126) * lin(r) + F.lit(0.7152) * lin(g) + F.lit(0.0722) * lin(b)
+    return pts.select(
+        "id",
+        F.round(lum, 7).alias("lum"),
+        F.when(lum > 0.179, "black").otherwise("white").alias("text_color"),
+    )
+
+
+@register(
+    "q_labels",
+    f"""
+    SELECT cell_x, cell_y,
+           CASE WHEN num_points >= {OPTS.min_points}
+                THEN CAST(num_points AS VARCHAR) END AS label
+    FROM ({_sql_nodes(4)})
+    """,
+)
+def q_labels(spark, sf_dir):
+    """V4 — count label: clusters get String(count), points get null
+    (style-helpers.ts:114-123)."""
+    nodes = _nodes(spark, sf_dir, 4)
+    return nodes.select(
+        "cell_x", "cell_y",
+        F.when(
+            F.col("num_points") >= OPTS.min_points,
+            F.col("num_points").cast("string"),
+        ).alias("label"),
+    )
+
+
+# ===========================================================================
+# X1 — percentiles / top-k
+# ===========================================================================
+
+@register(
+    "q_percentiles",
+    """
+    SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS median,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+    FROM lineitem
+    """,
+)
+def q_percentiles(spark, sf_dir):
+    """X1 — median/p95 (benchmarks/run.ts:64-88): exact linear-interpolated
+    percentiles (both engines use the same interpolation)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95"),
+    )
+
+
+@register(
+    "q_topk",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 10
+    """,
+)
+def q_topk(spark, sf_dir):
+    """X1 — top-k with fully deterministic tiebreak (sort → limit; Spark
+    executes as TakeOrderedAndProject, no full sort at scale)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(10)
+    )

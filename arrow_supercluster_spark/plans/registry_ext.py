@@ -1,0 +1,416 @@
+"""Registry entries: LLM-data-pipeline extension surface (SURVEY §2b E1-E6)
+plus general relational coverage (joins, windows, TPC-H-style aggregates)
+that the clustering queries decompose into."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from arrow_supercluster_spark.operators import dedup, similarity, textops
+from arrow_supercluster_spark.plans.registry import register
+from arrow_supercluster_spark.sources.tables import read_events
+
+# SQL twin of dedup.normalize_text / tokenize
+SQL_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+SQL_TOKS = f"string_split({SQL_NORM}, ' ')"
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ===========================================================================
+# E1 — exact dedup
+# ===========================================================================
+
+@register(
+    "q_dedup_exact",
+    f"""
+    SELECT md5({SQL_NORM}) AS text_hash,
+           MIN(doc_id) AS keeper_id, COUNT(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """E1 — exact duplicate groups on md5(normalized text); shuffle carries
+    digests, not text. Keeper = min doc_id (deterministic)."""
+    return dedup.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+@register(
+    "q_dedup_corpus",
+    f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id IN (
+      SELECT MIN(doc_id) FROM documents GROUP BY md5({SQL_NORM})
+    )
+    """,
+)
+def q_dedup_corpus(spark, sf_dir):
+    """E1 — the deduplicated corpus itself (left-semi join against keeper
+    set — broadcastable since keepers ≤ distinct hashes)."""
+    return dedup.exact_dedup(_docs(spark, sf_dir)).select("doc_id", "lang", "source")
+
+
+# rows-only: signatures/pairs use Spark-native xxhash64
+@register("q_dedup_minhash", None)
+def q_dedup_minhash(spark, sf_dir):
+    """E2 — MinHash+LSH near-dup candidate pairs (rows-only: xxhash64 is
+    engine-specific). Banded equi-join replaces the O(n²) similarity join."""
+    return dedup.lsh_candidate_pairs(_docs(spark, sf_dir))
+
+
+@register("q_dedup_simhash", None)
+def q_dedup_simhash(spark, sf_dir):
+    """E2 — SimHash 32-bit fingerprints per doc (rows-only: engine hash)."""
+    return dedup.simhash_docs(_docs(spark, sf_dir))
+
+
+@register(
+    "q_jaccard_adjacent",
+    f"""
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(len(list_intersect(a.toks, b.toks)) * 1.0
+                 / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+    FROM (SELECT doc_id, list_distinct({SQL_TOKS}) AS toks FROM documents) a
+    JOIN (SELECT doc_id, list_distinct({SQL_TOKS}) AS toks FROM documents) b
+      ON b.doc_id = a.doc_id + 1
+    """,
+)
+def q_jaccard_adjacent(spark, sf_dir):
+    """E2 verification kernel — exact unigram Jaccard |A∩B|/|A∪B| between
+    adjacent doc ids (a deterministic stand-in for the LSH candidate set so
+    the kernel itself is oracle-checkable)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(dedup.tokenize(F.col("text"))).alias("toks"),
+    )
+    a = toks.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"))
+    b = toks.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"))
+    joined = a.join(b, F.col("b_id") == F.col("a_id") + 1)
+    inter = F.size(F.array_intersect("a_toks", "b_toks"))
+    union = F.size(F.array_union("a_toks", "b_toks"))
+    return joined.select(
+        "a_id", "b_id",
+        F.round(inter * F.lit(1.0) / union, 6).alias("jaccard"),
+    )
+
+
+# ===========================================================================
+# E3 — similarity search
+# ===========================================================================
+
+_SQL_COS = """
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 10),
+     scored AS (
+       SELECT q.q_id, c.vec_id,
+              round(list_inner_product(q.qv, c.cv)
+                    / (sqrt(list_inner_product(q.qv, q.qv))
+                       * sqrt(list_inner_product(c.cv, c.cv))), 6) AS cos
+       FROM q, c
+     ),
+     ranked AS (
+       SELECT q_id, vec_id, cos,
+              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       FROM scored
+     )
+SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@register("q_cosine_topk", _SQL_COS)
+def q_cosine_topk(spark, sf_dir):
+    """E3 — exact cosine top-5 neighbors for query vectors vec_id<10 over
+    the rest of the corpus. Broadcast nested-loop (query side broadcast, NO
+    corpus shuffle); ranking on round(cos,6) with vec_id tiebreak is stable
+    cross-engine."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return similarity.cosine_topk(corpus, queries, k=5)
+
+
+@register("q_cosine_topk_lsh", None)
+def q_cosine_topk_lsh(spark, sf_dir):
+    """E3 scale path — sign-LSH bucketed ANN (rows-only: approximate by
+    design). Candidates meet via equi-join on hyperplane sign buckets."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return similarity.cosine_topk_lsh(corpus, queries, k=5)
+
+
+# ===========================================================================
+# E4 — text analysis
+# ===========================================================================
+
+@register(
+    "q_token_counts",
+    f"""
+    SELECT doc_id, len({SQL_TOKS}) AS n_tokens, length(text) AS n_chars_computed
+    FROM documents
+    """,
+)
+def q_token_counts(spark, sf_dir):
+    """E4 — per-doc whitespace token + char counts (narrow map, no
+    shuffle)."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        textops.token_count(F.col("text")).alias("n_tokens"),
+        textops.char_count(F.col("text")).alias("n_chars_computed"),
+    )
+
+
+_SQL_LANG_SCORES = ", ".join(
+    f"len(list_filter({SQL_TOKS}, x -> x IN ({', '.join(repr(w) for w in ws)}))) AS s_{lang}"
+    for lang, ws in sorted(textops.STOPWORDS.items())
+)
+_SQL_LANG_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'"
+        for lang in sorted(textops.STOPWORDS)
+    )
+    + " ELSE 'und' END"
+)
+
+
+@register(
+    "q_lang_id",
+    f"""
+    SELECT doc_id, {_SQL_LANG_CASE} AS lang_guess
+    FROM (
+      SELECT doc_id, {', '.join(f's_{l}' for l in sorted(textops.STOPWORDS))},
+             greatest({', '.join(f's_{l}' for l in sorted(textops.STOPWORDS))}) AS best
+      FROM (SELECT doc_id, {_SQL_LANG_SCORES} FROM documents) t
+    ) s
+    """,
+)
+def q_lang_id(spark, sf_dir):
+    """E4 — stopword-vote language ID with deterministic tie-break
+    (lexicographically first language wins)."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", textops.lang_id_expr(F.col("text")).alias("lang_guess")
+    )
+
+
+@register(
+    "q_text_quality",
+    f"""
+    SELECT doc_id,
+           round(
+             (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END)
+             * (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.6 END)
+             * (CASE WHEN ur <= 0.3 THEN 1.0 ELSE 0.7 END), 6) AS quality
+    FROM (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) / greatest(CAST(len({SQL_TOKS}) AS DOUBLE), 1.0) AS mwl,
+             CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+               / greatest(CAST(length(text) AS DOUBLE), 1.0) AS pr,
+             CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+               / greatest(CAST(length(text) AS DOUBLE), 1.0) AS ur
+      FROM documents
+    ) t
+    """,
+)
+def q_text_quality(spark, sf_dir):
+    """E4 — heuristic quality score (Gopher/C4-style length+punct+case
+    bands, simplified)."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", F.round(textops.quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+@register(
+    "q_top_tokens",
+    f"""
+    SELECT token, COUNT(*) AS cnt
+    FROM (SELECT unnest({SQL_TOKS}) AS token FROM documents) t
+    WHERE token != ''
+    GROUP BY token ORDER BY cnt DESC, token LIMIT 50
+    """,
+)
+def q_top_tokens(spark, sf_dir):
+    """E4 — corpus top-50 tokens (explode → hash-agg with map-side combine
+    → deterministic top-k)."""
+    return textops.top_tokens(_docs(spark, sf_dir), k=50)
+
+
+@register(
+    "q_lang_stats",
+    """
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+           round(AVG(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q_lang_stats(spark, sf_dir):
+    """E4 — per-language corpus stats over the declared lang column."""
+    return textops.lang_stats(_docs(spark, sf_dir))
+
+
+@register("q_doc_stats", None)
+def q_doc_stats(spark, sf_dir):
+    """E4 — full per-doc analysis row incl. rolling-hash fingerprint and
+    BPE-ish token estimate (rows-only: engine-native xxhash64)."""
+    return textops.doc_stats(_docs(spark, sf_dir))
+
+
+# ===========================================================================
+# E5 — JSON extraction, E6 — event-time windows
+# ===========================================================================
+
+@register(
+    "q_json_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           round(AVG(value), 4) AS avg_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_json_extract(spark, sf_dir):
+    """E5 — JSON property extraction from the events.props string column
+    (get_json_object = JVM-side JSON path, no UDF)."""
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_event_windows",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+           COUNT(*) AS n_events,
+           round(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_event_windows(spark, sf_dir):
+    """E6 — tumbling 1-hour event-time windows (batch form; the streaming
+    variant with watermark lives in streaming/events.py and computes the
+    identical aggregate via readStream)."""
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd HH").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("hour")
+    )
+
+
+# ===========================================================================
+# General relational coverage (supporting operators, SURVEY §2a note)
+# ===========================================================================
+
+@register(
+    "q_lineitem_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(SUM(l_quantity), 2) AS sum_qty,
+           round(SUM(l_extendedprice), 2) AS sum_base_price,
+           round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_lineitem_agg(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary — the relational substrate the
+    cluster aggregates (A2/A3) decompose into; partial aggregation keeps
+    the shuffle at |groups|·|partitions| rows."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q_join_agg",
+    """
+    SELECT n.n_name, COUNT(*) AS n_orders,
+           round(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+)
+def q_join_agg(spark, sf_dir):
+    """Multi-way join + aggregate: orders⋈customer shuffles on custkey;
+    nation is dimension-sized → broadcast hash join (J1's pattern at
+    relational scale)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "q_window_rank",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rank
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      FROM orders
+    ) t WHERE rank <= 3
+    """,
+)
+def q_window_rank(spark, sf_dir):
+    """Window-function coverage: top-3 orders per customer (Q3's windowed
+    pagination pattern); fully deterministic tiebreak."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= 3)
+    )

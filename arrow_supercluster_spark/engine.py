@@ -1,0 +1,170 @@
+"""ArrowClusterEngine — the session-layer analog of the reference engine
+instance (SURVEY.md §3.3).
+
+Mirrors the reference's public API surface
+(packages/arrow-supercluster/src/arrow-cluster-engine.ts:14-19; README API
+section): `load`, `get_clusters`, `get_children`, `get_leaves`,
+`get_cluster_expansion_zoom`, `indexed_point_count` — re-expressed over a
+persisted per-zoom node DataFrame instead of per-zoom KDBush trees.
+
+Caching/invalidation follows the layer's rules
+(arrow-cluster-layer.ts:46-55,84-118): rebuild only when data/options
+change (load() is the rebuild), re-query per call; the node table is
+persisted and partitioned by zoom so each query prunes 17/18 levels.
+
+Cluster identity: grid nodes are identified by (zoom, cell_x, cell_y);
+the reference's (origin<<5)+zoom+count bit packing is carried by the
+greedy pipeline (operators/greedy.py), with the codec itself covered by
+Q5 (q_clusterid_roundtrip).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arrow_supercluster_spark.config import DEFAULT_OPTIONS, ClusterOptions
+from arrow_supercluster_spark.operators import grid_cluster as gc
+from arrow_supercluster_spark.operators.filters import bbox_predicate
+
+
+class ArrowClusterEngine:
+    """load(points) → query surface over the persisted hierarchy."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        opts: ClusterOptions = DEFAULT_OPTIONS,
+        workdir: Optional[str] = None,
+    ):
+        import tempfile
+
+        self.spark = spark
+        self.opts = opts
+        self.workdir = workdir or tempfile.mkdtemp(prefix="arrow_supercluster_")
+        self._nodes: Optional[DataFrame] = None
+        self._points: Optional[DataFrame] = None
+        self._indexed_count: Optional[int] = None
+
+    # -- §3.1 load -------------------------------------------------------
+
+    def load(self, points: DataFrame, mask=None) -> "ArrowClusterEngine":
+        """Index build: mask (F1) → null-drop (F2) → project (P2/P4) →
+        hierarchy checkpointed level-by-level to a zoom-partitioned parquet
+        table under workdir (the engine-instance state; raw points are
+        shuffled exactly once — see gc.materialize_hierarchy)."""
+        pts = points.filter(mask) if mask is not None else points
+        pts = gc.prepare_points(pts)
+        self._points = pts
+        self._nodes = gc.materialize_hierarchy(
+            pts, f"{self.workdir}/hierarchy", self.opts, prepared=True
+        )
+        self._indexed_count = None
+        return self
+
+    def _require(self) -> DataFrame:
+        if self._nodes is None:
+            raise RuntimeError("call load() first")  # engine.ts throws similarly pre-load
+        return self._nodes
+
+    @property
+    def indexed_point_count(self) -> int:
+        """A7 (arrow-cluster-engine.ts:49-53)."""
+        if self._indexed_count is None:
+            leaf = self._require().filter(F.col("zoom") == self.opts.leaf_zoom)
+            self._indexed_count = (
+                leaf.agg(F.sum("num_points")).collect()[0][0] or 0
+            )
+        return self._indexed_count
+
+    # -- §3.2 getClusters ------------------------------------------------
+
+    def _limit_zoom(self, zoom: int) -> int:
+        """arrow-cluster-engine.ts:428-433."""
+        return max(self.opts.min_zoom, min(int(zoom), self.opts.max_zoom + 1))
+
+    def get_clusters(self, bbox, zoom: int) -> DataFrame:
+        """Q1: bbox+zoom → ClusterOutput-shaped DataFrame. Partition
+        pruning on zoom, then bbox on output positions (antimeridian
+        handled inside bbox_predicate as an OR of ranges)."""
+        z = self._limit_zoom(zoom)
+        nodes = self._require().filter(F.col("zoom") == z)
+        out = gc.finalize_clusters(nodes, self.opts)
+        return out.filter(bbox_predicate(*bbox))
+
+    # -- §3.3 drill-down -------------------------------------------------
+
+    def get_children(self, zoom: int, cell_x: int, cell_y: int) -> DataFrame:
+        """Q2: nodes at zoom+1 whose cell>>1 equals the given cell."""
+        nodes = self._require().filter(F.col("zoom") == zoom + 1)
+        return gc.finalize_clusters(
+            nodes.filter(
+                (F.floor(F.col("cell_x") / 2) == cell_x)
+                & (F.floor(F.col("cell_y") / 2) == cell_y)
+            ),
+            self.opts,
+        )
+
+    def get_leaves(
+        self, zoom: int, cell_x: int, cell_y: int,
+        limit: Optional[int] = None, offset: int = 0,
+    ) -> DataFrame:
+        """Q3: member points of a node, paginated deterministically by id
+        (row_number window = the reference's DFS skip/limit,
+        arrow-cluster-engine.ts:312-348)."""
+        from pyspark.sql.window import Window
+
+        if self._points is None:
+            raise RuntimeError("call load() first")
+        pts = gc.with_cells(self._points, zoom, self.opts)
+        leaves = pts.filter(
+            (F.col("cell_x") == cell_x) & (F.col("cell_y") == cell_y)
+        )
+        w = Window.orderBy("id")
+        ranked = leaves.withColumn("rank", F.row_number().over(w))
+        lo = offset + 1
+        hi = offset + limit if limit is not None else None
+        ranked = ranked.filter(F.col("rank") >= lo)
+        if hi is not None:
+            ranked = ranked.filter(F.col("rank") <= hi)
+        return ranked.drop("cell_x", "cell_y", "x", "y")
+
+    def get_cluster_expansion_zoom(self, zoom: int, cell_x: int, cell_y: int) -> int:
+        """Q4 (arrow-cluster-engine.ts:240-256): first zoom > `zoom` where
+        the node splits into >1 child; driver loop ≤ maxZoom iterations
+        over the persisted (tiny) upper levels."""
+        nodes = self._require()
+        cx, cy = cell_x, cell_y
+        for z in range(zoom, self.opts.max_zoom + 1):
+            children = (
+                nodes.filter(F.col("zoom") == z + 1)
+                .filter(
+                    (F.floor(F.col("cell_x") / 2) == cx)
+                    & (F.floor(F.col("cell_y") / 2) == cy)
+                )
+                .select("cell_x", "cell_y")
+                .collect()
+            )
+            if len(children) != 1:
+                return z + 1
+            cx, cy = children[0][0], children[0][1]
+        return self.opts.max_zoom + 1
+
+    def get_descendants(self, zoom: int, cell_x: int, cell_y: int, max_depth_zoom: int) -> DataFrame:
+        """J2: all nodes under (zoom,cell) down to max_depth_zoom —
+        closed-form ancestor test, no recursion."""
+        nodes = self._require().filter(
+            (F.col("zoom") > zoom) & (F.col("zoom") <= max_depth_zoom)
+        )
+        shift = F.pow(F.lit(2.0), F.col("zoom") - zoom)
+        return nodes.filter(
+            (F.floor(F.col("cell_x") / shift) == cell_x)
+            & (F.floor(F.col("cell_y") / shift) == cell_y)
+        )
+
+    def unload(self) -> None:
+        self._nodes = None
+        self._points = None
+        self._indexed_count = None

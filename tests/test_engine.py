@@ -1,0 +1,94 @@
+"""Session-layer engine tests (SURVEY §3.3): the reference API surface
+driven end-to-end over the materialized hierarchy."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from arrow_supercluster_spark.config import DEFAULT_OPTIONS as OPTS
+from arrow_supercluster_spark.engine import ArrowClusterEngine
+from arrow_supercluster_spark.sources.points import derived_points
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir, tmp_path_factory):
+    eng = ArrowClusterEngine(
+        spark, OPTS, workdir=str(tmp_path_factory.mktemp("engine"))
+    )
+    eng.load(derived_points(spark, sf_dir))
+    return eng
+
+
+def test_indexed_point_count(engine, spark, sf_dir):
+    from arrow_supercluster_spark.operators.filters import drop_null_geometry
+
+    expected = drop_null_geometry(derived_points(spark, sf_dir)).count()
+    assert engine.indexed_point_count == expected
+
+
+def test_get_clusters_world(engine):
+    out = engine.get_clusters((-180, -85, 180, 85), 2).toPandas()
+    assert len(out) > 0
+    assert out.num_points.sum() == engine.indexed_point_count
+    assert set(out.columns) >= {"zoom", "num_points", "is_cluster", "lng", "lat"}
+
+
+def test_get_clusters_zoom_clamped(engine):
+    hi = engine.get_clusters((-180, -85, 180, 85), 99)
+    assert hi.select("zoom").distinct().collect()[0][0] == OPTS.leaf_zoom
+
+
+def test_children_sum_to_parent(engine):
+    parent = (
+        engine.get_clusters((-180, -85, 180, 85), 3)
+        .filter(F.col("is_cluster"))
+        .orderBy(F.col("num_points").desc())
+        .limit(1)
+        .collect()[0]
+    )
+    kids = engine.get_children(3, parent.cell_x, parent.cell_y).toPandas()
+    assert kids.num_points.sum() == parent.num_points
+
+
+def test_leaves_pagination(engine):
+    parent = (
+        engine.get_clusters((-180, -85, 180, 85), 2)
+        .orderBy(F.col("num_points").desc())
+        .limit(1)
+        .collect()[0]
+    )
+    assert parent.num_points >= 5  # biggest z2 cluster is comfortably large
+    all_leaves = engine.get_leaves(2, parent.cell_x, parent.cell_y).toPandas()
+    assert len(all_leaves) == parent.num_points
+    page = engine.get_leaves(2, parent.cell_x, parent.cell_y, limit=3, offset=1)
+    pg = page.toPandas()
+    assert list(pg["id"]) == list(all_leaves["id"][1:4])
+
+
+def test_expansion_zoom(engine):
+    parent = (
+        engine.get_clusters((-180, -85, 180, 85), 0)
+        .filter(F.col("is_cluster"))
+        .orderBy(F.col("num_points").desc())
+        .limit(1)
+        .collect()[0]
+    )
+    ez = engine.get_cluster_expansion_zoom(0, parent.cell_x, parent.cell_y)
+    assert 0 < ez <= OPTS.leaf_zoom
+
+
+def test_descendants_closure(engine):
+    parent = (
+        engine.get_clusters((-180, -85, 180, 85), 2)
+        .filter(F.col("is_cluster"))
+        .orderBy(F.col("num_points").desc())
+        .limit(1)
+        .collect()[0]
+    )
+    desc = engine.get_descendants(2, parent.cell_x, parent.cell_y, 5).toPandas()
+    per_zoom = desc.groupby("zoom").num_points.sum()
+    assert (per_zoom == parent.num_points).all()
+
+
+def test_antimeridian_query(engine):
+    out = engine.get_clusters((150, -60, -150, 60), 4).toPandas()
+    assert ((out.lng >= 150) | (out.lng <= -150)).all()

@@ -1,0 +1,89 @@
+"""Partition-count invariance + equivalence tests (SURVEY §5 layer 2 —
+the Spark analog of the reference's multi-chunk ≡ single-chunk tests:
+results must be identical however the data is partitioned)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from arrow_supercluster_spark.config import DEFAULT_OPTIONS as OPTS
+from arrow_supercluster_spark.operators import grid_cluster as gc
+from arrow_supercluster_spark.operators.filters import apply_mask, drop_null_geometry
+from arrow_supercluster_spark.sources.points import derived_points
+
+
+def canon(df, sort_cols):
+    pdf = df.toPandas()
+    for c in pdf.columns:
+        if pdf[c].dtype == "float64":
+            pdf[c] = pdf[c].round(9)
+    return pdf.sort_values(sort_cols).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("n_parts", [1, 7, 32])
+def test_grid_cluster_partition_invariance(spark, sf_dir, n_parts):
+    pts = derived_points(spark, sf_dir).repartition(n_parts)
+    nodes = gc.cluster_grid(pts, 6, OPTS).select(
+        "zoom", "cell_x", "cell_y", "num_points",
+        F.round(F.col("sum_x") / F.col("num_points"), 7).alias("cx"),
+    )
+    got = canon(nodes, ["cell_x", "cell_y"])
+    base = canon(
+        gc.cluster_grid(derived_points(spark, sf_dir), 6, OPTS).select(
+            "zoom", "cell_x", "cell_y", "num_points",
+            F.round(F.col("sum_x") / F.col("num_points"), 7).alias("cx"),
+        ),
+        ["cell_x", "cell_y"],
+    )
+    pd.testing.assert_frame_equal(got, base)
+
+
+def test_mask_equals_prefilter(spark, sf_dir):
+    """Masked load ≡ manually pre-filtered table — the reference's own
+    equivalence test (filter-mask.test.ts:86-108)."""
+    pts = derived_points(spark, sf_dir)
+    mask = (F.col("id") % 4) != 0
+    a = gc.cluster_grid(apply_mask(pts, mask), 8, OPTS)
+    b = gc.cluster_grid(pts.filter(mask), 8, OPTS)
+    pd.testing.assert_frame_equal(
+        canon(a, ["cell_x", "cell_y"]), canon(b, ["cell_x", "cell_y"])
+    )
+
+
+def test_hierarchy_count_conservation(spark, sf_dir):
+    nodes = gc.cluster_hierarchy(derived_points(spark, sf_dir), OPTS)
+    totals = (
+        nodes.groupBy("zoom").agg(F.sum("num_points").alias("t")).toPandas()
+    )
+    expected = drop_null_geometry(derived_points(spark, sf_dir)).count()
+    assert sorted(totals.zoom) == list(range(OPTS.min_zoom, OPTS.leaf_zoom + 1))
+    assert (totals.t == expected).all()
+
+
+def test_materialize_equals_lazy(spark, sf_dir, tmp_path):
+    a = gc.materialize_hierarchy(
+        derived_points(spark, sf_dir), str(tmp_path / "h"), OPTS
+    )
+    b = gc.cluster_hierarchy(derived_points(spark, sf_dir), OPTS)
+    cols = ["zoom", "cell_x", "cell_y", "num_points", "min_id"]
+    pd.testing.assert_frame_equal(
+        canon(a.select(cols), cols), canon(b.select(cols), cols)
+    )
+
+
+def test_finalize_singleton_exact_coords(spark, sf_dir):
+    """Singletons must carry ORIGINAL coordinates bit-exactly (the
+    reference's no-trig fast path, arrow-cluster-engine.ts:175-180)."""
+    pts = derived_points(spark, sf_dir)
+    out = gc.finalize_clusters(gc.cluster_grid(pts, 10, OPTS), OPTS)
+    singles = out.filter(~F.col("is_cluster")).select("rep_id", "lng", "lat")
+    orig = drop_null_geometry(pts).select(
+        F.col("id").alias("rep_id"),
+        F.col("lng").alias("olng"),
+        F.col("lat").alias("olat"),
+    )
+    joined = singles.join(orig, "rep_id")
+    mismatch = joined.filter(
+        (F.col("lng") != F.col("olng")) | (F.col("lat") != F.col("olat"))
+    ).count()
+    assert mismatch == 0

@@ -1,0 +1,81 @@
+"""Physical-plan quality gates — the scale-behavior assertions SURVEY §4
+commits to: predicate pushdown reaches the parquet scan, small dimensions
+broadcast, hot paths stay JVM-side (no Python row UDFs), partition pruning
+hits the zoom-partitioned hierarchy."""
+
+from pyspark.sql import functions as F
+
+from arrow_supercluster_spark.config import DEFAULT_OPTIONS as OPTS
+from arrow_supercluster_spark.operators import grid_cluster as gc
+from arrow_supercluster_spark.plans.registry import REGISTRY
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_bbox_filter_pushdown(spark, sf_dir):
+    """F4's range predicate must reach the parquet scan (PushedFilters)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = li.filter(
+        (F.col("l_quantity") > 30) & (F.col("l_discount") < 0.05)
+    ).select("l_orderkey")
+    plan = formatted(q)
+    assert "PushedFilters" in plan
+    assert "GreaterThan(l_quantity" in plan
+
+
+def test_column_pruning(spark, sf_dir):
+    """A 2-column projection must not scan all 11 lineitem columns."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plan = formatted(li.select("l_orderkey", "l_quantity"))
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "l_extendedprice" not in read_schema[0]
+
+
+def test_join_agg_broadcasts_dimension(spark, sf_dir):
+    """q_join_agg's nation join must be a broadcast hash join, not a
+    shuffle join."""
+    plan = plan_of(REGISTRY["q_join_agg"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_core_queries_have_no_python_udfs(spark, sf_dir):
+    """Hot-path queries are whole-stage-codegen JVM plans: any
+    BatchEvalPython/ArrowEvalPython node means a Python UDF leaked in."""
+    for name in (
+        "q_mercator_fwd", "q_cluster_grid_z8", "q_get_clusters_z6",
+        "q_lineitem_agg", "q_cosine_topk", "q_dedup_exact", "q_token_counts",
+    ):
+        plan = plan_of(REGISTRY[name].spark(spark, sf_dir))
+        assert "EvalPython" not in plan, name
+
+
+def test_hierarchy_partition_pruning(spark, sf_dir, tmp_path):
+    """Q1 over the materialized hierarchy must prune to one zoom=
+    directory (17/18 of the data never read)."""
+    from arrow_supercluster_spark.sources.points import derived_points
+
+    nodes = gc.materialize_hierarchy(
+        derived_points(spark, sf_dir), str(tmp_path / "h"), OPTS
+    )
+    q = nodes.filter(F.col("zoom") == 6)
+    plan = formatted(q)
+    scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan and "zoom" in scan[0]
+
+
+def test_cluster_grid_single_shuffle(spark, sf_dir):
+    """A1-grid at one zoom = scan → project → ONE exchange (hash agg with
+    partial aggregation); more exchanges would mean a redundant shuffle."""
+    from arrow_supercluster_spark.sources.points import derived_points
+
+    plan = plan_of(gc.cluster_grid(derived_points(spark, sf_dir), 8, OPTS))
+    assert plan.count("Exchange") == 1
+    assert "HashAggregate" in plan

@@ -1,0 +1,63 @@
+"""Structured Streaming tests: the streaming tumbling-window aggregate must
+match the batch q_event_windows on the same data (fed through a file
+stream, complete mode to a memory sink)."""
+
+import pandas as pd
+import pytest
+
+from arrow_supercluster_spark.sources.tables import read_events
+from arrow_supercluster_spark.streaming.events import hourly_event_windows, sessionize
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir, tmp_path_factory):
+    # re-write events as a clean micro-batch source (nanos ts normalized)
+    src = str(tmp_path_factory.mktemp("events_src"))
+    ev = read_events(spark, sf_dir)
+    ev.write.mode("overwrite").parquet(src)
+    return spark.readStream.schema(ev.schema).parquet(src)
+
+
+def test_streaming_matches_batch_windows(spark, sf_dir, events_stream):
+    q = (
+        hourly_event_windows(events_stream)
+        .writeStream.format("memory")
+        .queryName("hourly_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from hourly_agg").toPandas()
+
+    ev = read_events(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    want = (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd HH").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .toPandas()
+    )
+    g = got.sort_values("hour").reset_index(drop=True)
+    w = want.sort_values("hour").reset_index(drop=True)
+    g["sum_value"] = g["sum_value"].round(4)
+    w["sum_value"] = w["sum_value"].round(4)
+    pd.testing.assert_frame_equal(g, w)
+
+
+def test_streaming_sessionize_runs(spark, events_stream):
+    q = (
+        sessionize(events_stream)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from sessions").toPandas()
+    assert len(out) > 0
+    assert (out.n_events > 0).all()

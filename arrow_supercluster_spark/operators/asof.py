@@ -1,0 +1,62 @@
+"""As-of (point-in-time) join — a training-pipeline staple the reference
+lacks (SURVEY §2a note: "no hash/sort-merge/as-of" joins).
+
+For each left row (key, t), attach the latest right row with the same key
+and right_time ≤ t. Implemented with the union+window pattern:
+
+  union(tagged left, tagged right) → window last_value(ignorenulls) over
+  (key ORDER BY time, side) → keep left rows.
+
+ONE shuffle on (key), no range-join explosion, no per-key driver loops —
+the canonical Spark shape for as-of at scale (AQE handles key skew).
+DuckDB's native ASOF JOIN is the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    right_values: list[str],
+) -> DataFrame:
+    """Returns `left` with `right_values` columns from the as-of match
+    (null when no right row precedes the left row's time)."""
+    lt = left.select(
+        F.col(left_key).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),  # left sorts after right at equal time
+        F.struct(*left.columns).alias("_l"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in right_values],
+    )
+    rt = right.select(
+        F.col(right_key).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(lt.schema["_l"].dataType).alias("_l"),
+        *right_values,
+    )
+    u = lt.unionByName(rt)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        "_side",
+        "_l",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_values],
+    )
+    out = filled.filter(F.col("_side") == 1)
+    return out.select(
+        *[F.col(f"_l.{c}").alias(c) for c in out.schema["_l"].dataType.names],
+        *right_values,
+    )

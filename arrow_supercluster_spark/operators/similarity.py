@@ -128,3 +128,79 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select(qkey, key, "cos", "rank")
     )
+
+
+def ivf_build(
+    corpus: DataFrame,
+    vec: str = "embedding",
+    key: str = "vec_id",
+    n_lists: int = 16,
+    seed: int = 42,
+):
+    """E3 scale path (IVF): coarse-quantize the corpus into n_lists k-means
+    cells. Returns (assigned corpus with `list_id`, centers DataFrame).
+
+    At 100 TB: k-means trains on a sample, the centroid table (n_lists ×
+    dim) broadcasts everywhere, assignment is a narrow map, and the
+    assigned corpus is written bucketed by list_id so query-time probes
+    touch only nprobe/n_lists of the data."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = corpus.select(
+        F.col(key),
+        F.col(vec),
+        array_to_vector(as_double(F.col(vec))).alias("features"),
+    )
+    km = KMeans(k=n_lists, seed=seed, maxIter=10).fit(feats.select("features"))
+    assigned = (
+        km.transform(feats)
+        .select(key, vec, F.col("prediction").alias("list_id"))
+    )
+    centers = corpus.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
+        "list_id int, center array<double>",
+    )
+    return assigned, centers
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec: str = "embedding",
+    key: str = "vec_id",
+    qkey: str = "q_id",
+    n_lists: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """E3 — IVF approximate top-k: queries probe their nprobe nearest
+    centroid lists; exact cosine runs only within probed lists (equi-join
+    on list_id prunes (n_lists−nprobe)/n_lists of the corpus)."""
+    assigned, centers = ivf_build(corpus, vec, key, n_lists)
+    # query → nprobe nearest centers (centers table is tiny → broadcast)
+    qc = queries.select(F.col(qkey), F.col(vec).alias("q_emb")).crossJoin(
+        F.broadcast(centers)
+    )
+    d2 = F.aggregate(
+        F.zip_with(as_double(F.col("q_emb")), F.col("center"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy(qkey).orderBy(d2.asc(), F.col("list_id"))
+    probes = (
+        qc.withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select(qkey, "q_emb", "list_id")
+    )
+    scored = assigned.join(F.broadcast(probes), "list_id").select(
+        qkey,
+        key,
+        F.round(cosine(as_double(F.col("q_emb")), as_double(F.col(vec))), 6).alias("cos"),
+    )
+    w2 = Window.partitionBy(qkey).orderBy(F.col("cos").desc(), F.col(key))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(qkey, key, "cos", "rank")
+    )

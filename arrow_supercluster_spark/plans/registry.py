@@ -252,6 +252,7 @@ def _load_extended_registries():
         registry_cluster,
         registry_ext,
         registry_ext2,
+        registry_ext3,
     )
 
 

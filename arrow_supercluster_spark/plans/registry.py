@@ -253,6 +253,7 @@ def _load_extended_registries():
         registry_ext,
         registry_ext2,
         registry_ext3,
+        registry_ext4,
     )
 
 

@@ -92,3 +92,20 @@ def test_descendants_closure(engine):
 def test_antimeridian_query(engine):
     out = engine.get_clusters((150, -60, -150, 60), 4).toPandas()
     assert ((out.lng >= 150) | (out.lng <= -150)).all()
+
+
+def test_load_missing_geometry_column_errors(spark, sf_dir):
+    """Missing geometry column must fail loudly (the reference throws,
+    arrow-cluster-engine.ts:66-71, tested at edge-cases.test.ts:118-125).
+    Spark raises at plan analysis when lng/lat are absent."""
+    bad = spark.read.parquet(f"{sf_dir}/customer.parquet")  # no lng/lat
+    eng = ArrowClusterEngine(spark, OPTS)
+    with pytest.raises(Exception) as exc:
+        eng.load(bad)
+    assert "lng" in str(exc.value) or "UNRESOLVED_COLUMN" in str(exc.value)
+
+
+def test_query_before_load_errors(spark):
+    eng = ArrowClusterEngine(spark, OPTS)
+    with pytest.raises(RuntimeError, match="load"):
+        eng.get_clusters((-180, -85, 180, 85), 3)

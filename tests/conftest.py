@@ -11,7 +11,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
+    wh = tmp_path_factory.mktemp("spark_warehouse")
     s = (
         SparkSession.builder.master("local[4]")
         .appName("arrow-supercluster-spark-tests")
@@ -19,6 +20,11 @@ def spark():
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
+        .config("spark.sql.warehouse.dir", str(wh))
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Dderby.system.home={wh}",
+        )
         .getOrCreate()
     )
     yield s

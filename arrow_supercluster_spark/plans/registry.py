@@ -254,6 +254,7 @@ def _load_extended_registries():
         registry_ext2,
         registry_ext3,
         registry_ext4,
+        registry_ext5,
     )
 
 

@@ -226,3 +226,66 @@ def simhash_docs(docs: DataFrame, text: str = "text", key: str = "doc_id", bits:
         bit = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
         fp = bit if fp is None else fp + bit
     return votes.select(F.col(key), fp.alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame, a: str = "a_id", b: str = "b_id", max_iter: int = 20
+) -> DataFrame:
+    """Duplicate-group resolution: connected components over a similarity
+    edge list → (node_id, component_id = min node id of the component).
+
+    Alternating min-propagation (the DataFrame form of large-star/
+    small-star): each round every node adopts the smallest label in its
+    neighborhood; converges in O(log n) rounds for typical dup-graph
+    shapes (components are near-cliques from LSH buckets, so usually 2-3
+    rounds). Each round is one shuffle on node id; the driver loop stops
+    at fixpoint (checked with a cheap count of changed labels).
+
+    At 100 TB: edges stay distributed throughout; only the per-round
+    change count crosses to the driver.
+    """
+    edges = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .unionByName(pairs.select(F.col(b).alias("u"), F.col(a).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        stepped = labels.join(neigh_min, labels.node == neigh_min.u, "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
+        )
+        # pointer jumping (path halving): adopt the label OF the label —
+        # turns one-hop-per-round chains into O(log n) convergence
+        lab2 = stepped.select(
+            F.col("node").alias("jnode"), F.col("comp").alias("jcomp")
+        )
+        new_labels = (
+            stepped.join(lab2, stepped.comp == lab2.jnode, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("jcomp", F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("node_id"), F.col("comp").alias("component_id"))

@@ -255,6 +255,7 @@ def _load_extended_registries():
         registry_ext3,
         registry_ext4,
         registry_ext5,
+        registry_ext6,
     )
 
 

@@ -38,10 +38,19 @@ def lng_x(lng: Column) -> Column:
 
 def lat_y(lat: Column) -> Column:
     """latY(lat) = 0.5 − 0.25·ln((1+sin)/(1−sin))/π, clamped to [0,1]
-    (mercator.ts:13-18)."""
+    (mercator.ts:13-18). Poles short-circuit BEFORE the formula: at
+    lat=±90 the (1−sin) denominator is 0 — JS rides the Infinity into the
+    clamp, but Spark's default ANSI mode raises DIVIDE_BY_ZERO — so the
+    clamp must happen on the input side too."""
     s = F.sin(lat * F.lit(PI) / F.lit(180.0))
     y = F.lit(0.5) - F.lit(0.25) * F.log((F.lit(1.0) + s) / (F.lit(1.0) - s)) / F.lit(PI)
-    return F.when(y < 0.0, F.lit(0.0)).when(y > 1.0, F.lit(1.0)).otherwise(y)
+    return (
+        F.when(lat >= 90.0, F.lit(0.0))
+        .when(lat <= -90.0, F.lit(1.0))
+        .when(y < 0.0, F.lit(0.0))
+        .when(y > 1.0, F.lit(1.0))
+        .otherwise(y)
+    )
 
 
 def x_lng(x: Column) -> Column:
@@ -79,7 +88,10 @@ def sql_lng_x(lng: str) -> str:
 def sql_lat_y(lat: str) -> str:
     s = f"sin({lat} * pi() / 180.0)"
     y = f"(0.5 - 0.25 * ln((1.0 + {s}) / (1.0 - {s})) / pi())"
-    return f"(CASE WHEN {y} < 0.0 THEN 0.0 WHEN {y} > 1.0 THEN 1.0 ELSE {y} END)"
+    return (
+        f"(CASE WHEN {lat} >= 90.0 THEN 0.0 WHEN {lat} <= -90.0 THEN 1.0 "
+        f"WHEN {y} < 0.0 THEN 0.0 WHEN {y} > 1.0 THEN 1.0 ELSE {y} END)"
+    )
 
 
 def sql_x_lng(x: str) -> str:

@@ -47,16 +47,23 @@ def salted_join(
     facts: DataFrame,
     dim: DataFrame,
     key: str,
-    n_salts: int = 8,
-    salt_cols: list[str] | None = None,
+    n_salts: int,
+    salt_cols: list[str],
 ) -> DataFrame:
     """Skew-safe equi-join: fact side gets a deterministic salt in
     [0, n_salts); the (small-ish but not broadcastable) dim side is
     replicated n_salts× via an explode, so a hot key's rows spread over
-    n_salts reducers instead of one."""
-    salt_src = salt_cols or [key]
+    n_salts reducers instead of one.
+
+    salt_cols MUST distinguish rows WITHIN a key (e.g. the fact table's
+    own primary key) — salting by the join key itself would give every
+    row of a hot key the same salt and mitigate nothing."""
+    if not salt_cols or salt_cols == [key]:
+        raise ValueError(
+            "salt_cols must be row-distinguishing columns, not the join key"
+        )
     f = facts.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in salt_src]), F.lit(n_salts))
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(n_salts))
     )
     d = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -134,6 +134,11 @@ def lsh_candidate_pairs(
         are re-attached afterwards by joining the (small) signature table,
         so the wide arrays never ride through the pair shuffle.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}) — "
+            "trailing signature slots would be silently unused"
+        )
     if pre_dedup:
         docs = exact_dedup(docs, text, key)
     rows_per_band = num_hashes // bands

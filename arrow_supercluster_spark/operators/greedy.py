@@ -84,13 +84,24 @@ def greedy_cluster_kernel(
     ids0: np.ndarray,
     opts: ClusterOptions = DEFAULT_OPTIONS,
     total_points: int | None = None,
+    group_salt: int | None = None,
 ) -> pd.DataFrame:
     """Run the full top-down zoom loop over one in-memory partition.
 
     Inputs are the float32-rounded Mercator coords and original point ids,
     in insertion order. Returns the per-zoom item table for zooms
     min_zoom..max_zoom+1 (leaf level included), parent pointers resolved.
+
+    group_salt: when multiple kernel instances run in parallel
+    (partitioned mode), the reference's index-based id encoding
+    (arrow-cluster-engine.ts:378) collides across groups — per-group
+    array indices repeat. The salt (the group's unique non-negative cell
+    key) is packed into the high bits: cid = ((salt<<21 | index) << 5) +
+    (zoom+1) + total — globally unique, still decodes zoom the
+    reference's way. Requires salt < 2^33 and < 2^21 items per group.
     """
+    if group_salt is not None and not (0 <= group_salt < (1 << 33)):
+        raise ValueError(f"group_salt out of range: {group_salt}")
     n = len(x0)
     total = total_points if total_points is not None else n
     # level arrays (AoS equivalent, kept as parallel numpy arrays)
@@ -156,7 +167,8 @@ def greedy_cluster_kernel(
             if n_total > n_origin and n_total >= opts.min_points:
                 wx = xi * n_origin
                 wy = yi * n_origin
-                cid = (i << 5) + (z + 1) + total
+                origin_key = i if group_salt is None else (group_salt << 21) | i
+                cid = (origin_key << 5) + (z + 1) + total
                 for k in neigh:
                     if visited[k] <= z:
                         continue
@@ -258,7 +270,7 @@ def greedy_hierarchy(
     )
     total = pts.count()
 
-    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    def run_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("id", kind="mergesort")  # insertion order
         return greedy_cluster_kernel(
             pdf["x"].to_numpy(),
@@ -266,6 +278,9 @@ def greedy_hierarchy(
             pdf["id"].to_numpy(),
             opts,
             total_points=total,
+            # per-group array indices collide across parallel groups; the
+            # group's unique cell key salts the id's high bits
+            group_salt=None if mode == "exact" else int(key[0]),
         )
 
     if mode == "exact":
@@ -280,6 +295,4 @@ def greedy_hierarchy(
     else:
         raise ValueError(f"unknown mode {mode!r}")
 
-    return grouped.applyInPandas(
-        lambda _key, pdf: run_group(pdf), schema=RESULT_SCHEMA
-    )
+    return grouped.applyInPandas(run_group, schema=RESULT_SCHEMA)

@@ -194,7 +194,18 @@ def finalize_clusters(nodes: DataFrame, opts: ClusterOptions = DEFAULT_OPTIONS) 
     """Node table → ClusterOutput-shaped result (types.ts:4-15): centroid
     inverse-projected for clusters, ORIGINAL coordinates for singletons
     (bit-exact, no trig — arrow-cluster-engine.ts:175-180), point count,
-    is_cluster flag."""
+    is_cluster flag.
+
+    Only valid for min_points ≤ 2: a multi-point node below min_points
+    would need per-point passthrough rows (the reference emits each
+    unclustered point individually), but this grid rollup keeps one row
+    per cell — min_* columns of different points would fabricate a
+    position. The greedy/radius variants handle higher min_points."""
+    if opts.min_points > 2:
+        raise ValueError(
+            "finalize_clusters supports min_points <= 2; use the greedy or "
+            "radius clustering variants for higher min_points"
+        )
     from arrow_supercluster_spark.functions.projection import x_lng, y_lat
 
     cx = F.col("sum_x") / F.col("num_points")

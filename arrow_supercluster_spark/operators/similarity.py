@@ -41,7 +41,11 @@ def norm(a) -> "F.Column":
 
 
 def cosine(a, b) -> "F.Column":
-    return dot(a, b) / (norm(a) * norm(b))
+    """Zero vectors get cosine 0.0 (a 0/0 division would abort the whole
+    job under Spark's default ANSI mode; NULL with ANSI off would silently
+    drop the row from rankings)."""
+    denom = norm(a) * norm(b)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)
 
 
 def cosine_topk(

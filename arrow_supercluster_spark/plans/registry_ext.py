@@ -111,9 +111,12 @@ WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHER
      c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 10),
      scored AS (
        SELECT q.q_id, c.vec_id,
-              round(list_inner_product(q.qv, c.cv)
-                    / (sqrt(list_inner_product(q.qv, q.qv))
-                       * sqrt(list_inner_product(c.cv, c.cv))), 6) AS cos
+              round(CASE WHEN sqrt(list_inner_product(q.qv, q.qv))
+                              * sqrt(list_inner_product(c.cv, c.cv)) = 0
+                         THEN 0.0
+                         ELSE list_inner_product(q.qv, c.cv)
+                              / (sqrt(list_inner_product(q.qv, q.qv))
+                                 * sqrt(list_inner_product(c.cv, c.cv))) END, 6) AS cos
        FROM q, c
      ),
      ranked AS (

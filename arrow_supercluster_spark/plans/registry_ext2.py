@@ -180,16 +180,19 @@ _NEARDUP_T = 0.9
 @register(
     "q_embedding_neardup",
     f"""
-    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-           round(list_inner_product(a.v, b.v)
-                 / (sqrt(list_inner_product(a.v, a.v))
-                    * sqrt(list_inner_product(b.v, b.v))), 6) AS cos
-    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) a
-    JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) b
-      ON a.vec_id < b.vec_id
-    WHERE round(list_inner_product(a.v, b.v)
-                / (sqrt(list_inner_product(a.v, a.v))
-                   * sqrt(list_inner_product(b.v, b.v))), 6) >= {_NEARDUP_T}
+    SELECT a_id, b_id, cos FROM (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             round(CASE WHEN sqrt(list_inner_product(a.v, a.v))
+                             * sqrt(list_inner_product(b.v, b.v)) = 0
+                        THEN 0.0
+                        ELSE list_inner_product(a.v, b.v)
+                             / (sqrt(list_inner_product(a.v, a.v))
+                                * sqrt(list_inner_product(b.v, b.v))) END, 6) AS cos
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) a
+      JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) b
+        ON a.vec_id < b.vec_id
+    ) s
+    WHERE cos >= {_NEARDUP_T}
     """,
 )
 def q_embedding_neardup(spark, sf_dir):

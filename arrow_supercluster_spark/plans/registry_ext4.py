@@ -9,7 +9,8 @@ from pyspark.sql import functions as F
 
 from arrow_supercluster_spark.config import DEFAULT_OPTIONS as OPTS
 from arrow_supercluster_spark.operators import grid_cluster as gc
-from arrow_supercluster_spark.plans.registry import _SQL_XY, _points_xy, register
+from arrow_supercluster_spark.plans.registry import _points_xy, register
+from arrow_supercluster_spark.plans.registry_cluster import _sql_nodes_points
 
 
 # ===========================================================================
@@ -100,10 +101,6 @@ def q_date_funcs(spark, sf_dir):
 # ===========================================================================
 # V1 with the REAL descendant closure (focused cluster → secondary color)
 # ===========================================================================
-
-def _sql_nodes_points(zoom: int) -> str:
-    return gc.sql_cells(_SQL_XY, zoom, OPTS)
-
 
 @register(
     "q_fill_colors_focused",

@@ -4,12 +4,15 @@ The reference writes Parquet with ZSTD and GeoParquet 1.1.0 `geo` footer
 metadata (point encoding + bbox) at
 examples/basic/scripts/generate-geoparquet.ts:167-199. Spark's parquet
 writer handles the data path (distributed, ZSTD); the `geo` key-value
-footer metadata is attached via a small pyarrow metadata rewrite of the
-written files (footer-only; row groups untouched).
+footer metadata is attached afterwards with pyarrow.
 
-At scale: the data write is the normal distributed sink; the metadata pass
-touches only file footers (O(files), driver-side or a tiny job) — do it
-once post-commit, exactly like writing a _metadata sidecar.
+Honest scale caveat: pyarrow's stable API cannot edit a footer in place,
+so the metadata pass here re-encodes each part file on the driver — fine
+at test scale, wrong at 100 TB. The production shapes are (a) write each
+partition with pyarrow inside mapPartitions so the metadata is present at
+write time, or (b) a `_metadata` sidecar carrying the geo key — both
+O(files); left as the documented path since the testbed has no object
+store to exercise them against.
 """
 
 from __future__ import annotations

@@ -20,10 +20,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def morton_key(cell_x: Column, cell_y: Column, bits: int = 16) -> Column:
+def morton_key(cell_x: Column, cell_y: Column, bits: int = 20) -> Column:
     """Interleave the low `bits` of two non-negative cell coordinates into
     a Morton code (x in even bit positions, y in odd). Pure bit-op
-    expression — JVM-side, codegen-friendly."""
+    expression — JVM-side, codegen-friendly.
+
+    bits must cover the coordinate range: default 20 handles cells up to
+    ~1M per axis (leaf-zoom cell_scale(17) ≈ 894k with default options) —
+    bits too small would silently truncate high bits and destroy the
+    spatial locality of the layout."""
     z = F.lit(0).cast("long")
     for b in range(bits):
         z = (

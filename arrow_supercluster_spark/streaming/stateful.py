@@ -33,7 +33,12 @@ def _dedup_fn(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     """Emit the first row ever seen for this key; count suppressed dups in
-    state (exposed on each first emission as n_seen=1)."""
+    state (exposed on each first emission as n_seen=1). On timeout the
+    state is REMOVED — re-arming it would resurrect every idle key and
+    grow the store O(all keys ever seen) on a drifting key domain."""
+    if state.hasTimedOut:
+        state.remove()
+        return
     seen = state.get[0] if state.exists else 0
     first_doc = None
     batch_count = 0

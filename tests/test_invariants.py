@@ -87,3 +87,28 @@ def test_finalize_singleton_exact_coords(spark, sf_dir):
         (F.col("lng") != F.col("olng")) | (F.col("lat") != F.col("olat"))
     ).count()
     assert mismatch == 0
+
+
+def test_lat_y_poles_do_not_crash(spark):
+    """lat=±90 must clamp, not raise DIVIDE_BY_ZERO under ANSI mode
+    (reference clamps via the [0,1] bound, mercator.ts:13-18; poles are
+    the reference's own edge-case battery, edge-cases.test.ts)."""
+    from arrow_supercluster_spark.functions.projection import lat_y
+
+    df = spark.createDataFrame(
+        [(90.0,), (-90.0,), (89.999,), (-89.999,)], "lat double"
+    )
+    rows = {r.lat: r.y for r in df.select("lat", lat_y(F.col("lat")).alias("y")).collect()}
+    assert rows[90.0] == 0.0 and rows[-90.0] == 1.0
+    assert 0.0 <= rows[89.999] < 0.01 and 0.99 < rows[-89.999] <= 1.0
+
+
+def test_cosine_zero_vector_is_zero(spark):
+    from arrow_supercluster_spark.operators.similarity import cosine
+
+    e = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0]), ([1.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    got = [r.c for r in e.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert got == [0.0, 1.0]

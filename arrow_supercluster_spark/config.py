@@ -1,8 +1,12 @@
 """Clustering options — mirrors the reference engine's option surface.
 
 Reference: packages/arrow-supercluster/src/arrow-cluster-engine.ts:21-27
-(defaults radius=75, extent=512, minZoom=0, maxZoom=16, minPoints=2 — the
-option set used by every reference test, tests/engine.test.ts:12).
+(option names); the engine constructor DEFAULT is radius=40
+(arrow-cluster-engine.ts:42). We deliberately default to radius=75 — the
+option set used by every reference test and benchmark
+(tests/engine.test.ts:12, benchmarks/run.ts:35-42) — so parity suites
+compare like-for-like; pass ClusterOptions(radius=40) for
+reference-library-default behavior.
 """
 
 from __future__ import annotations

@@ -41,8 +41,16 @@ def lat_y(lat: Column) -> Column:
     (mercator.ts:13-18). Poles short-circuit BEFORE the formula: at
     lat=±90 the (1−sin) denominator is 0 — JS rides the Infinity into the
     clamp, but Spark's default ANSI mode raises DIVIDE_BY_ZERO — so the
-    clamp must happen on the input side too."""
+    clamp must happen on the input side too.
+
+    Additionally, for lats *inside* (−90, 90) but within ~7e-7 of a pole,
+    sin() itself rounds to exactly ±1.0: the north side would divide by
+    zero and the south side would take ln(0) (NULL in Spark, −Inf in JS).
+    Clamping s to ±(1−1e-15) fixes both: the resulting |y| is ≈ 2.8, far
+    outside [0,1], so the output clamp still lands on the same 0/1 the
+    reference reaches by riding ±Infinity."""
     s = F.sin(lat * F.lit(PI) / F.lit(180.0))
+    s = F.greatest(F.least(s, F.lit(1.0 - 1e-15)), F.lit(-(1.0 - 1e-15)))
     y = F.lit(0.5) - F.lit(0.25) * F.log((F.lit(1.0) + s) / (F.lit(1.0) - s)) / F.lit(PI)
     return (
         F.when(lat >= 90.0, F.lit(0.0))
@@ -86,7 +94,9 @@ def sql_lng_x(lng: str) -> str:
 
 
 def sql_lat_y(lat: str) -> str:
-    s = f"sin({lat} * pi() / 180.0)"
+    # Same near-pole sin clamp as lat_y (keeps the oracle bit-identical and
+    # avoids ln(0)/division-by-zero on lats within ~7e-7 of a pole).
+    s = f"greatest(least(sin({lat} * pi() / 180.0), (1.0 - 1e-15)), -(1.0 - 1e-15))"
     y = f"(0.5 - 0.25 * ln((1.0 + {s}) / (1.0 - {s})) / pi())"
     return (
         f"(CASE WHEN {lat} >= 90.0 THEN 0.0 WHEN {lat} <= -90.0 THEN 1.0 "

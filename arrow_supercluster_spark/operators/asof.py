@@ -30,19 +30,26 @@ def asof_join(
 ) -> DataFrame:
     """Returns `left` with `right_values` columns from the as-of match
     (null when no right row precedes the left row's time)."""
+    # All right values travel as ONE struct so last(ignorenulls) picks every
+    # column from the SAME matched right row — per-column last() would mix
+    # columns across right rows whenever a right value is NULL, diverging
+    # from DuckDB ASOF JOIN's whole-row semantics.
+    rv = F.struct(*[F.col(c) for c in right_values]).alias("_rv")
     lt = left.select(
         F.col(left_key).alias("_k"),
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_side"),  # left sorts after right at equal time
         F.struct(*left.columns).alias("_l"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in right_values],
+        F.lit(None).cast(
+            right.select(rv).schema["_rv"].dataType
+        ).alias("_rv"),
     )
     rt = right.select(
         F.col(right_key).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
         F.lit(None).cast(lt.schema["_l"].dataType).alias("_l"),
-        *right_values,
+        rv,
     )
     u = lt.unionByName(rt)
     w = (
@@ -53,10 +60,10 @@ def asof_join(
     filled = u.select(
         "_side",
         "_l",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_values],
+        F.last("_rv", ignorenulls=True).over(w).alias("_rv"),
     )
     out = filled.filter(F.col("_side") == 1)
     return out.select(
         *[F.col(f"_l.{c}").alias(c) for c in out.schema["_l"].dataType.names],
-        *right_values,
+        *[F.col(f"_rv.{c}").alias(c) for c in right_values],
     )

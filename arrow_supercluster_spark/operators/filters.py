@@ -52,7 +52,12 @@ def normalize_bbox(min_lng: float, min_lat: float, max_lng: float, max_lat: floa
         min_lng, max_lng = -180.0, 180.0
     else:
         min_lng = ((min_lng + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
-        max_lng = ((max_lng + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
+        # Reference special case (arrow-cluster-engine.ts:133): an input max
+        # lng of exactly 180 stays 180 — wrapping it to -180 would trigger a
+        # spurious antimeridian split whose (-180..-180) half over-includes
+        # points at lng=-180 relative to the reference's single query.
+        if max_lng != 180.0:
+            max_lng = ((max_lng + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
     if min_lng > max_lng:  # antimeridian crossing → split
         return [
             (min_lng, min_lat, 180.0, max_lat),

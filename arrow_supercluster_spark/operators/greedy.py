@@ -260,6 +260,14 @@ def greedy_hierarchy(
     from arrow_supercluster_spark.operators.filters import drop_null_geometry
     from arrow_supercluster_spark.functions.projection import fround, lat_y, lng_x
 
+    # The reference encodes this.numPoints = table.numRows BEFORE the
+    # null/mask filtering (arrow-cluster-engine.ts:64,378), so cluster ids
+    # must be salted with the PRE-drop row count or they diverge from
+    # reference-produced ids on inputs containing null geometry. Callers
+    # applying a filter mask should do so via the mask contract AFTER this
+    # operator's id space is fixed — i.e. rows the reference would count
+    # (masked rows included) must still be present in `points` here.
+    total = points.count()
     pts = (
         drop_null_geometry(points)
         .select(
@@ -268,7 +276,6 @@ def greedy_hierarchy(
             fround(lat_y(F.col("lat"))).alias("y"),
         )
     )
-    total = pts.count()
 
     def run_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("id", kind="mergesort")  # insertion order

@@ -32,6 +32,20 @@ def test_asof_equal_time_matches(spark):
     assert out[0].v == 9.0  # ties: right row at equal time IS a match
 
 
+def test_asof_null_right_value_whole_row(spark):
+    """Right rows with a NULL value column must NOT mix columns across
+    right rows — the match is the whole latest row, like DuckDB ASOF JOIN
+    (ADVICE r1: per-column last(ignorenulls) mixed old/new rows)."""
+    left = spark.createDataFrame([(1, 20, "e")], "k long, t long, name string")
+    right = spark.createDataFrame(
+        [(1, 5, 100.0, "old"), (1, 15, None, "new")],
+        "k long, rt long, v double, tag string",
+    )
+    out = asof_join(left, right, "k", "k", "t", "rt", ["v", "tag"]).collect()[0]
+    # latest right row at t=20 is rt=15 → (NULL, "new"); NOT (100.0, "new")
+    assert out.tag == "new" and out.v is None
+
+
 def test_salted_agg_equals_plain(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     salted = salted_count_sum(

@@ -103,6 +103,46 @@ def test_lat_y_poles_do_not_crash(spark):
     assert 0.0 <= rows[89.999] < 0.01 and 0.99 < rows[-89.999] <= 1.0
 
 
+def test_lat_y_near_pole_sin_saturation(spark):
+    """Valid lats within ~7e-7 of a pole make sin() round to exactly ±1.0:
+    north side would DIVIDE_BY_ZERO under ANSI, south side would take
+    ln(0) → silent NULL. The sin clamp must turn both into the same 0/1
+    the reference reaches by riding ±Infinity into its output clamp."""
+    from arrow_supercluster_spark.functions.projection import lat_y, sql_lat_y
+
+    lats = [89.9999999, -89.9999999, 89.999999, -89.999999]
+    df = spark.createDataFrame([(v,) for v in lats], "lat double")
+    rows = {r.lat: r.y for r in df.select("lat", lat_y(F.col("lat")).alias("y")).collect()}
+    assert rows[89.9999999] == 0.0
+    assert rows[-89.9999999] == 1.0
+    assert rows[89.999999] == 0.0
+    assert rows[-89.999999] == 1.0
+    # SQL twin agrees (DuckDB oracle path)
+    import duckdb
+
+    got = duckdb.sql(
+        f"SELECT {sql_lat_y('lat')} AS y FROM (VALUES (89.9999999::DOUBLE), "
+        "(-89.9999999::DOUBLE)) t(lat)"
+    ).fetchall()
+    assert [g[0] for g in got] == [0.0, 1.0]
+
+
+def test_bbox_max_lng_180_no_spurious_split(spark):
+    """Reference special case arrow-cluster-engine.ts:133: max_lng of
+    exactly 180 stays 180 (no antimeridian split); a wrapped -180 second
+    box would over-include points at lng=-180."""
+    from arrow_supercluster_spark.operators.filters import bbox_predicate, normalize_bbox
+
+    assert normalize_bbox(0.0, -10.0, 180.0, 10.0) == [(0.0, -10.0, 180.0, 10.0)]
+    df = spark.createDataFrame(
+        [(-180.0, 0.0), (0.5, 0.0), (179.9, 0.0), (-0.5, 0.0)], "lng double, lat double"
+    )
+    got = sorted(
+        r.lng for r in df.filter(bbox_predicate(0.0, -10.0, 180.0, 10.0)).collect()
+    )
+    assert got == [0.5, 179.9]  # lng=-180 must NOT be included
+
+
 def test_cosine_zero_vector_is_zero(spark):
     from arrow_supercluster_spark.operators.similarity import cosine
 

@@ -256,6 +256,7 @@ def _load_extended_registries():
         registry_ext4,
         registry_ext5,
         registry_ext6,
+        registry_ext7,
     )
 
 

@@ -78,10 +78,25 @@ def write_geoparquet(
 
 
 def read_geoparquet(spark, path: str) -> DataFrame:
-    """Read back, unpacking the geometry struct to flat lng/lat (P1)."""
+    """Read back, unpacking the geometry column to flat lng/lat (P1).
+
+    Handles the encodings the reference accepts: GeoArrow-style point
+    (struct{lng,lat} or array[2]) directly, and WKB binary via the
+    expression decoder (the reference's per-row fallback,
+    arrow-helpers.ts:52-62)."""
     df = spark.read.parquet(path)
     if "geometry" in df.columns:
-        df = df.withColumns(
-            {"lng": F.col("geometry.lng"), "lat": F.col("geometry.lat")}
-        ).drop("geometry")
+        dt = df.schema["geometry"].dataType.typeName()
+        if dt == "binary":
+            from arrow_supercluster_spark.functions.wkb import decode_wkb_points
+
+            df = decode_wkb_points(df)
+        elif dt == "array":
+            df = df.withColumns(
+                {"lng": F.col("geometry")[0], "lat": F.col("geometry")[1]}
+            ).drop("geometry")
+        else:
+            df = df.withColumns(
+                {"lng": F.col("geometry.lng"), "lat": F.col("geometry.lat")}
+            ).drop("geometry")
     return df

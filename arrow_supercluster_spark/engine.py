@@ -133,24 +133,39 @@ class ArrowClusterEngine:
 
     def get_cluster_expansion_zoom(self, zoom: int, cell_x: int, cell_y: int) -> int:
         """Q4 (arrow-cluster-engine.ts:240-256): first zoom > `zoom` where
-        the node splits into >1 child; driver loop ≤ maxZoom iterations
-        over the persisted (tiny) upper levels."""
+        the node splits into >1 child. Single-pass union form (one job, one
+        collect): the follow-the-single-child walk is equivalent to "first
+        zoom whose descendant-cell count under the anchor exceeds 1" —
+        while the chain is single, the descendant count IS 1. Descendancy
+        is a shiftright of the (non-negative) cell coords, so each branch
+        is a partition-pruned filter + count; no per-level driver trips.
+        The count sequence is monotone over zoom for a nonempty anchor, so
+        "first ≠ 1" (which also catches a nonexistent anchor cell: all
+        counts 0 → returns zoom+1, like the walk) matches the reference."""
         nodes = self._require()
-        cx, cy = cell_x, cell_y
-        for z in range(zoom, self.opts.max_zoom + 1):
-            children = (
-                nodes.filter(F.col("zoom") == z + 1)
+        parts = []
+        for z in range(zoom + 1, self.opts.max_zoom + 2):
+            shift = z - zoom
+            parts.append(
+                nodes.filter(F.col("zoom") == z)
                 .filter(
-                    (F.floor(F.col("cell_x") / 2) == cx)
-                    & (F.floor(F.col("cell_y") / 2) == cy)
+                    (F.shiftright(F.col("cell_x"), shift) == cell_x)
+                    & (F.shiftright(F.col("cell_y"), shift) == cell_y)
                 )
-                .select("cell_x", "cell_y")
-                .collect()
+                .agg(
+                    F.lit(z).alias("z"),
+                    F.count(F.lit(1)).alias("n_children"),
+                )
             )
-            if len(children) != 1:
-                return z + 1
-            cx, cy = children[0][0], children[0][1]
-        return self.opts.max_zoom + 1
+        splits = parts[0]
+        for p in parts[1:]:
+            splits = splits.unionByName(p)
+        row = (
+            splits.filter(F.col("n_children") != 1)
+            .agg(F.min("z").alias("ez"))
+            .collect()[0]
+        )
+        return int(row["ez"]) if row["ez"] is not None else self.opts.max_zoom + 1
 
     def get_descendants(self, zoom: int, cell_x: int, cell_y: int, max_depth_zoom: int) -> DataFrame:
         """J2: all nodes under (zoom,cell) down to max_depth_zoom —
@@ -168,3 +183,85 @@ class ArrowClusterEngine:
         self._nodes = None
         self._points = None
         self._indexed_count = None
+
+
+class GreedyClusterEngine:
+    """Packed-cluster-id drill-down surface over the greedy hierarchy —
+    the reference-id interop engine (SURVEY §4 item 3): getChildren /
+    getLeaves / getClusterExpansionZoom keyed by the reference's
+    (origin<<5)+zoom+count packed ids (arrow-cluster-engine.ts:198-256),
+    answered from the materialized greedy table's parent pointers."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        opts: ClusterOptions = DEFAULT_OPTIONS,
+        workdir: Optional[str] = None,
+    ):
+        import tempfile
+
+        self.spark = spark
+        self.opts = opts
+        self.workdir = workdir or tempfile.mkdtemp(prefix="ascs_greedy_")
+        self._nodes: Optional[DataFrame] = None
+        self._points: Optional[DataFrame] = None
+
+    def load(self, points: DataFrame, mode: str = "exact") -> "GreedyClusterEngine":
+        from arrow_supercluster_spark.operators.greedy import greedy_hierarchy
+
+        path = f"{self.workdir}/nodes"
+        greedy_hierarchy(points, self.opts, mode=mode).write.mode(
+            "overwrite"
+        ).parquet(path)
+        self._nodes = self.spark.read.parquet(path)
+        self._points = points
+        return self
+
+    def _require(self) -> DataFrame:
+        if self._nodes is None:
+            raise RuntimeError("call load() first")
+        return self._nodes
+
+    def get_children(self, cluster_id: int) -> DataFrame:
+        """ClusterOutput-shaped children: clusters get inverse-Mercator
+        centroids, singletons keep ORIGINAL coords bit-exactly via a join
+        back to the loaded points (the no-trig fast path,
+        arrow-cluster-engine.ts:209-219)."""
+        from arrow_supercluster_spark.functions import projection as proj
+        from arrow_supercluster_spark.operators.greedy_nav import greedy_children
+
+        ch = greedy_children(self._require(), cluster_id)
+        orig = self._points.select(
+            F.col("id").alias("_oid"),
+            F.col("lng").alias("_olng"),
+            F.col("lat").alias("_olat"),
+        )
+        out = ch.join(orig, ch["cluster_id"] == F.col("_oid"), "left")
+        is_cluster = F.col("num_points") > F.lit(1)
+        return out.select(
+            F.col("cluster_id").alias("id"),
+            F.col("num_points").alias("point_count"),
+            is_cluster.alias("is_cluster"),
+            F.when(is_cluster, proj.x_lng(F.col("x"))).otherwise(F.col("_olng")).alias("lng"),
+            F.when(is_cluster, proj.y_lat(F.col("y"))).otherwise(F.col("_olat")).alias("lat"),
+            "pos",
+        )
+
+    def get_leaves(
+        self, cluster_id: int, limit: Optional[int] = None, offset: int = 0
+    ) -> DataFrame:
+        from arrow_supercluster_spark.operators.greedy_nav import greedy_leaves
+
+        return greedy_leaves(
+            self._require(), cluster_id,
+            min_zoom=self.opts.min_zoom, leaf_zoom=self.opts.leaf_zoom,
+            limit=limit, offset=offset,
+        )
+
+    def get_cluster_expansion_zoom(self, cluster_id: int) -> int:
+        from arrow_supercluster_spark.operators.greedy_nav import (
+            greedy_expansion_zoom,
+        )
+
+        row = greedy_expansion_zoom(self._require(), cluster_id).collect()[0]
+        return int(row["expansion_zoom"])

@@ -50,7 +50,7 @@ from arrow_supercluster_spark.config import DEFAULT_OPTIONS, ClusterOptions
 
 RESULT_SCHEMA = (
     "zoom int, cluster_id long, x double, y double, "
-    "parent_id long, num_points long"
+    "parent_id long, num_points long, pos long"
 )
 
 
@@ -102,6 +102,15 @@ def greedy_cluster_kernel(
     """
     if group_salt is not None and not (0 <= group_salt < (1 << 33)):
         raise ValueError(f"group_salt out of range: {group_salt}")
+
+    def mk_pos(m: int) -> np.ndarray:
+        """Row's index within its level array — the order the reference's
+        KDBush scans children of one parent on small (≤nodeSize) levels,
+        used for DFS-order getLeaves pagination (greedy_nav). Salted like
+        cluster ids in partitioned mode (siblings share a salt, so the
+        relative order within a parent is preserved)."""
+        p = np.arange(m, dtype=np.int64)
+        return p if group_salt is None else (group_salt << 21) | p
     n = len(x0)
     total = total_points if total_points is not None else n
     # level arrays (AoS equivalent, kept as parallel numpy arrays)
@@ -206,6 +215,7 @@ def greedy_cluster_kernel(
                 "y": y,
                 "parent_id": parent,
                 "num_points": nump,
+                "pos": mk_pos(len(x)),
             }
         )
         x = np.asarray(nx)
@@ -223,6 +233,7 @@ def greedy_cluster_kernel(
             "y": y,
             "parent_id": parent,
             "num_points": nump,
+            "pos": mk_pos(len(x)),
         }
     )
     out = pd.concat(
@@ -237,6 +248,7 @@ def greedy_cluster_kernel(
             "y": "float64",
             "parent_id": "int64",
             "num_points": "int64",
+            "pos": "int64",
         }
     )
 

@@ -1,0 +1,148 @@
+"""Packed-cluster-id drill-down over the greedy hierarchy (SURVEY §4
+"genuinely custom" item 3 — reference-id interop).
+
+The reference's getChildren / getLeaves / getClusterExpansionZoom take a
+packed cluster id and walk parent pointers + per-zoom trees
+(arrow-cluster-engine.ts:198-256, 275-348). The greedy table
+(operators/greedy.py) carries exactly that state relationally:
+
+  row (zoom, cluster_id, x, y, parent_id, num_points, pos)
+
+  * a cluster created while producing level z0 appears at zooms z1..z0
+    (it passes through coarser levels unchanged until it merges); its
+    packed id encodes origin_zoom = z0+1 — the level its children live at
+    — which relationally is max(zoom of its rows) + 1, so no decode (and
+    no `total` constant) is needed;
+  * children(cid) = rows with parent_id == cid (they exist only at the
+    origin zoom: pass-through rows keep parent −1, so the equality is
+    already level-correct);
+  * `pos` is the row's index within its level array — the order the
+    reference's KDBush within() yields children on small (≤ nodeSize=64)
+    levels, i.e. the reference's DFS child order for any drill-down whose
+    per-level candidate sets are small. On larger levels the reference's
+    order is KDBush-internal (median-split traversal); we define ours as
+    insertion order — deterministic and hierarchy-faithful.
+
+getLeaves pagination is DFS order (arrow-cluster-engine.ts:312-348): a
+leaf's sort key is the concatenation of fixed-width `pos` segments along
+its path from the queried cluster; sibling subtrees are contiguous,
+exactly like the reference's recursive skip/limit walk. (The reference's
+skipped+numPoints<=offset subtree skip is a traversal shortcut over the
+same order; a cumulative-count pushdown could prune subtrees here too —
+left as future work, the full leaf set of one cluster is bounded by its
+num_points.)
+
+Scale notes: every lookup is an equi-filter or broadcast join against a
+zoom-partitioned persisted table — partition pruning + parquet min/max
+does the index's job; no collect() of data rows, only the anchor row.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# pos is salted into high bits in partitioned mode (≤ 2^54) → 19 digits
+# covers any int64
+_POS_W = 19
+
+
+def _pos_seg(col: F.Column) -> F.Column:
+    return F.lpad(col.cast("string"), _POS_W, "0")
+
+
+def anchor_origin_zoom(nodes: DataFrame, cluster_id: int) -> DataFrame:
+    """(1-row) origin zoom of a packed cluster id: the level its children
+    live at = deepest row of that id + 1 (_getOriginZoom's decode,
+    arrow-cluster-engine.ts:304-306, derived relationally)."""
+    return (
+        nodes.filter(F.col("cluster_id") == cluster_id)
+        .agg((F.max("zoom") + 1).alias("origin_zoom"))
+    )
+
+
+def greedy_children(nodes: DataFrame, cluster_id: int) -> DataFrame:
+    """getChildren(clusterId) (arrow-cluster-engine.ts:198-226): rows whose
+    parent pointer is the queried id. The reference's within-radius search
+    at origin zoom is KDBush index acceleration for the same predicate
+    (:275-302 keeps only parentId === clusterId hits)."""
+    return nodes.filter(F.col("parent_id") == cluster_id)
+
+
+def greedy_leaves(
+    nodes: DataFrame,
+    cluster_id: int,
+    min_zoom: int = 0,
+    leaf_zoom: int = 17,
+    limit: Optional[int] = None,
+    offset: int = 0,
+) -> DataFrame:
+    """getLeaves(clusterId, limit, offset) in DFS order
+    (arrow-cluster-engine.ts:231-235, 312-348).
+
+    Per level, the level's rows broadcast-join the accumulated
+    (cluster_id, path) frontier; leaves collect with their path, clusters
+    extend the frontier. The frontier must ACCUMULATE (a descendant
+    created at a deep zoom is matched at its min-zoom row but its own
+    children live at its origin zoom, arbitrarily later), and
+    `frontier ∪ (level ⋈ frontier)` references the prior frontier twice —
+    left lazy that doubles the logical plan per level (2^18 nodes by the
+    leaf level, a Catalyst OOM). So each level eagerly localCheckpoints
+    the frontier, truncating lineage: ≤18 tiny jobs, each bounded by the
+    queried cluster's descendant count, never the corpus.
+
+    Returns (rank, id): rank = 1-based DFS position, filtered to
+    (offset, offset+limit]."""
+    frontier = (
+        nodes.filter(F.col("cluster_id") == cluster_id)
+        .select(F.col("cluster_id").alias("_fid"), F.lit("").alias("_path"))
+        .distinct()  # pass-through rows repeat the id across zooms
+        .localCheckpoint(eager=True)
+    )
+    leaf_parts = []
+    for z in range(min_zoom, leaf_zoom + 1):
+        level = nodes.filter(F.col("zoom") == z)
+        joined = level.join(
+            F.broadcast(frontier), level["parent_id"] == F.col("_fid")
+        ).select(
+            "cluster_id",
+            "num_points",
+            F.concat(F.col("_path"), _pos_seg(F.col("pos"))).alias("_path"),
+        )
+        leaf_parts.append(
+            joined.filter(F.col("num_points") == 1).select(
+                F.col("cluster_id").alias("id"), "_path"
+            )
+        )
+        if z < leaf_zoom:
+            frontier = frontier.unionByName(
+                joined.filter(F.col("num_points") > 1).select(
+                    F.col("cluster_id").alias("_fid"), F.col("_path")
+                )
+            ).localCheckpoint(eager=True)
+    leaves = leaf_parts[0]
+    for p in leaf_parts[1:]:
+        leaves = leaves.unionByName(p)
+    ranked = leaves.select(
+        "id", F.row_number().over(Window.orderBy("_path")).alias("rank")
+    )
+    ranked = ranked.filter(F.col("rank") > offset)
+    if limit is not None:
+        ranked = ranked.filter(F.col("rank") <= offset + limit)
+    return ranked.select("rank", "id")
+
+
+def greedy_expansion_zoom(nodes: DataFrame, cluster_id: int) -> DataFrame:
+    """getClusterExpansionZoom(clusterId) (arrow-cluster-engine.ts:240-256)
+    as one aggregate: the zoom where the cluster splits is where its
+    children live — min zoom of rows with parent_id == cid. (A greedy
+    cluster merges ≥2 items at creation, so the reference's
+    exactly-one-cluster-child follow loop never iterates: every cluster
+    has ≥2 children at its origin zoom.)"""
+    return (
+        nodes.filter(F.col("parent_id") == cluster_id)
+        .agg(F.min("zoom").alias("expansion_zoom"))
+    )

@@ -1,14 +1,25 @@
-"""Round-2 registry additions: WKB geometry decode (P1 completion).
+"""Round-2 registry additions: WKB geometry decode (P1 completion) and
+packed-cluster-id drill-down over the greedy hierarchy (SURVEY §4 item 3).
 
-The reference reads non-GeoArrow geometry encodings through a per-row
-fallback (arrow-helpers.ts:52-62); real-world GeoParquet is WKB. The
-decode here is the expression-only decoder from functions/wkb.py.
+WKB: the reference reads non-GeoArrow geometry encodings through a
+per-row fallback (arrow-helpers.ts:52-62); real-world GeoParquet is WKB.
+The decode here is the expression-only decoder from functions/wkb.py.
+
+Greedy drill-down: the query callable materializes the exact-mode greedy
+table to a fixed parquet path; the DuckDB oracle reads the SAME table and
+answers with plain SQL / a recursive CTE — so Spark's pointer-walk
+navigation is checked against an independent relational derivation over
+identical input (the pattern the reference itself uses: differential
+testing query-by-query, engine.test.ts:10-131). The harness collects the
+Spark side first (tests/oracle_harness.compare), so the table exists by
+the time the oracle SQL runs.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from arrow_supercluster_spark.config import DEFAULT_OPTIONS as OPTS
 from arrow_supercluster_spark.functions.wkb import (
     decode_wkb_points,
     encode_wkb_point_udf,
@@ -31,3 +42,131 @@ def q_unpack_wkb(spark, sf_dir):
     enc = encode_wkb_point_udf()
     wkb_df = pts.select("id", enc(F.col("lng"), F.col("lat")).alias("geometry"))
     return decode_wkb_points(wkb_df).select("id", "lng", "lat")
+
+
+# ===========================================================================
+# Packed-cluster-id drill-down (greedy hierarchy)
+# ===========================================================================
+
+GREEDY_PATH = "/tmp/ascs_greedy_nodes"
+_GREEDY_TBL = f"read_parquet('{GREEDY_PATH}/*.parquet')"
+_LAST_SF: str | None = None
+
+# anchor: the biggest root-level cluster, ties broken by id — identical,
+# trivially deterministic selection on both engines
+_SQL_ANCHOR = f"""(
+  SELECT cluster_id FROM {_GREEDY_TBL}
+  WHERE zoom = {OPTS.min_zoom} AND num_points > 1
+  ORDER BY num_points DESC, cluster_id LIMIT 1
+)"""
+
+
+def _greedy_nodes(spark, sf_dir):
+    """Materialize (once per sf) the exact-mode greedy table both engines
+    read. Exact mode is the id-faithful single-task golden path — right
+    for a differential fixture, not the 100 TB path (greedy.py:22-25)."""
+    global _LAST_SF
+    from arrow_supercluster_spark.operators.greedy import greedy_hierarchy
+
+    if _LAST_SF != sf_dir:
+        greedy_hierarchy(
+            derived_points(spark, sf_dir), OPTS, mode="exact"
+        ).write.mode("overwrite").parquet(GREEDY_PATH)
+        _LAST_SF = sf_dir
+    return spark.read.parquet(GREEDY_PATH)
+
+
+def _greedy_anchor_id(spark, sf_dir) -> int:
+    nodes = _greedy_nodes(spark, sf_dir)
+    return (
+        nodes.filter((F.col("zoom") == OPTS.min_zoom) & (F.col("num_points") > 1))
+        .orderBy(F.desc("num_points"), F.asc("cluster_id"))
+        .limit(1)
+        .collect()[0]["cluster_id"]
+    )
+
+
+@register(
+    "q_greedy_children",
+    f"""
+    SELECT c.zoom, c.cluster_id, c.num_points, c.pos,
+           c.num_points > 1 AS is_cluster,
+           round(c.x, 7) AS x, round(c.y, 7) AS y
+    FROM {_GREEDY_TBL} c
+    WHERE c.parent_id = {_SQL_ANCHOR}
+    """,
+)
+def q_greedy_children(spark, sf_dir):
+    """Q2 by packed cluster id (arrow-cluster-engine.ts:198-226): children
+    of the anchor cluster via parent pointers; the reference's
+    within-radius search at origin zoom is index acceleration for the
+    same parentId == clusterId predicate (:275-302)."""
+    from arrow_supercluster_spark.operators.greedy_nav import greedy_children
+
+    nodes = _greedy_nodes(spark, sf_dir)
+    cid = _greedy_anchor_id(spark, sf_dir)
+    return greedy_children(nodes, cid).select(
+        "zoom", "cluster_id", "num_points", "pos",
+        (F.col("num_points") > 1).alias("is_cluster"),
+        F.round("x", 7).alias("x"),
+        F.round("y", 7).alias("y"),
+    )
+
+
+@register(
+    "q_greedy_leaves",
+    f"""
+    WITH RECURSIVE walk AS (
+      SELECT c.cluster_id, c.num_points,
+             lpad(CAST(c.pos AS VARCHAR), 19, '0') AS path
+      FROM {_GREEDY_TBL} c WHERE c.parent_id = {_SQL_ANCHOR}
+      UNION ALL
+      SELECT c.cluster_id, c.num_points,
+             w.path || lpad(CAST(c.pos AS VARCHAR), 19, '0')
+      FROM {_GREEDY_TBL} c JOIN walk w ON c.parent_id = w.cluster_id
+      WHERE w.num_points > 1
+    ),
+    leaves AS (
+      SELECT cluster_id AS id,
+             row_number() OVER (ORDER BY path) AS rank
+      FROM walk WHERE num_points = 1
+    )
+    SELECT rank, id FROM leaves WHERE rank BETWEEN 3 AND 12
+    """,
+)
+def q_greedy_leaves(spark, sf_dir):
+    """Q3 by packed cluster id, DFS-order pagination
+    (arrow-cluster-engine.ts:231-235, 312-348): Spark walks the hierarchy
+    as ≤18 broadcast level-joins building fixed-width pos paths; the
+    oracle re-derives the same order with a recursive CTE. offset=2,
+    limit=10 (mirrors q_get_leaves)."""
+    from arrow_supercluster_spark.operators.greedy_nav import greedy_leaves
+
+    nodes = _greedy_nodes(spark, sf_dir)
+    cid = _greedy_anchor_id(spark, sf_dir)
+    return greedy_leaves(
+        nodes, cid,
+        min_zoom=OPTS.min_zoom, leaf_zoom=OPTS.leaf_zoom,
+        limit=10, offset=2,
+    )
+
+
+@register(
+    "q_greedy_expansion",
+    f"""
+    SELECT min(c.zoom) AS expansion_zoom
+    FROM {_GREEDY_TBL} c WHERE c.parent_id = {_SQL_ANCHOR}
+    """,
+)
+def q_greedy_expansion(spark, sf_dir):
+    """Q4 by packed cluster id (arrow-cluster-engine.ts:240-256). Spark
+    derives the split zoom from the anchor's own rows (deepest occurrence
+    + 1 = origin zoom); the oracle derives it from the children's rows
+    via parent pointers — two independent derivations of the same
+    quantity."""
+    nodes = _greedy_nodes(spark, sf_dir)
+    cid = _greedy_anchor_id(spark, sf_dir)
+    return (
+        nodes.filter(F.col("cluster_id") == cid)
+        .agg((F.max("zoom") + 1).alias("expansion_zoom"))
+    )

@@ -1,0 +1,168 @@
+"""Packed-cluster-id drill-down parity (arrow-cluster-engine.ts:198-348).
+
+In-repo oracle: a naive recursive DFS that mirrors _appendLeafIndices
+line-by-line (subtree skip when skipped+numPoints<=offset, limit
+short-circuit), with children ordered by level-array position — the
+reference's within() order on ≤nodeSize levels. The relational
+implementation must produce identical pages for every offset/limit.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from arrow_supercluster_spark.config import ClusterOptions
+from arrow_supercluster_spark.operators.greedy import greedy_cluster_kernel
+from tests.test_greedy import lcg_points, project
+
+OPTS = ClusterOptions()
+
+
+def naive_leaves(df, cid, limit=math.inf, offset=0):
+    """_appendLeafIndices (arrow-cluster-engine.ts:312-348) verbatim."""
+    out = []
+    state = {"skipped": 0}
+
+    def walk(cur):
+        ch = df[df.parent_id == cur].sort_values("pos")
+        for _, r in ch.iterrows():
+            if len(out) >= limit:
+                return
+            if r.num_points > 1:
+                if state["skipped"] + r.num_points <= offset:
+                    state["skipped"] += r.num_points
+                else:
+                    walk(r.cluster_id)
+                    if len(out) >= limit:
+                        return
+            else:
+                if state["skipped"] < offset:
+                    state["skipped"] += 1
+                else:
+                    out.append(int(r.cluster_id))
+
+    walk(cid)
+    return out
+
+
+@pytest.fixture(scope="module")
+def nav_fixture(spark):
+    x, y, ids = project(lcg_points(500))
+    kern = greedy_cluster_kernel(x, y, ids, OPTS)
+    nodes = spark.createDataFrame(kern)
+    nodes.persist().count()
+    # anchor: biggest root cluster, ties by id
+    root = kern[(kern.zoom == OPTS.min_zoom) & (kern.num_points > 1)]
+    anchor = int(
+        root.sort_values(["num_points", "cluster_id"], ascending=[False, True])
+        .iloc[0]
+        .cluster_id
+    )
+    yield kern, nodes, anchor
+    nodes.unpersist()
+
+
+def test_children_match_naive(nav_fixture):
+    from arrow_supercluster_spark.operators.greedy_nav import greedy_children
+
+    kern, nodes, anchor = nav_fixture
+    got = sorted(
+        r.cluster_id for r in greedy_children(nodes, anchor).collect()
+    )
+    want = sorted(kern[kern.parent_id == anchor].cluster_id)
+    assert got == want and len(got) >= 2
+
+
+def test_children_counts_sum_to_parent(nav_fixture):
+    from arrow_supercluster_spark.operators.greedy_nav import greedy_children
+
+    kern, nodes, anchor = nav_fixture
+    total = greedy_children(nodes, anchor).agg(F.sum("num_points")).collect()[0][0]
+    assert total == int(kern[kern.cluster_id == anchor].num_points.iloc[0])
+
+
+def test_leaves_full_dfs_order(nav_fixture):
+    from arrow_supercluster_spark.operators.greedy_nav import greedy_leaves
+
+    kern, nodes, anchor = nav_fixture
+    got = [
+        r.id
+        for r in greedy_leaves(nodes, anchor, OPTS.min_zoom, OPTS.leaf_zoom)
+        .orderBy("rank")
+        .collect()
+    ]
+    want = naive_leaves(kern, anchor)
+    assert got == want
+    # round-trip invariant (edge-cases.test.ts:127-148): leaf count ==
+    # cluster point count, all ids are original point ids
+    n = int(kern[kern.cluster_id == anchor].num_points.iloc[0])
+    assert len(got) == n
+    assert all(0 <= i < 500 for i in got)
+
+
+@pytest.mark.parametrize("offset,limit", [(0, 5), (3, 4), (7, 100), (2, 1)])
+def test_leaves_pagination_matches_reference_walk(nav_fixture, offset, limit):
+    from arrow_supercluster_spark.operators.greedy_nav import greedy_leaves
+
+    kern, nodes, anchor = nav_fixture
+    got = [
+        r.id
+        for r in greedy_leaves(
+            nodes, anchor, OPTS.min_zoom, OPTS.leaf_zoom, limit=limit, offset=offset
+        )
+        .orderBy("rank")
+        .collect()
+    ]
+    want = naive_leaves(kern, anchor, limit=limit, offset=offset)
+    assert got == want
+
+
+def test_expansion_zoom_is_origin_zoom(nav_fixture):
+    from arrow_supercluster_spark.operators.greedy_nav import greedy_expansion_zoom
+
+    kern, nodes, anchor = nav_fixture
+    got = greedy_expansion_zoom(nodes, anchor).collect()[0]["expansion_zoom"]
+    # packed-id decode (arrow-cluster-engine.ts:304-306): zoom = (id-total)%32
+    assert got == (anchor - 500) % 32
+    # and equals the deepest own-row + 1 (the pass-through chain end)
+    assert got == int(kern[kern.cluster_id == anchor].zoom.max()) + 1
+
+
+def test_greedy_engine_id_roundtrip(spark):
+    """Engine surface: load → getChildren → getLeaves by packed id, the
+    reference round-trip pattern (edge-cases.test.ts:127-148)."""
+    from arrow_supercluster_spark.engine import GreedyClusterEngine
+
+    pts = lcg_points(200)
+    df = spark.createDataFrame(pts, "id long, lng double, lat double")
+    eng = GreedyClusterEngine(spark, OPTS).load(df)
+    root = (
+        eng._require()
+        .filter((F.col("zoom") == OPTS.min_zoom) & (F.col("num_points") > 1))
+        .orderBy(F.desc("num_points"), F.asc("cluster_id"))
+        .limit(1)
+        .collect()[0]
+    )
+    ch = eng.get_children(int(root.cluster_id)).collect()
+    assert sum(c.point_count for c in ch) == root.num_points
+    # singleton children carry bit-exact original coords
+    by_id = {p[0]: (p[1], p[2]) for p in pts}
+    for c in ch:
+        if not c.is_cluster:
+            assert (c.lng, c.lat) == by_id[c.id]
+    leaves = eng.get_leaves(int(root.cluster_id)).collect()
+    assert len(leaves) == root.num_points
+    ez = eng.get_cluster_expansion_zoom(int(root.cluster_id))
+    assert ez == (int(root.cluster_id) - 200) % 32
+
+
+def test_registry_greedy_nav_oracle(spark):
+    from arrow_supercluster_spark.plans.registry import REGISTRY
+    from tests.oracle_harness import compare, duck_connection
+
+    con = duck_connection("/root/testdata/sf0.001")
+    for name in ("q_greedy_children", "q_greedy_leaves", "q_greedy_expansion"):
+        qd = REGISTRY[name]
+        errs = compare(name, qd.spark(spark, "/root/testdata/sf0.001"), con, qd.sql)
+        assert not errs, errs

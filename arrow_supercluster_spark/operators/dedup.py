@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from arrow_supercluster_spark.functions.partitioning import spread
+
 
 def normalize_text(c) -> "F.Column":
     """Lowercase + collapse whitespace — the canonical form both exact and
@@ -91,8 +93,7 @@ def minhash_docs(
     # heavy per-doc compute (tokenize → shingle → explode) must not be
     # serialized by input file count: a single-file corpus scan is ONE
     # partition; spread it across the cluster first
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    sh = docs.repartition(par).select(
+    sh = spread(docs).select(
         F.col(key),
         F.explode(shingles(tokenize(F.col(text)), shingle_k)).alias("sh"),
     )
@@ -213,8 +214,7 @@ def simhash_docs(docs: DataFrame, text: str = "text", key: str = "doc_id", bits:
     fingerprint bit b = 1 iff majority of token-hashes have bit b set.
     Pure aggregate expressions: explode tokens → per-bit ±1 votes → sum.
     At scale: one shuffle keyed by doc (partial aggregation applies)."""
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    toks = docs.repartition(par).select(
+    toks = spread(docs).select(
         F.col(key), F.explode(tokenize(F.col(text))).alias("tok")
     )
     h = F.xxhash64("tok")

@@ -10,9 +10,16 @@ Scale design (100 TB):
   * The hyperplane-LSH variant buckets both sides on sign-bit keys so
     candidate generation is an equi-join on bucket id; recall is tuned by
     n_planes / n_tables. Only candidates pay the exact dot product.
-  * Top-k = row_number window partitioned by query id — partial top-k
-    per partition via AQE; rank key includes the target id so results are
-    deterministic under repartitioning.
+  * Top-k is two-phase: a NARROW per-partition partial top-k
+    (Arrow-batched mapInPandas over the 3 scored columns — never the
+    vectors) keeps ≤k rows per query per input partition BEFORE any
+    Exchange, then the exact row_number window ranks the surviving
+    O(partitions·k·|queries|) rows. Without the partial phase the window's
+    hash Exchange funnels every scored (query, corpus) pair into one
+    reducer per query — the full corpus through a single task at 100 TB.
+    Both phases order by (cos desc, id asc), so the global top-k is
+    provably a subset of the union of per-partition top-k sets and results
+    are deterministic under repartitioning.
 """
 
 from __future__ import annotations
@@ -48,6 +55,45 @@ def cosine(a, b) -> "F.Column":
     return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)
 
 
+def _ranked_topk(scored: DataFrame, qkey: str, key: str, k: int) -> DataFrame:
+    """Shared two-phase top-k finalizer over a scored (qkey, key, cos) set.
+
+    Phase 1 — narrow partial reduction (no Exchange): each input partition
+    keeps its own top-k rows per query via an Arrow-batched mapInPandas.
+    Memory is bounded by folding every arriving batch into a ≤k·|queries|
+    accumulator, so a partition with millions of scored rows never holds
+    more than (batch + accumulator) in pandas at once.
+
+    Phase 2 — the exact global rank: the usual row_number window, now over
+    at most partitions·k rows per query. Identical (cos desc, key asc)
+    ordering in both phases guarantees the true global top-k survives
+    phase 1 (any row in the global top-k is within the top-k of its own
+    partition under the same total order)."""
+    import pandas as pd
+
+    sort_cols = ["cos", key]
+
+    def reduce_part(batches):
+        acc = None
+        for pdf in batches:
+            both = pdf if acc is None else pd.concat((acc, pdf))
+            acc = (
+                both.sort_values(sort_cols, ascending=[False, True])
+                .groupby(qkey, sort=False)
+                .head(k)
+            )
+        if acc is not None:
+            yield acc
+
+    reduced = scored.mapInPandas(reduce_part, schema=scored.schema)
+    w = Window.partitionBy(qkey).orderBy(F.col("cos").desc(), F.col(key))
+    return (
+        reduced.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qkey, key, "cos", "rank")
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -57,7 +103,7 @@ def cosine_topk(
     qkey: str = "q_id",
 ) -> DataFrame:
     """E3 baseline — exact cosine top-k: broadcast(queries) × corpus →
-    cosine → windowed top-k. Rank orders by cosine rounded to 6 decimals
+    cosine → two-phase top-k. Rank orders by cosine rounded to 6 decimals
     with id tiebreak so ranking is stable cross-engine/cross-partitioning."""
     q = queries.select(
         F.col(qkey), as_double(F.col(vec)).alias("q_vec")
@@ -68,12 +114,7 @@ def cosine_topk(
         key,
         F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"),
     )
-    w = Window.partitionBy(qkey).orderBy(F.col("cos").desc(), F.col(key))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(qkey, key, "cos", "rank")
-    )
+    return _ranked_topk(scored, qkey, key, k)
 
 
 def hyperplane_buckets(df: DataFrame, vec: str, out: str, n_planes: int = 8, seed: int = 42) -> DataFrame:
@@ -126,12 +167,7 @@ def cosine_topk_lsh(
         key,
         F.round(cosine(as_double(F.col("q_emb")), as_double(F.col(vec))), 6).alias("cos"),
     )
-    w = Window.partitionBy(qkey).orderBy(F.col("cos").desc(), F.col(key))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(qkey, key, "cos", "rank")
-    )
+    return _ranked_topk(scored, qkey, key, k)
 
 
 def ivf_build(
@@ -202,9 +238,4 @@ def ivf_topk(
         key,
         F.round(cosine(as_double(F.col("q_emb")), as_double(F.col(vec))), 6).alias("cos"),
     )
-    w2 = Window.partitionBy(qkey).orderBy(F.col("cos").desc(), F.col(key))
-    return (
-        scored.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select(qkey, key, "cos", "rank")
-    )
+    return _ranked_topk(scored, qkey, key, k)

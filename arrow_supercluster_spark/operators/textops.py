@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from arrow_supercluster_spark.functions.partitioning import spread
+
 from arrow_supercluster_spark.operators.dedup import normalize_text, tokenize
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
@@ -102,7 +104,7 @@ def doc_stats(docs: DataFrame, text: str = "text", key: str = "doc_id") -> DataF
     t = F.col(text)
     # spread heavy per-doc expressions across the cluster even when the
     # input is a single file/partition
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    docs = spread(docs)
     return docs.select(
         F.col(key),
         token_count(t).alias("n_tokens"),
@@ -117,7 +119,7 @@ def doc_stats(docs: DataFrame, text: str = "text", key: str = "doc_id") -> DataF
 def top_tokens(docs: DataFrame, text: str = "text", k: int = 50) -> DataFrame:
     """Corpus-level top-k tokens: explode → hash-agg (map-side combine) →
     deterministic top-k (count desc, token asc)."""
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    docs = spread(docs)
     return (
         docs.select(F.explode(tokenize(F.col(text))).alias("token"))
         .filter(F.col("token") != "")

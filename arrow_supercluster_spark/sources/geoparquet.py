@@ -2,24 +2,22 @@
 
 The reference writes Parquet with ZSTD and GeoParquet 1.1.0 `geo` footer
 metadata (point encoding + bbox) at
-examples/basic/scripts/generate-geoparquet.ts:167-199. Spark's parquet
-writer handles the data path (distributed, ZSTD); the `geo` key-value
-footer metadata is attached afterwards with pyarrow.
+examples/basic/scripts/generate-geoparquet.ts:167-199.
 
-Honest scale caveat: pyarrow's stable API cannot edit a footer in place,
-so the metadata pass here re-encodes each part file on the driver — fine
-at test scale, wrong at 100 TB. The production shapes are (a) write each
-partition with pyarrow inside mapPartitions so the metadata is present at
-write time, or (b) a `_metadata` sidecar carrying the geo key — both
-O(files); left as the documented path since the testbed has no object
-store to exercise them against.
+Distributed write path: the dataset bbox comes from one map-side-combined
+min/max aggregate (4 doubles to the driver), then every partition writes
+its OWN part file through an Arrow-batched pyarrow ParquetWriter with the
+`geo` footer already attached — no driver-side part-file rewrite, no
+second pass over the data. This is the shape that holds at 100 TB: the
+only driver traffic is the bbox row and one (file, rows) stats row per
+partition.
 """
 
 from __future__ import annotations
 
-import glob
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -48,33 +46,52 @@ def write_geoparquet(
     lng: str = "lng",
     lat: str = "lat",
     compression: str = "zstd",
-) -> None:
+) -> list:
     """Write points as GeoParquet: geometry as a struct{lng,lat} column
     (GeoArrow point semantics; the reference uses FixedSizeList[2]), ZSTD,
-    then stamp the `geo` footer metadata on every part file."""
-    import pyarrow.parquet as pq
+    `geo` footer metadata attached AT WRITE TIME inside each task.
 
+    Returns the per-partition (file, rows) stats rows (collecting them is
+    what triggers the distributed write)."""
     bbox_row = df.agg(
         F.min(lng), F.max(lng), F.min(lat), F.max(lat)
     ).collect()[0]
     bbox = [bbox_row[0], bbox_row[2], bbox_row[1], bbox_row[3]]
+    geo = json.dumps(geo_metadata(bbox)).encode()
 
     out = df.withColumn("geometry", F.struct(F.col(lng), F.col(lat)))
-    out.write.mode("overwrite").option("compression", compression).parquet(path)
 
-    geo = json.dumps(geo_metadata(bbox)).encode()
-    for part in glob.glob(os.path.join(path, "*.parquet")):
-        tbl = pq.read_table(part)
-        meta = dict(tbl.schema.metadata or {})
-        meta[b"geo"] = geo
-        pq.write_table(
-            tbl.replace_schema_metadata(meta), part, compression=compression
-        )
-        # Spark's checksummed local FS keeps .crc sidecars from the original
-        # write; the rewrite invalidates them and re-reads would fail
-        crc = os.path.join(path, f".{os.path.basename(part)}.crc")
-        if os.path.exists(crc):
-            os.remove(crc)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+
+    def write_part(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(path, f"part-{pid:05d}.parquet")
+        writer = None
+        schema = None
+        n = 0
+        for batch in batches:
+            if writer is None:
+                schema = batch.schema.with_metadata({b"geo": geo})
+                writer = pq.ParquetWriter(fname, schema, compression=compression)
+            writer.write_batch(
+                pa.RecordBatch.from_arrays(batch.columns, schema=schema)
+            )
+            n += batch.num_rows
+        if writer is not None:
+            writer.close()
+            yield pa.RecordBatch.from_pydict(
+                {"file": [os.path.basename(fname)], "rows": [n]},
+                schema=pa.schema(
+                    [("file", pa.string()), ("rows", pa.int64())]
+                ),
+            )
+
+    return out.mapInArrow(write_part, "file string, rows long").collect()
 
 
 def read_geoparquet(spark, path: str) -> DataFrame:

@@ -71,7 +71,34 @@ def test_hierarchy_partition_pruning(spark, sf_dir, tmp_path):
     assert scan and "zoom" in scan[0]
 
 
-def test_cluster_grid_single_shuffle(spark, sf_dir):
+def test_cosine_topk_partial_before_rank(spark, sf_dir):
+    """E3's final rank must consume the NARROW per-partition partial
+    top-k, not the raw scored set: exactly one hash Exchange (the window's),
+    sitting ABOVE the MapInPandas reduction in the tree — so the shuffle
+    moves O(partitions·k·|q|) rows, never all |corpus|·|q| scored pairs
+    into one reducer per query."""
+    plan = plan_of(REGISTRY["q_cosine_topk"].spark(spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    # toString prints root-first: the exchange must print before (= be an
+    # ancestor of) the MapInPandas it consumes
+    assert plan.index("Exchange hashpartitioning") < plan.index("MapInPandas")
+    # scoring itself stays JVM-side (broadcast join, no Python eval)
+    assert "EvalPython" not in plan
+
+
+def test_spread_gates_on_input_parallelism(spark, sf_dir):
+    """The heavy-text-map repartition must fire only for under-parallel
+    input: single-file scan gets a RoundRobin Exchange; an input already
+    at >= defaultParallelism partitions keeps its plan Exchange-free."""
+    from arrow_supercluster_spark.functions.partitioning import spread
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert "Exchange" in plan_of(spread(docs).select("doc_id"))
+    par = spark.sparkContext.defaultParallelism
+    wide = docs.repartition(par * 2)
+    # spread() of an already-wide input adds nothing: same plan object
+    assert spread(wide) is wide
     """A1-grid at one zoom = scan → project → ONE exchange (hash agg with
     partial aggregation); more exchanges would mean a redundant shuffle."""
     from arrow_supercluster_spark.sources.points import derived_points

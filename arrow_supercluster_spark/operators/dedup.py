@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from arrow_supercluster_spark.functions.partitioning import spread
+from arrow_supercluster_spark.functions.checkpoint import truncate
 
 
 def normalize_text(c) -> "F.Column":
@@ -253,14 +254,14 @@ def connected_components(
         pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
         .unionByName(pairs.select(F.col(b).alias("u"), F.col(a).alias("v")))
         .distinct()
-        .localCheckpoint()
     )
+    edges = truncate(edges)
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint()
     )
+    labels = truncate(labels)
     for _ in range(max_iter):
         neigh_min = (
             edges.join(labels, edges.v == labels.node)
@@ -282,8 +283,10 @@ def connected_components(
                 "node",
                 F.least(F.col("comp"), F.coalesce("jcomp", F.col("comp"))).alias("comp"),
             )
-            .localCheckpoint()
         )
+        # truncate (checkpoint + stats reset): without the reset the
+        # copied size estimate squares per iteration and OOMs Catalyst
+        new_labels = truncate(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

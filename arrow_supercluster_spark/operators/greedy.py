@@ -22,16 +22,32 @@ as a pandas/numpy kernel inside `applyInPandas`:
     points in insertion order ⇒ bit-faithful to the single-threaded
     reference. This is the golden-parity mode; at 100 TB it is the wrong
     tool (single task) and exists because exactness is the contract.
-  * `greedy_hierarchy(mode="partitioned")` — the scale path: points are
-    partitioned by their grid cell at `partition_zoom` (coarse), each cell
-    clustered independently in parallel. Clusters never span partition-cell
-    boundaries (documented, deterministic divergence from the sequential
-    order; results are invariant to executor count because the partition
-    key is data-derived, not spark-partition-derived). Halo exchange would
-    remove the boundary effect at the cost of cross-cell conflict
-    resolution; the grid variant (grid_cluster.py) is our SQL-checked
-    default surface, so partitioned-greedy is offered for
-    Supercluster-compatible visual quality at scale.
+  * `greedy_hierarchy(mode="partitioned")` — the fast approximate scale
+    path: points are partitioned by their grid cell at `partition_zoom`
+    (coarse), each cell clustered independently in parallel. Clusters
+    never span partition-cell boundaries (documented, deterministic
+    divergence from the sequential order; results are invariant to
+    executor count because the partition key is data-derived, not
+    spark-partition-derived).
+  * `greedy_hierarchy(mode="cc")` — the EXACT distributed path (SURVEY §7
+    Phase 4's halo design, strengthened): at each zoom, visited-state can
+    only propagate along within-r edges, so the greedy outcome of a
+    connected component of the r-proximity graph depends ONLY on that
+    component's points and their relative insertion order. Components are
+    therefore the *exact* dependency closure — the adaptive form of a
+    fixed halo, with no residual boundary effect and no conflicts to
+    resolve (a fixed-width halo breaks whenever a consumption chain
+    outruns it; a component never does). Per level: grid-bin 3×3
+    candidate join → within-r edge list → distributed connected
+    components → one-zoom sequential scan per component (applyInPandas,
+    insertion order preserved via global level indices) → global
+    re-rank of emissions (sort + zipWithIndex, range-partitioned — no
+    single-reducer window) to rebuild the reference's level array for id
+    encoding and the next level. Output is BIT-IDENTICAL to mode="exact"
+    (ids, parents, positions, pos) and invariant to input partitioning,
+    at the cost of ~3 shuffles + a CC fixpoint per zoom. Worst case: at
+    the coarsest zooms components merge toward one group — but by then
+    the level array has already collapsed to cluster counts.
 
 Neighbor search: uniform grid binning at cell size r (the same
 decomposition KDBush's within() bounds) — each point probes its 3×3
@@ -266,8 +282,13 @@ def greedy_hierarchy(
     sequential reference (golden-parity mode; not for 100 TB).
     mode="partitioned": group by coarse grid cell at `partition_zoom` —
     embarrassingly parallel, deterministic, clusters bounded by cell walls.
+    mode="cc": exact AND distributed — per-level dependency-closure
+    groups, bit-identical to mode="exact" (see module docstring).
     """
     from pyspark.sql import functions as F
+
+    if mode == "cc":
+        return greedy_hierarchy_cc(points, opts)
 
     from arrow_supercluster_spark.operators.filters import drop_null_geometry
     from arrow_supercluster_spark.functions.projection import fround, lat_y, lng_x
@@ -315,3 +336,337 @@ def greedy_hierarchy(
         raise ValueError(f"unknown mode {mode!r}")
 
     return grouped.applyInPandas(run_group, schema=RESULT_SCHEMA)
+
+
+# ===========================================================================
+# mode="cc": exact distributed greedy (per-level dependency-closure groups)
+# ===========================================================================
+
+# union schema carrying both row kinds out of the per-component scan:
+# kind=0 → consumed-level snapshot rows, kind=1 → next-level items with
+# their (origin index, emission sub-order) key for the global re-rank
+_CC_SCHEMA = (
+    "kind int, zoom int, cluster_id long, x double, y double, "
+    "parent_id long, num_points long, pos long, e0 long, e1 long"
+)
+
+
+def _scan_one_zoom(pdf: pd.DataFrame, z: int, opts: ClusterOptions, total: int) -> pd.DataFrame:
+    """One zoom level of the sequential greedy scan over ONE dependency
+    component, bit-faithful to the inner loop of `greedy_cluster_kernel`
+    (same hood construction order, same neighbor iteration order, same
+    float accumulation order). `idx` is the item's GLOBAL level-array
+    index: processing the component's points in ascending `idx` equals
+    the global scan restricted to the component, and cluster ids encode
+    `idx` exactly as the reference encodes the level index
+    (arrow-cluster-engine.ts:378)."""
+    pdf = pdf.sort_values("idx", kind="mergesort")
+    x = pdf["x"].to_numpy(dtype=np.float64)
+    y = pdf["y"].to_numpy(dtype=np.float64)
+    gidx = pdf["idx"].to_numpy(dtype=np.int64)
+    ids = pdf["cluster_id"].to_numpy(dtype=np.int64)
+    nump = pdf["num_points"].to_numpy(dtype=np.int64)
+    m = len(x)
+    r = opts.radius / (opts.extent * (2.0**z))
+    r2 = r * r
+    bins, bcx, bcy = _neighbors_within(x, y, r)
+
+    hood_cache: dict[tuple[int, int], np.ndarray] = {}
+
+    def hood(cell: tuple[int, int]) -> np.ndarray:
+        got = hood_cache.get(cell)
+        if got is None:
+            parts = [
+                bins[c]
+                for c in (
+                    (cell[0] + dxc, cell[1] + dyc)
+                    for dxc in (-1, 0, 1)
+                    for dyc in (-1, 0, 1)
+                )
+                if c in bins
+            ]
+            got = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+            hood_cache[cell] = got
+        return got
+
+    visited = np.zeros(m, dtype=bool)
+    parent = np.full(m, -1, dtype=np.int64)
+    it_e0: list[int] = []
+    it_e1: list[int] = []
+    it_id: list[int] = []
+    it_x: list[float] = []
+    it_y: list[float] = []
+    it_n: list[int] = []
+
+    for i in range(m):
+        if visited[i]:
+            continue
+        visited[i] = True
+        xi, yi = x[i], y[i]
+        cand = hood((bcx[i], bcy[i]))
+        dx = x[cand] - xi
+        dy = y[cand] - yi
+        neigh = cand[(dx * dx + dy * dy <= r2) & (cand != i)]
+
+        n_origin = nump[i]
+        n_total = n_origin
+        for k in neigh:
+            if not visited[k]:
+                n_total += nump[k]
+
+        if n_total > n_origin and n_total >= opts.min_points:
+            wx = xi * n_origin
+            wy = yi * n_origin
+            cid = (int(gidx[i]) << 5) + (z + 1) + total
+            for k in neigh:
+                if visited[k]:
+                    continue
+                visited[k] = True
+                wx += x[k] * nump[k]
+                wy += y[k] * nump[k]
+                parent[k] = cid
+            parent[i] = cid
+            it_e0.append(int(gidx[i]))
+            it_e1.append(0)
+            it_id.append(cid)
+            it_x.append(wx / n_total)
+            it_y.append(wy / n_total)
+            it_n.append(int(n_total))
+        else:
+            it_e0.append(int(gidx[i]))
+            it_e1.append(0)
+            it_id.append(int(ids[i]))
+            it_x.append(xi)
+            it_y.append(yi)
+            it_n.append(int(nump[i]))
+            if n_total > 1:
+                sub = 1
+                for k in neigh:
+                    if visited[k]:
+                        continue
+                    visited[k] = True
+                    it_e0.append(int(gidx[i]))
+                    it_e1.append(sub)
+                    it_id.append(int(ids[k]))
+                    it_x.append(x[k])
+                    it_y.append(y[k])
+                    it_n.append(int(nump[k]))
+                    sub += 1
+
+    consumed = pd.DataFrame(
+        {
+            "kind": 0,
+            "zoom": np.int32(z + 1),
+            "cluster_id": ids,
+            "x": x,
+            "y": y,
+            "parent_id": parent,
+            "num_points": nump,
+            "pos": gidx,
+            "e0": np.int64(0),
+            "e1": np.int64(0),
+        }
+    )
+    items = pd.DataFrame(
+        {
+            "kind": 1,
+            "zoom": np.int32(0),
+            "cluster_id": np.asarray(it_id, dtype=np.int64),
+            "x": np.asarray(it_x, dtype=np.float64),
+            "y": np.asarray(it_y, dtype=np.float64),
+            "parent_id": np.int64(-1),
+            "num_points": np.asarray(it_n, dtype=np.int64),
+            "pos": np.int64(0),
+            "e0": np.asarray(it_e0, dtype=np.int64),
+            "e1": np.asarray(it_e1, dtype=np.int64),
+        }
+    )
+    out = pd.concat([consumed, items], ignore_index=True)
+    return out.astype(
+        {
+            "kind": "int32",
+            "zoom": "int32",
+            "cluster_id": "int64",
+            "x": "float64",
+            "y": "float64",
+            "parent_id": "int64",
+            "num_points": "int64",
+            "pos": "int64",
+            "e0": "int64",
+            "e1": "int64",
+        }
+    )
+
+
+def _zip_rank(df, sort_cols: list, out: str = "idx"):
+    """Global dense 0-based rank by `sort_cols` WITHOUT a single-partition
+    window: range-partitioned sort, then zipWithIndex (two passes, fully
+    parallel)."""
+    from pyspark.sql.types import LongType, StructField
+
+    s = df.sort(*sort_cols)
+    schema = s.schema.add(StructField(out, LongType()))
+    rdd = s.rdd.zipWithIndex().map(lambda t: tuple(t[0]) + (t[1],))
+    return s.sparkSession.createDataFrame(rdd, schema)
+
+
+def greedy_hierarchy_cc(points, opts: ClusterOptions = DEFAULT_OPTIONS):
+    """Exact distributed greedy hierarchy (mode="cc" of greedy_hierarchy;
+    see module docstring for why components are the exact dependency
+    closure). Bit-identical output to mode="exact", partition-invariant."""
+    from pyspark.sql import functions as F
+
+    from arrow_supercluster_spark.functions.checkpoint import truncate
+    from arrow_supercluster_spark.functions.projection import fround, lat_y, lng_x
+    from arrow_supercluster_spark.operators.dedup import connected_components
+    from arrow_supercluster_spark.operators.filters import drop_null_geometry
+
+    import functools
+
+    total = points.count()  # pre-drop, matching the reference id salt
+    pts = drop_null_geometry(points).select(
+        F.col("id").alias("cluster_id"),
+        fround(lng_x(F.col("lng"))).alias("x"),
+        fround(lat_y(F.col("lat"))).alias("y"),
+    )
+    cur = (
+        _zip_rank(
+            pts.withColumn("num_points", F.lit(1).cast("long")), ["cluster_id"]
+        )
+        .select("idx", "cluster_id", "x", "y", "num_points")
+    )
+    cur = truncate(cur)
+
+    out_parts = []
+    for z in range(opts.max_zoom, opts.min_zoom - 1, -1):
+        r = opts.radius / (opts.extent * (2.0**z))
+        b = cur.select(
+            "idx",
+            "x",
+            "y",
+            F.floor(F.col("x") / F.lit(r)).alias("cx"),
+            F.floor(F.col("y") / F.lit(r)).alias("cy"),
+        )
+        probe = b.select(
+            F.col("idx").alias("p_idx"),
+            F.col("x").alias("px"),
+            F.col("y").alias("py"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            (F.col("cx") + dxc).alias("ncx"),
+                            (F.col("cy") + dyc).alias("ncy"),
+                        )
+                        for dxc in (-1, 0, 1)
+                        for dyc in (-1, 0, 1)
+                    ]
+                )
+            ).alias("nc"),
+        )
+        # same float ops as the kernel's dx*dx + dy*dy (not pow(),
+        # which could round differently at the exact-r boundary)
+        ddx = F.col("px") - F.col("x")
+        ddy = F.col("py") - F.col("y")
+        d2 = ddx * ddx + ddy * ddy
+        edges = truncate(
+            probe.join(
+                b.select("idx", "x", "y", "cx", "cy"),
+                (F.col("nc.ncx") == F.col("cx")) & (F.col("nc.ncy") == F.col("cy")),
+            )
+            .filter((F.col("p_idx") < F.col("idx")) & (d2 <= F.lit(r * r)))
+            .select(F.col("p_idx").alias("a_id"), F.col("idx").alias("b_id"))
+        )
+        if edges.isEmpty():
+            # no within-r pair anywhere ⇒ the level is an identity pass:
+            # every item survives unchanged, same order, parent -1 — skip
+            # the CC fixpoint, the scan, and the re-rank outright
+            out_parts.append(
+                cur.select(
+                    F.lit(z + 1).cast("int").alias("zoom"),
+                    "cluster_id",
+                    "x",
+                    "y",
+                    F.lit(-1).cast("long").alias("parent_id"),
+                    "num_points",
+                    F.col("idx").alias("pos"),
+                )
+            )
+            continue
+        labels = connected_components(edges)
+        lab = cur.join(labels, cur["idx"] == labels["node_id"], "left").select(
+            "idx",
+            "cluster_id",
+            "x",
+            "y",
+            "num_points",
+            F.col("component_id").alias("comp"),
+        )
+        # isolated points (no within-r neighbor at all) are identity rows:
+        # narrow projections, never shuffled into the per-component scan —
+        # at fine zooms this is the vast majority of the corpus
+        iso = lab.filter(F.col("comp").isNull())
+        iso_consumed = iso.select(
+            F.lit(0).cast("int").alias("kind"),
+            F.lit(z + 1).cast("int").alias("zoom"),
+            "cluster_id",
+            "x",
+            "y",
+            F.lit(-1).cast("long").alias("parent_id"),
+            "num_points",
+            F.col("idx").alias("pos"),
+            F.lit(0).cast("long").alias("e0"),
+            F.lit(0).cast("long").alias("e1"),
+        )
+        iso_items = iso.select(
+            F.lit(1).cast("int").alias("kind"),
+            F.lit(0).cast("int").alias("zoom"),
+            "cluster_id",
+            "x",
+            "y",
+            F.lit(-1).cast("long").alias("parent_id"),
+            "num_points",
+            F.lit(0).cast("long").alias("pos"),
+            F.col("idx").alias("e0"),
+            F.lit(0).cast("long").alias("e1"),
+        )
+        scan = (
+            lab.filter(F.col("comp").isNotNull())
+            .groupBy("comp")
+            .applyInPandas(
+                functools.partial(_scan_one_zoom, z=z, opts=opts, total=total),
+                schema=_CC_SCHEMA,
+            )
+        )
+        res = truncate(scan.unionByName(iso_consumed).unionByName(iso_items))
+        out_parts.append(
+            res.filter(F.col("kind") == 0).select(
+                "zoom", "cluster_id", "x", "y", "parent_id", "num_points", "pos"
+            )
+        )
+        cur = (
+            _zip_rank(
+                res.filter(F.col("kind") == 1).select(
+                    "e0", "e1", "cluster_id", "x", "y", "num_points"
+                ),
+                ["e0", "e1"],
+            )
+            .select("idx", "cluster_id", "x", "y", "num_points")
+        )
+        cur = truncate(cur)
+
+    out_parts.append(
+        cur.select(
+            F.lit(opts.min_zoom).cast("int").alias("zoom"),
+            "cluster_id",
+            "x",
+            "y",
+            F.lit(-1).cast("long").alias("parent_id"),
+            "num_points",
+            F.col("idx").alias("pos"),
+        )
+    )
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.unionByName(p)
+    return out

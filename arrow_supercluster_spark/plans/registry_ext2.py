@@ -233,6 +233,20 @@ def q_cluster_greedy(spark, sf_dir):
     return greedy_hierarchy(derived_points(spark, sf_dir), mode="exact")
 
 
+@register("q_cluster_greedy_cc", None)
+def q_cluster_greedy_cc(spark, sf_dir):
+    """A1 exact DISTRIBUTED greedy (SURVEY §7 Phase 4): per-level
+    dependency-closure components (the adaptive form of halo exchange —
+    see operators/greedy.py module doc), bit-identical to mode="exact"
+    and partition-invariant; golden-parity tested in
+    tests/test_greedy_cc.py. Rows-only at the driver (float-sensitive
+    hierarchy table, same reason as q_cluster_greedy)."""
+    from arrow_supercluster_spark.operators.greedy import greedy_hierarchy
+    from arrow_supercluster_spark.sources.points import derived_points
+
+    return greedy_hierarchy(derived_points(spark, sf_dir), mode="cc")
+
+
 @register("q_cluster_greedy_partitioned", None)
 def q_cluster_greedy_partitioned(spark, sf_dir):
     """A1 scale path — greedy within coarse spatial partitions (cell walls

@@ -1,0 +1,60 @@
+"""Golden parity for mode="cc" — the exact DISTRIBUTED greedy (SURVEY §7
+Phase 4). The claim under test: per-level connected components of the
+within-r graph are the exact dependency closure of the sequential scan,
+so the distributed run is BIT-IDENTICAL to mode="exact" (ids, parents,
+positions, pos) and invariant to input partitioning.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from arrow_supercluster_spark.config import ClusterOptions
+from arrow_supercluster_spark.operators.greedy import greedy_hierarchy
+from tests.test_greedy import lcg_points
+
+OPTS = ClusterOptions()
+
+SORT = ["zoom", "cluster_id", "pos"]
+COLS = ["zoom", "cluster_id", "x", "y", "parent_id", "num_points", "pos"]
+
+
+def _norm(df) -> pd.DataFrame:
+    return (
+        df.select(*COLS)
+        .toPandas()
+        .sort_values(SORT, kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def exact_golden(spark):
+    pts = spark.createDataFrame(lcg_points(500), "id long, lng double, lat double")
+    return _norm(greedy_hierarchy(pts, OPTS, mode="exact"))
+
+
+@pytest.mark.parametrize("nparts", [3, 7])
+def test_cc_bit_identical_to_exact(spark, exact_golden, nparts):
+    """Full-column golden parity — including float positions bit-exactly
+    (the per-component scan replicates the sequential accumulation order)
+    — at two different input partition counts."""
+    pts = spark.createDataFrame(
+        lcg_points(500), "id long, lng double, lat double"
+    ).repartition(nparts)
+    got = _norm(greedy_hierarchy(pts, OPTS, mode="cc"))
+    pd.testing.assert_frame_equal(got, exact_golden, check_exact=True)
+
+
+def test_cc_with_null_geometry(spark, exact_golden):
+    """Null-geometry rows drop but still salt the id space (the reference
+    counts them in numPoints before filtering): parity must hold when the
+    input carries nulls, with ids shifted by the pre-drop total."""
+    base = lcg_points(300)
+    rows = base + [(9000 + i, None, None) for i in range(7)]
+    pts = spark.createDataFrame(rows, "id long, lng double, lat double")
+    exact = _norm(greedy_hierarchy(pts, OPTS, mode="exact"))
+    got = _norm(greedy_hierarchy(pts, OPTS, mode="cc"))
+    pd.testing.assert_frame_equal(got, exact, check_exact=True)
+    # leaf level holds the 300 real points
+    assert (exact["zoom"] == OPTS.leaf_zoom).sum() == 300

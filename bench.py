@@ -133,6 +133,59 @@ def main() -> None:
         progress(f"query {name}...")
         results[name] = timed(run, warmup=1, runs=3)
 
+    # --- wire size: Arrow IPC vs GeoJSON of the z6 cluster output --------
+    # (mirrors benchmarks/pipeline.ts:112-125: same payload serialized both
+    # ways, byte counts compared — the reference's headline IPC-vs-GeoJSON
+    # claim, measured here on OUR cluster output shape)
+    progress("wire size...")
+    import io
+
+    import pyarrow as pa
+    import pyarrow.ipc as pa_ipc
+
+    z6_rows = (
+        gc.finalize_clusters(
+            gc.cluster_grid(derived_points(spark, SF_DIR), 6, OPTS), OPTS
+        )
+        .filter(bbox_predicate(*world))
+    )
+    tbl = pa.Table.from_pandas(z6_rows.toPandas(), preserve_index=False)
+    sink = io.BytesIO()
+    with pa_ipc.new_stream(sink, tbl.schema) as w:
+        w.write_table(tbl)
+    ipc_bytes = sink.getbuffer().nbytes
+    features = [
+        {
+            "type": "Feature",
+            "geometry": {"type": "Point", "coordinates": [r["lng"], r["lat"]]},
+            "properties": {
+                k: r[k] for k in tbl.column_names if k not in ("lng", "lat")
+            },
+        }
+        for r in tbl.to_pylist()
+    ]
+    geojson_bytes = len(
+        json.dumps({"type": "FeatureCollection", "features": features}).encode()
+    )
+
+    # --- round-over-round comparison -------------------------------------
+    prev, prev_file = {}, None
+    import glob as _glob
+
+    benches = sorted(_glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json")))
+    if benches:
+        prev_file = benches[-1]
+        try:
+            with open(prev_file) as fh:
+                doc = json.load(fh)
+            # driver files wrap our JSON line under "parsed"
+            prev = doc.get("parsed", doc).get("queries", {}) or {}
+        except Exception:
+            prev = {}
+    delta = {
+        k: round(v - prev[k], 3) for k, v in results.items() if k in prev
+    }
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -142,6 +195,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {k: round(v, 3) for k, v in results.items()},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "wire": {
+                    "ipc_bytes": ipc_bytes,
+                    "geojson_bytes": geojson_bytes,
+                    "ipc_vs_geojson": round(ipc_bytes / geojson_bytes, 4),
+                },
+                "delta_vs_prev_sec": delta,
+                "prev_bench": os.path.basename(prev_file) if prev_file else None,
             }
         )
     )

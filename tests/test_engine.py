@@ -109,3 +109,34 @@ def test_query_before_load_errors(spark):
     eng = ArrowClusterEngine(spark, OPTS)
     with pytest.raises(RuntimeError, match="load"):
         eng.get_clusters((-180, -85, 180, 85), 3)
+
+
+def test_layer_memoization(spark, sf_dir):
+    """Reference layer invalidation rules (arrow-cluster-layer.ts:84-118):
+    same integer zoom → cached output, ZERO new Spark jobs; new integer
+    zoom → requery; same data reference passed again → no rebuild."""
+    from arrow_supercluster_spark.engine import ClusterLayer
+    from arrow_supercluster_spark.sources.points import derived_points
+
+    def max_job_id():
+        ids = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+        return max(ids) if ids else -1
+
+    pts = derived_points(spark, sf_dir)
+    layer = ClusterLayer(spark).set_data(pts)
+    out1 = layer.get_clusters(zoom=4.7)
+    engine1 = layer._engine
+
+    before = max_job_id()
+    out2 = layer.get_clusters(zoom=4.2)  # floor == 4 still
+    assert out2 is out1
+    assert max_job_id() == before, "cached zoom must launch no Spark job"
+
+    # same data reference → no engine rebuild (identity comparator)
+    layer.set_data(pts)
+    assert layer._engine is engine1
+    assert max_job_id() == before
+
+    out3 = layer.get_clusters(zoom=5.0)  # integer zoom changed → requery
+    assert max_job_id() > before
+    assert out3 is layer.get_clusters(zoom=5.9)

@@ -239,3 +239,47 @@ def ivf_topk(
         F.round(cosine(as_double(F.col("q_emb")), as_double(F.col(vec))), 6).alias("cos"),
     )
     return _ranked_topk(scored, qkey, key, k)
+
+
+def neardup_pairs_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    vec: str = "embedding",
+    key: str = "vec_id",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """E2 scale path — embedding-cosine near-duplicate pairs WITHOUT the
+    all-pairs join (the oracle form q_embedding_neardup is a
+    BroadcastNestedLoopJoin, O(n²) — never the production entry).
+
+    Candidate generation: n_tables independent sign-LSH bucketings; each
+    table self-equi-joins on its bucket id, so candidates are generated by
+    hash-partitioned equi-joins only. Pairs travel BARE (two ids) through
+    the shuffle; vectors re-attach via two key joins and only candidates
+    pay the exact cosine. Precision is exact (every emitted pair passes
+    the threshold); recall rises with n_tables as 1-(1-p^planes)^tables —
+    the standard LSH OR-of-ANDs construction (Charikar sign-LSH)."""
+    parts = None
+    for t in range(n_tables):
+        b = hyperplane_buckets(
+            corpus.select(key, vec), vec, "bucket", n_planes, seed=seed + 101 * t
+        )
+        a = b.select(F.col(key).alias("a_id"), "bucket")
+        bb = b.select(F.col(key).alias("b_id"), "bucket")
+        cand = (
+            a.join(bb, "bucket")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+        )
+        parts = cand if parts is None else parts.unionByName(cand)
+    cands = parts.distinct()
+    emb = corpus.select(F.col(key), as_double(F.col(vec)).alias("v"))
+    joined = cands.join(
+        emb.select(F.col(key).alias("a_id"), F.col("v").alias("a_v")), "a_id"
+    ).join(emb.select(F.col(key).alias("b_id"), F.col("v").alias("b_v")), "b_id")
+    cos = F.round(cosine(F.col("a_v"), F.col("b_v")), 6)
+    return joined.select("a_id", "b_id", cos.alias("cos")).filter(
+        F.col("cos") >= F.lit(threshold)
+    )

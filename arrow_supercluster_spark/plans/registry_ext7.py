@@ -170,3 +170,17 @@ def q_greedy_expansion(spark, sf_dir):
         nodes.filter(F.col("cluster_id") == cid)
         .agg((F.max("zoom") + 1).alias("expansion_zoom"))
     )
+
+
+@register("q_embedding_neardup_lsh", None)
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """E2 scale path — embedding near-dup pairs via multi-table sign-LSH
+    candidate generation + exact cosine verify (similarity.neardup_pairs_lsh).
+    THIS, not the all-pairs oracle form q_embedding_neardup, is the
+    production entry at 100 TB: equi-joins only, pairs shuffled bare.
+    Rows-only (LSH recall is probabilistic); precision and recall are
+    asserted in tests/test_similarity.py against the exact pair set."""
+    from arrow_supercluster_spark.operators.similarity import neardup_pairs_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return neardup_pairs_lsh(emb, threshold=0.9)

@@ -42,3 +42,33 @@ def test_lsh_candidates_within_bucket_are_exact(spark, sf_dir):
     }
     for r in similarity.cosine_topk_lsh(corpus, queries, k=5).collect():
         assert abs(exact[(r.q_id, r.vec_id)] - r.cos) < 1e-9
+
+
+def test_neardup_lsh_subset_and_recall(spark, sf_dir):
+    """The LSH near-dup scale path must emit ONLY true pairs (exact verify
+    ⇒ precision 1.0, checked as subset of the all-pairs result) and find
+    most of them (recall bound; 4 tables × 8 planes on this corpus)."""
+    from pyspark.sql import functions as F
+
+    from arrow_supercluster_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {
+        (r.a_id, r.b_id)
+        for r in similarity.neardup_pairs_lsh(emb, threshold=0.9).collect()
+    }
+    a = emb.select(F.col("vec_id").alias("a_id"),
+                   similarity.as_double(F.col("embedding")).alias("a_v"))
+    b = emb.select(F.col("vec_id").alias("b_id"),
+                   similarity.as_double(F.col("embedding")).alias("b_v"))
+    cos = F.round(similarity.cosine(F.col("a_v"), F.col("b_v")), 6)
+    want = {
+        (r.a_id, r.b_id)
+        for r in a.join(b, F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", cos.alias("cos"))
+        .filter(F.col("cos") >= 0.9)
+        .collect()
+    }
+    assert got <= want, "LSH emitted a pair below threshold"
+    if want:
+        assert len(got) / len(want) >= 0.5, (len(got), len(want))

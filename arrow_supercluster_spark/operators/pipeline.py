@@ -1,0 +1,115 @@
+"""Training-data pipeline composition operators (brief: "operations a
+large-scale training-data pipeline would need" beyond the reference's own
+surface — sampling, shard packing, corpus curation).
+
+All three are pure JVM expression/window plans with DuckDB-twinnable
+semantics, so each gets a full value-hash oracle (plans/registry_ext8.py).
+
+Scale design (100 TB):
+  * hash_sample — a narrow deterministic filter (Lehmer-style
+    multiplicative hash in plain BIGINT arithmetic, no engine-specific
+    hash function), evaluated at the scan: no shuffle, no RNG state,
+    reproducible across engines/runs/partitionings, and the comparison
+    predicate pushes down to parquet row groups when keys are clustered.
+  * token_shards — first-fit-by-order packing is a running sum per
+    stream; partitioning the window by language alone puts each language
+    in ONE reducer (skew at 100 TB), so the operator sub-shards each
+    language into `substreams` deterministic streams (doc_id mod) and
+    packs within (lang, substream): reducers scale with
+    n_langs·substreams while packing stays deterministic.
+  * curate_corpus — exact-dedup keeps the min doc_id per md5(normalized
+    text): the shuffle carries 16-byte digests, never text; the keeper
+    join is id↔id; quality/lang are narrow expressions on the kept rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from arrow_supercluster_spark.operators import textops
+from arrow_supercluster_spark.operators.dedup import normalize_text
+
+# Lehmer multiplicative hash: portable BIGINT arithmetic (overflow-safe
+# for keys < 2^47), identical in any ANSI SQL engine — unlike
+# xxhash64/murmur which differ per engine
+HASH_MULT = 48271
+HASH_MOD = 65537
+
+
+def hash_bucket(key_col) -> "F.Column":
+    return F.pmod(key_col * F.lit(HASH_MULT), F.lit(HASH_MOD))
+
+
+def hash_sample(df: DataFrame, key: str, rate: float) -> DataFrame:
+    """Deterministic pseudo-random sample of ~`rate` of the rows, keyed
+    (row membership never changes across runs/partitionings — the
+    property a reproducible data pipeline needs, which rand()-based
+    sampling lacks)."""
+    threshold = int(rate * HASH_MOD)
+    return df.filter(hash_bucket(F.col(key)) < F.lit(threshold))
+
+
+def token_shards(
+    docs: DataFrame,
+    budget: int = 512,
+    text: str = "text",
+    key: str = "doc_id",
+    substreams: int = 1,
+) -> DataFrame:
+    """Pack documents into training shards of ~`budget` tokens, first-fit
+    in key order per (language, substream). A document belongs to the
+    shard its RUNNING token count (exclusive of itself) falls in — the
+    deterministic streaming-writer rule. Returns per-shard aggregates
+    (lang, substream, shard, n_docs, n_tokens)."""
+    t = F.col(text)
+    scored = docs.select(
+        F.col(key),
+        textops.lang_id_expr(t).alias("lang"),
+        F.pmod(F.col(key), F.lit(substreams)).alias("substream"),
+        textops.token_count(t).cast("long").alias("n"),
+    )
+    w = (
+        Window.partitionBy("lang", "substream")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = scored.withColumn(
+        "shard",
+        F.floor(F.coalesce(F.sum("n").over(w), F.lit(0)) / F.lit(float(budget))),
+    )
+    return packed.groupBy("lang", "substream", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n").alias("n_tokens")
+    )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Composed curation pass: exact-dedup (keeper = min key per
+    md5(normalized text)) → quality floor → per-language doc/token
+    totals. The end-to-end shape of a pretraining corpus build, as one
+    declarative plan Catalyst can pipeline."""
+    norm = normalize_text(F.col(text))
+    keepers = (
+        docs.select(F.col(key), F.md5(norm).alias("h"))
+        .groupBy("h")
+        .agg(F.min(key).alias(key))
+        .select(key)
+    )
+    kept = docs.join(keepers, key)
+    t = F.col(text)
+    scored = kept.select(
+        textops.lang_id_expr(t).alias("lang"),
+        textops.token_count(t).cast("long").alias("n"),
+        textops.quality_score(t).alias("q"),
+    )
+    return (
+        scored.filter(F.col("q") >= F.lit(min_quality))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n").alias("n_tokens"))
+    )

@@ -257,6 +257,7 @@ def _load_extended_registries():
         registry_ext5,
         registry_ext6,
         registry_ext7,
+        registry_ext8,
     )
 
 

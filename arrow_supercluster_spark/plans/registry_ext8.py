@@ -1,0 +1,120 @@
+"""Round-2 registry additions: training-data pipeline composition
+(operators/pipeline.py) — deterministic hash sampling, token-budget shard
+packing, corpus curation. All fully oracle-checked (value hash): the
+hash is portable BIGINT arithmetic, packing is a windowed running sum,
+and curation composes the already-proven md5-dedup / quality / lang-id
+kernels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arrow_supercluster_spark.operators import pipeline, textops
+from arrow_supercluster_spark.plans.registry import register
+from arrow_supercluster_spark.plans.registry_ext import (
+    _SQL_LANG_CASE,
+    _SQL_LANG_SCORES,
+    SQL_NORM,
+    SQL_TOKS,
+    _docs,
+)
+
+_RATE = 0.1
+_THRESH = int(_RATE * pipeline.HASH_MOD)
+_BUDGET = 512
+_SUBSTREAMS = 2
+_SLIST = ", ".join(f"s_{l}" for l in sorted(textops.STOPWORDS))
+
+# per-doc (lang, token-count) derivation shared by both oracle queries
+_SQL_DOC_LANG_TOKS = f"""
+    SELECT doc_id, n, {_SQL_LANG_CASE} AS lang FROM (
+      SELECT doc_id, n, {_SLIST}, greatest({_SLIST}) AS best FROM (
+        SELECT doc_id, len({SQL_TOKS}) AS n, {_SQL_LANG_SCORES} FROM {{src}}
+      ) t0
+    ) t1
+"""
+
+
+@register(
+    "q_sample_hash",
+    f"""
+    SELECT doc_id FROM documents
+    WHERE (doc_id * {pipeline.HASH_MULT}) % {pipeline.HASH_MOD} < {_THRESH}
+    """,
+)
+def q_sample_hash(spark, sf_dir):
+    """Pipeline — deterministic keyed sampling (~10%): a Lehmer-style
+    multiplicative hash in plain BIGINT arithmetic, so membership is
+    reproducible across engines, runs, and partitionings (rand()-based
+    sampling is none of those). Narrow filter — no shuffle, no RNG
+    state."""
+    return pipeline.hash_sample(_docs(spark, sf_dir), "doc_id", _RATE).select(
+        "doc_id"
+    )
+
+
+@register(
+    "q_token_shards",
+    f"""
+    WITH langd AS ({_SQL_DOC_LANG_TOKS.format(src="documents")}),
+    packed AS (
+      SELECT lang, doc_id % {_SUBSTREAMS} AS substream, n,
+             COALESCE(SUM(n) OVER (
+               PARTITION BY lang, doc_id % {_SUBSTREAMS} ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      FROM langd
+    )
+    SELECT lang, substream,
+           CAST(floor(prev / {float(_BUDGET)!r}) AS BIGINT) AS shard,
+           COUNT(*) AS n_docs, SUM(n) AS n_tokens
+    FROM packed GROUP BY 1, 2, 3
+    """,
+)
+def q_token_shards(spark, sf_dir):
+    """Pipeline — first-fit token-budget shard packing per (lang,
+    substream): the deterministic streaming-writer rule as a windowed
+    running sum. Sub-sharding bounds reducer skew (a language is never a
+    single reducer at 100 TB)."""
+    return pipeline.token_shards(
+        _docs(spark, sf_dir), budget=_BUDGET, substreams=_SUBSTREAMS
+    )
+
+
+@register(
+    "q_corpus_curation",
+    f"""
+    WITH keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5({SQL_NORM})
+    ),
+    kept AS (
+      SELECT d.doc_id, d.text FROM documents d JOIN keepers USING (doc_id)
+    ),
+    quality AS (
+      SELECT doc_id,
+             (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END)
+             * (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.6 END)
+             * (CASE WHEN ur <= 0.3 THEN 1.0 ELSE 0.7 END) AS q
+      FROM (
+        SELECT doc_id,
+               CAST(length(text) AS DOUBLE)
+                 / greatest(CAST(len({SQL_TOKS}) AS DOUBLE), 1.0) AS mwl,
+               CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                 / greatest(CAST(length(text) AS DOUBLE), 1.0) AS pr,
+               CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+                 / greatest(CAST(length(text) AS DOUBLE), 1.0) AS ur
+        FROM kept
+      ) f
+    ),
+    langd AS ({_SQL_DOC_LANG_TOKS.format(src="kept")})
+    SELECT l.lang, COUNT(*) AS n_docs, SUM(l.n) AS n_tokens
+    FROM langd l JOIN quality USING (doc_id)
+    WHERE quality.q >= 0.5
+    GROUP BY 1
+    """,
+)
+def q_corpus_curation(spark, sf_dir):
+    """Pipeline — composed curation pass (exact-dedup keeper → quality
+    floor → per-lang totals): the end-to-end pretraining corpus build as
+    ONE declarative plan; digests (never text) cross the dedup shuffle."""
+    return pipeline.curate_corpus(_docs(spark, sf_dir), min_quality=0.5)

@@ -63,3 +63,25 @@ def sessionize(
             "sum_value",
         )
     )
+
+
+def streaming_cluster_counts(points_stream: DataFrame, zoom: int, opts=None) -> DataFrame:
+    """Live grid-cluster feed: the batch A1-grid aggregate
+    (grid_cluster.cluster_grid) expressed over a point STREAM — per
+    micro-batch, cell counts and weighted-centroid sums update in the
+    state store, so a dashboard can watch clusters grow as points arrive.
+
+    Identical logical shape to the batch aggregate (same cell derivation,
+    same sums), so complete-mode output equals cluster_grid on the same
+    data — asserted streaming≡batch in tests/test_streaming.py. State is
+    O(occupied cells at `zoom`), hash-partitioned by cell like the batch
+    shuffle."""
+    from arrow_supercluster_spark.config import DEFAULT_OPTIONS
+    from arrow_supercluster_spark.operators.grid_cluster import (
+        cell_agg,
+        prepare_points,
+        with_cells,
+    )
+
+    o = opts or DEFAULT_OPTIONS
+    return cell_agg(with_cells(prepare_points(points_stream), zoom, o), zoom)

@@ -61,3 +61,47 @@ def test_streaming_sessionize_runs(spark, events_stream):
     out = spark.sql("select * from sessions").toPandas()
     assert len(out) > 0
     assert (out.n_events > 0).all()
+
+
+def test_streaming_cluster_counts_match_batch(spark, sf_dir, tmp_path_factory):
+    """The live grid-cluster feed must equal the batch A1-grid aggregate
+    on the same points (complete mode, availableNow)."""
+    from pyspark.sql import functions as F
+
+    from arrow_supercluster_spark.operators.grid_cluster import cluster_grid
+    from arrow_supercluster_spark.sources.points import derived_points
+    from arrow_supercluster_spark.streaming.events import streaming_cluster_counts
+
+    src = str(tmp_path_factory.mktemp("pts_src"))
+    pts = derived_points(spark, sf_dir)
+    pts.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(pts.schema).parquet(src)
+
+    q = (
+        streaming_cluster_counts(stream, zoom=6)
+        .writeStream.format("memory")
+        .queryName("live_clusters")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select cell_x, cell_y, num_points, round(sum_x, 9) as sx,"
+        " round(sum_y, 9) as sy from live_clusters"
+    ).toPandas()
+    want = (
+        cluster_grid(pts, 6)
+        .select(
+            "cell_x", "cell_y", "num_points",
+            F.round("sum_x", 9).alias("sx"), F.round("sum_y", 9).alias("sy"),
+        )
+        .toPandas()
+    )
+    key = ["cell_x", "cell_y"]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True),
+    )

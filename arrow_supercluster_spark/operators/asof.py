@@ -67,3 +67,46 @@ def asof_join(
         *[F.col(f"_l.{c}").alias(c) for c in out.schema["_l"].dataType.names],
         *[F.col(f"_rv.{c}").alias(c) for c in right_values],
     )
+
+
+def interval_join(
+    left,
+    right,
+    ts: str = "ts",
+    start: str = "start",
+    end: str = "end",
+    bin_seconds: int = 1800,
+):
+    """Range (interval) join: left rows matched to every right interval
+    containing their timestamp — WITHOUT the nested-loop a naive
+    `ON ts BETWEEN start AND end` falls into.
+
+    Scale shape (the standard interval-binning trick): both sides map to
+    fixed-width time bins — the left row to its one bin, the right
+    interval EXPLODED to each bin it overlaps (intervals comparable to
+    `bin_seconds` explode to ≤2 rows) — candidate pairs come from a
+    hash-partitioned equi-join on the bin, and the exact BETWEEN filter
+    keeps true matches. Each matching pair shares exactly one bin (the
+    left row's), so no dedup is needed. Pick `bin_seconds` near the
+    typical interval length: cost is O(|left| + |right|·span/bin) shuffled
+    rows instead of |left|·|right| compared pairs.
+    """
+    from pyspark.sql import functions as F
+
+    lb = left.withColumn(
+        "_bin", F.floor(F.unix_timestamp(F.col(ts)) / F.lit(bin_seconds))
+    )
+    rb = right.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start)) / F.lit(bin_seconds)),
+                F.floor(F.unix_timestamp(F.col(end)) / F.lit(bin_seconds)),
+            )
+        ),
+    )
+    return (
+        lb.join(rb, "_bin")
+        .filter((F.col(ts) >= F.col(start)) & (F.col(ts) <= F.col(end)))
+        .drop("_bin")
+    )

@@ -118,3 +118,42 @@ def q_corpus_curation(spark, sf_dir):
     floor → per-lang totals): the end-to-end pretraining corpus build as
     ONE declarative plan; digests (never text) cross the dedup shuffle."""
     return pipeline.curate_corpus(_docs(spark, sf_dir), min_quality=0.5)
+
+
+@register(
+    "q_range_join",
+    """
+    WITH ivals AS (
+      SELECT event_id AS interval_id, ts AS ival_start,
+             ts + INTERVAL 30 MINUTE AS ival_end
+      FROM events WHERE event_id % 97 = 0
+    )
+    SELECT i.interval_id, COUNT(*) AS n_events,
+           round(SUM(e.value), 4) AS sum_value
+    FROM events e
+    JOIN ivals i ON e.ts >= i.ival_start AND e.ts <= i.ival_end
+    GROUP BY 1
+    """,
+)
+def q_range_join(spark, sf_dir):
+    """Range join (brief's custom-operator list): events matched to the
+    30-minute intervals containing them via the bin-bucketed
+    interval_join (operators/asof.py) — equi-join on time bins + exact
+    BETWEEN refine, never a nested loop. The DuckDB oracle uses the naive
+    BETWEEN join, so the binning is differentially checked."""
+    from arrow_supercluster_spark.operators.asof import interval_join
+    from arrow_supercluster_spark.sources.tables import read_events
+
+    ev = read_events(spark, sf_dir)
+    ivals = ev.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("ival_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("ival_end"),
+    )
+    joined = interval_join(
+        ev.select("ts", "value"), ivals, ts="ts", start="ival_start", end="ival_end"
+    )
+    return joined.groupBy("interval_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )

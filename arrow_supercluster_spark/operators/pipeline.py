@@ -95,13 +95,16 @@ def curate_corpus(
     totals. The end-to-end shape of a pretraining corpus build, as one
     declarative plan Catalyst can pipeline."""
     norm = normalize_text(F.col(text))
-    keepers = (
-        docs.select(F.col(key), F.md5(norm).alias("h"))
-        .groupBy("h")
-        .agg(F.min(key).alias(key))
-        .select(key)
+    # keeper selection as ONE digest-keyed window (min id per md5 group):
+    # the corpus crosses exactly one shuffle; the groupBy+self-join form
+    # would shuffle the text twice (once by digest, once by id for the
+    # keeper join — the keeper set is corpus-sized, never broadcastable)
+    w = Window.partitionBy(F.md5(norm))
+    kept = (
+        docs.withColumn("_min_id", F.min(key).over(w))
+        .filter(F.col(key) == F.col("_min_id"))
+        .drop("_min_id")
     )
-    kept = docs.join(keepers, key)
     t = F.col(text)
     scored = kept.select(
         textops.lang_id_expr(t).alias("lang"),

@@ -105,3 +105,35 @@ def resize_stub(media: DataFrame, width: int = 64, height: int = 64) -> DataFram
             yield pdf
 
     return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def frame_sample(
+    media: DataFrame,
+    frame_bytes: int = 256,
+    stride: int = 4,
+    kind: str = "video",
+) -> DataFrame:
+    """Frame sampling plumbing (one row → many): treat a video payload as
+    a sequence of fixed-size frames and emit every `stride`-th frame as
+    its own row — the mapInPandas shape of real frame extraction (libav
+    would replace the byte-slicing; the container has no decoder, so
+    frames are deterministic payload slices, keeping schema/batching
+    real). Non-`kind` rows are filtered BEFORE Python, and the filter +
+    payload pruning push to the scan."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                n = len(p) // frame_bytes
+                for i in range(0, n, stride):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(p[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return media.filter(F.col("kind") == kind).mapInPandas(
+        run, schema="media_id long, frame_idx int, frame binary"
+    )

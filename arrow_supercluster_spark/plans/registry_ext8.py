@@ -157,3 +157,22 @@ def q_range_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+@register("q_multimodal_frames", None)
+def q_multimodal_frames(spark, sf_dir):
+    """Multimodal — video frame sampling (every 4th 256-byte frame as its
+    own row): the one-to-many mapInPandas plumbing real frame extraction
+    uses (brief's decode/extract/resize/frame-sample list). Rows-only
+    (binary payloads); sliced-frame correctness is pinned by an in-repo
+    pandas-reference test."""
+    from arrow_supercluster_spark.operators.multimodal import (
+        documents_as_media,
+        frame_sample,
+    )
+
+    media = documents_as_media(_docs(spark, sf_dir))
+    out = frame_sample(media)
+    return out.select(
+        "media_id", "frame_idx", F.length("frame").alias("frame_bytes")
+    )

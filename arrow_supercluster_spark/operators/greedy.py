@@ -500,14 +500,49 @@ def _scan_one_zoom(pdf: pd.DataFrame, z: int, opts: ClusterOptions, total: int) 
 
 def _zip_rank(df, sort_cols: list, out: str = "idx"):
     """Global dense 0-based rank by `sort_cols` WITHOUT a single-partition
-    window: range-partitioned sort, then zipWithIndex (two passes, fully
-    parallel)."""
-    from pyspark.sql.types import LongType, StructField
+    window: range-partitioned sort, then the zipWithIndex construction in
+    Arrow — pass 1 counts rows per partition (one small row each), pass 2
+    appends idx = partition offset + position. All transfer stays
+    Arrow-batched (a pyspark .rdd zipWithIndex would pickle every row to
+    Python and back). The sort is truncated (materialized) first so both
+    passes see the identical partitioning."""
+    from pyspark import TaskContext
+    from pyspark.sql.types import LongType, StructField, StructType
 
-    s = df.sort(*sort_cols)
-    schema = s.schema.add(StructField(out, LongType()))
-    rdd = s.rdd.zipWithIndex().map(lambda t: tuple(t[0]) + (t[1],))
-    return s.sparkSession.createDataFrame(rdd, schema)
+    from arrow_supercluster_spark.functions.checkpoint import truncate
+
+    s = truncate(df.sort(*sort_cols))
+
+    def count_parts(batches):
+        n = 0
+        for pdf in batches:
+            n += len(pdf)
+        yield pd.DataFrame({"pid": [TaskContext.get().partitionId()], "n": [n]})
+
+    sizes = {
+        r["pid"]: r["n"]
+        for r in s.mapInPandas(count_parts, "pid int, n long").collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+
+    def add_idx(batches):
+        pid = TaskContext.get().partitionId()
+        seen = offsets.get(pid, 0)
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out] = np.arange(seen, seen + len(pdf), dtype="int64")
+            seen += len(pdf)
+            yield pdf
+
+    # StructType.add MUTATES the instance (and .schema can be a live
+    # cached object) — build a fresh StructType or the input df's schema
+    # grows an idx column it doesn't have
+    schema = StructType(list(s.schema.fields) + [StructField(out, LongType())])
+    return s.mapInPandas(add_idx, schema)
 
 
 def greedy_hierarchy_cc(points, opts: ClusterOptions = DEFAULT_OPTIONS):
@@ -518,7 +553,9 @@ def greedy_hierarchy_cc(points, opts: ClusterOptions = DEFAULT_OPTIONS):
 
     from arrow_supercluster_spark.functions.checkpoint import truncate
     from arrow_supercluster_spark.functions.projection import fround, lat_y, lng_x
-    from arrow_supercluster_spark.operators.dedup import connected_components
+    from arrow_supercluster_spark.operators.dedup import (
+        connected_components_adaptive,
+    )
     from arrow_supercluster_spark.operators.filters import drop_null_geometry
 
     import functools
@@ -593,7 +630,7 @@ def greedy_hierarchy_cc(points, opts: ClusterOptions = DEFAULT_OPTIONS):
                 )
             )
             continue
-        labels = connected_components(edges)
+        labels = connected_components_adaptive(edges)
         lab = cur.join(labels, cur["idx"] == labels["node_id"], "left").select(
             "idx",
             "cluster_id",

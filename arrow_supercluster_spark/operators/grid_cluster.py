@@ -163,7 +163,11 @@ def materialize_hierarchy(
     # floor identity), so a zoom-range cross join + one hash aggregation
     # replaces 17 sequential rollup jobs. Shuffle volume = |leaf| × levels,
     # independent of raw point count.
-    leaf_df = spark.read.parquet(path)
+    # explicit schema on read-back: an EMPTY input writes a partitioned
+    # dir with no part files, and schema inference would throw
+    # UNABLE_TO_INFER_SCHEMA (the reference engine accepts empty tables,
+    # edge-cases.test.ts:13-20); zoom stays a partition column for pruning
+    leaf_df = spark.read.schema(leaf.schema).parquet(path)
     zooms = spark.range(opts.min_zoom, opts.max_zoom + 1).select(
         F.col("id").cast("int").alias("zoom")
     )
@@ -187,7 +191,7 @@ def materialize_hierarchy(
         .select(*NODE_COLS)
     )
     upper.write.mode("append").partitionBy("zoom").parquet(path)
-    return spark.read.parquet(path)
+    return spark.read.schema(leaf.schema).parquet(path)
 
 
 def finalize_clusters(nodes: DataFrame, opts: ClusterOptions = DEFAULT_OPTIONS) -> DataFrame:

@@ -1,0 +1,122 @@
+"""Engine-level edge-case battery mirroring the reference's
+edge-cases.test.ts — empty data, single point, far-apart points,
+co-located points, antimeridian, poles, partial-world bbox, missing
+geometry, packed-id round trip — over BOTH engine surfaces (grid
+ArrowClusterEngine and id-keyed GreedyClusterEngine)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from arrow_supercluster_spark.config import ClusterOptions
+from arrow_supercluster_spark.engine import ArrowClusterEngine, GreedyClusterEngine
+
+OPTS = ClusterOptions()
+WORLD = (-180.0, -85.0, 180.0, 85.0)
+SCHEMA = "id long, lng double, lat double"
+
+
+def _pts(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_empty_data(spark):
+    """edge-cases.test.ts:13-20."""
+    eng = ArrowClusterEngine(spark, OPTS).load(_pts(spark, []))
+    assert eng.get_clusters(WORLD, 0).count() == 0
+    assert eng.indexed_point_count == 0
+
+
+def test_single_point(spark):
+    """edge-cases.test.ts:22-31."""
+    eng = ArrowClusterEngine(spark, OPTS).load(_pts(spark, [(0, 0.0, 0.0)]))
+    out = eng.get_clusters(WORLD, 0).collect()
+    assert len(out) == 1
+    assert not out[0].is_cluster and out[0].num_points == 1
+
+
+def test_two_points_far_apart_no_clustering(spark):
+    """edge-cases.test.ts:33-45 (z=16)."""
+    eng = ArrowClusterEngine(spark, OPTS).load(
+        _pts(spark, [(0, -120.0, 40.0), (1, 120.0, -40.0)])
+    )
+    out = eng.get_clusters(WORLD, 16).collect()
+    assert len(out) == 2 and all(not r.is_cluster for r in out)
+
+
+def test_two_colocated_points_cluster(spark):
+    """edge-cases.test.ts:47-59."""
+    eng = ArrowClusterEngine(spark, OPTS).load(
+        _pts(spark, [(0, 10.0, 20.0), (1, 10.0, 20.0)])
+    )
+    out = eng.get_clusters(WORLD, 0).collect()
+    assert len(out) == 1
+    assert out[0].is_cluster and out[0].num_points == 2
+
+
+def test_antimeridian_points(spark):
+    """edge-cases.test.ts:60-70."""
+    eng = ArrowClusterEngine(spark, OPTS).load(
+        _pts(spark, [(0, 179.9, 0.0), (1, -179.9, 0.0)])
+    )
+    assert eng.get_clusters(WORLD, 0).count() >= 1
+
+
+def test_points_near_poles(spark):
+    """edge-cases.test.ts:72-83."""
+    eng = ArrowClusterEngine(spark, OPTS).load(
+        _pts(spark, [(0, 0.0, 85.0), (1, 0.0, -85.0), (2, 0.0, 84.9)])
+    )
+    assert eng.get_clusters(WORLD, 0).count() >= 1
+
+
+def test_partial_world_bbox(spark):
+    """edge-cases.test.ts:85-98: western-hemisphere query returns only
+    lng <= 0 positions."""
+    eng = ArrowClusterEngine(spark, OPTS).load(
+        _pts(spark, [(0, -100.0, 40.0), (1, 100.0, 40.0), (2, 0.0, 0.0)])
+    )
+    out = eng.get_clusters((-180.0, -85.0, 0.0, 85.0), 10).collect()
+    assert len(out) >= 1
+    assert all(r.lng <= 0.0 for r in out)
+
+
+def test_output_schema_types(spark):
+    """edge-cases.test.ts:100-116 — the typed-output contract, as schema
+    assertions on the ClusterOutput DataFrame."""
+    eng = ArrowClusterEngine(spark, OPTS).load(
+        _pts(spark, [(0, 0.0, 0.0), (1, 1.0, 1.0), (2, 2.0, 2.0)])
+    )
+    dt = dict(eng.get_clusters(WORLD, 0).dtypes)
+    assert dt["lng"] == "double" and dt["lat"] == "double"
+    assert dt["num_points"] == "bigint"
+    assert dt["is_cluster"] == "boolean"
+
+
+def test_missing_geometry_column_raises(spark):
+    """edge-cases.test.ts:118-125."""
+    eng = ArrowClusterEngine(spark, OPTS)
+    bad = spark.createDataFrame([(1,), (2,)], "id long")
+    with pytest.raises(Exception):
+        eng.load(bad).get_clusters(WORLD, 0).collect()
+
+
+def test_packed_id_origin_roundtrip(spark):
+    """edge-cases.test.ts:127-148 (getOriginZoom/getOriginId round-trip)
+    over the greedy id-keyed engine: every cluster id decodes to a valid
+    origin zoom, and expansion zoom equals the decode."""
+    pts = _pts(spark, [(0, 0.0, 0.0), (1, 0.001, 0.001), (2, 0.002, 0.002)])
+    eng = GreedyClusterEngine(spark, OPTS).load(pts)
+    total = 3
+    clusters = (
+        eng._require()
+        .filter((F.col("zoom") == 0) & (F.col("num_points") > 1))
+        .collect()
+    )
+    assert clusters, "co-located points must cluster at z0"
+    for c in clusters:
+        cid = int(c.cluster_id)
+        origin_zoom = (cid - total) % 32  # arrow-cluster-engine.ts:304-306
+        origin_id = (cid - total) >> 5
+        assert 0 <= origin_zoom <= OPTS.max_zoom + 1
+        assert origin_id >= 0
+        assert eng.get_cluster_expansion_zoom(cid) == origin_zoom

@@ -283,3 +283,66 @@ def neardup_pairs_lsh(
     return joined.select("a_id", "b_id", cos.alias("cos")).filter(
         F.col("cos") >= F.lit(threshold)
     )
+
+
+def ivf_write_index(
+    corpus: DataFrame,
+    path: str,
+    vec: str = "embedding",
+    key: str = "vec_id",
+    n_lists: int = 16,
+    seed: int = 42,
+) -> None:
+    """Persist an IVF index: the assigned corpus written PARTITIONED BY
+    list_id (each coarse cell its own directory) plus the tiny centroid
+    table. At 100 TB this is the layout that makes ANN cheap: a query's
+    nprobe lists map to nprobe directories, and everything else is never
+    read."""
+    assigned, centers = ivf_build(corpus, vec, key, n_lists, seed)
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{path}/lists"
+    )
+    centers.write.mode("overwrite").parquet(f"{path}/centers")
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    vec: str = "embedding",
+    key: str = "vec_id",
+    qkey: str = "q_id",
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN over a persisted IVF index: probes select each query's nprobe
+    nearest centroids (broadcast centroid table), and the corpus scan is
+    restricted to the probed list_id partitions — the broadcast equi-join
+    on the partition column lets dynamic partition pruning skip the other
+    (n_lists − nprobe)/n_lists of the files (asserted in
+    tests/test_plans.py). Scoring and ranking reuse the two-phase
+    top-k."""
+    centers = spark.read.parquet(f"{path}/centers")
+    lists = spark.read.parquet(f"{path}/lists")
+    qc = queries.select(F.col(qkey), F.col(vec).alias("q_emb")).crossJoin(
+        F.broadcast(centers)
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            as_double(F.col("q_emb")), F.col("center"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy(qkey).orderBy(d2.asc(), F.col("list_id"))
+    probes = (
+        qc.withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select(qkey, "q_emb", "list_id")
+    )
+    scored = lists.join(F.broadcast(probes), "list_id").select(
+        qkey,
+        key,
+        F.round(cosine(as_double(F.col("q_emb")), as_double(F.col(vec))), 6).alias("cos"),
+    )
+    return _ranked_topk(scored, qkey, key, k)

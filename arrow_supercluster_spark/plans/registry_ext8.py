@@ -176,3 +176,31 @@ def q_multimodal_frames(spark, sf_dir):
     return out.select(
         "media_id", "frame_idx", F.length("frame").alias("frame_bytes")
     )
+
+
+_IVF_PATH = "/tmp/ascs_ivf_index"
+_IVF_SF: str | None = None
+
+
+@register("q_ann_ivf_indexed", None)
+def q_ann_ivf_indexed(spark, sf_dir):
+    """E3 — ANN over the PERSISTED IVF index (list_id-partitioned parquet
+    + centroid table): probes restrict the scan to nprobe partitions via
+    dynamic partition pruning (asserted in tests/test_plans.py /
+    test_similarity.py). Rows-only (k-means assignment is
+    float-iterative); self-query rank-1 identity and rank ordering are
+    pinned in tests."""
+    global _IVF_SF
+    from arrow_supercluster_spark.operators.similarity import (
+        ivf_topk_indexed,
+        ivf_write_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if _IVF_SF != sf_dir:
+        ivf_write_index(emb, _IVF_PATH, n_lists=8)
+        _IVF_SF = sf_dir
+    queries = emb.limit(8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding")
+    )
+    return ivf_topk_indexed(spark, _IVF_PATH, queries, k=5, nprobe=2)

@@ -58,3 +58,38 @@ def test_cc_with_null_geometry(spark, exact_golden):
     pd.testing.assert_frame_equal(got, exact, check_exact=True)
     # leaf level holds the 300 real points
     assert (exact["zoom"] == OPTS.leaf_zoom).sum() == 300
+
+
+def test_nav_works_on_cc_output(spark, exact_golden):
+    """Packed-id drill-down (greedy_nav) over the DISTRIBUTED table: the
+    cc-mode hierarchy feeds the same navigation surface, and leaves of
+    the biggest root cluster equal the exact-mode kernel's naive DFS."""
+    from arrow_supercluster_spark.operators.greedy_nav import (
+        greedy_children,
+        greedy_leaves,
+    )
+    from tests.test_greedy_nav import naive_leaves
+
+    pts = spark.createDataFrame(lcg_points(500), "id long, lng double, lat double")
+    nodes = greedy_hierarchy(pts, OPTS, mode="cc")
+    nodes.persist().count()
+    try:
+        root = (
+            exact_golden[
+                (exact_golden.zoom == OPTS.min_zoom) & (exact_golden.num_points > 1)
+            ]
+            .sort_values(["num_points", "cluster_id"], ascending=[False, True])
+            .iloc[0]
+        )
+        anchor = int(root.cluster_id)
+        ch = greedy_children(nodes, anchor).collect()
+        assert sum(c.num_points for c in ch) == int(root.num_points)
+        got = [
+            r.id
+            for r in greedy_leaves(nodes, anchor, OPTS.min_zoom, OPTS.leaf_zoom)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == naive_leaves(exact_golden, anchor)
+    finally:
+        nodes.unpersist()

@@ -1,0 +1,99 @@
+"""Property-based checks (hypothesis) for distributed kernels whose
+correctness argument has quantifiers — "for ANY partitioning", "for ANY
+interval layout" — that example tests under-cover. Each property runs a
+handful of randomized examples against an in-process pandas reference."""
+
+import datetime as dt
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(st.integers(0, 10_000), min_size=1, max_size=60),
+    ivals=st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(0, 3000)),
+        min_size=1,
+        max_size=12,
+    ),
+    bin_seconds=st.sampled_from([60, 900, 3600]),
+)
+def test_interval_join_equals_naive(spark, events, ivals, bin_seconds):
+    """Bin-bucketed interval join == naive BETWEEN product, for any event
+    layout, interval lengths (including zero-length and bin-straddling),
+    and bin width."""
+    from arrow_supercluster_spark.operators.asof import interval_join
+
+    ev = spark.createDataFrame(
+        [(i, BASE + dt.timedelta(seconds=s)) for i, s in enumerate(events)],
+        "event_id long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [
+            (j, BASE + dt.timedelta(seconds=s), BASE + dt.timedelta(seconds=s + d))
+            for j, (s, d) in enumerate(ivals)
+        ],
+        "interval_id long, ival_start timestamp, ival_end timestamp",
+    )
+    got = {
+        (r.event_id, r.interval_id)
+        for r in interval_join(
+            ev, iv, ts="ts", start="ival_start", end="ival_end",
+            bin_seconds=bin_seconds,
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, s in enumerate(events)
+        for j, (s2, d) in enumerate(ivals)
+        if s2 <= s <= s2 + d
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    scores=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 100)),
+        min_size=1,
+        max_size=80,
+    ),
+    nparts=st.sampled_from([1, 3, 7]),
+    k=st.sampled_from([1, 3, 5]),
+)
+def test_two_phase_topk_equals_global_rank(spark, scores, nparts, k):
+    """The narrow partial-top-k phase must never change the final result:
+    for ANY input partitioning and ANY ties, two-phase == a global pandas
+    rank under the same (cos desc, key asc) order."""
+    from arrow_supercluster_spark.operators.similarity import _ranked_topk
+
+    pdf = pd.DataFrame(scores, columns=["q_id", "vec_id", "c"]).drop_duplicates(
+        ["q_id", "vec_id"]
+    )
+    pdf["cos"] = pdf["c"] / 100.0
+    scored = spark.createDataFrame(
+        pdf[["q_id", "vec_id", "cos"]]
+    ).repartition(nparts)
+    got = {
+        (r.q_id, r.rank): r.vec_id
+        for r in _ranked_topk(scored, "q_id", "vec_id", k).collect()
+    }
+    want = {}
+    for q, grp in pdf.groupby("q_id"):
+        grp = grp.sort_values(["cos", "vec_id"], ascending=[False, True])
+        for rank, (_, row) in enumerate(grp.head(k).iterrows(), start=1):
+            want[(q, rank)] = row["vec_id"]
+    assert got == want

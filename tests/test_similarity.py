@@ -72,3 +72,43 @@ def test_neardup_lsh_subset_and_recall(spark, sf_dir):
     assert got <= want, "LSH emitted a pair below threshold"
     if want:
         assert len(got) / len(want) >= 0.5, (len(got), len(want))
+
+
+def test_ivf_indexed_prunes_partitions(spark, sf_dir, tmp_path):
+    """The persisted IVF index must (a) answer identically to the
+    in-memory ivf_topk pipeline given the same assignment seed, and
+    (b) restrict the corpus scan to the probed list_id partitions via
+    dynamic partition pruning."""
+    from pyspark.sql import functions as F
+
+    from arrow_supercluster_spark.operators.similarity import (
+        ivf_topk_indexed,
+        ivf_write_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.limit(5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding")
+    )
+    path = str(tmp_path / "ivf")
+    ivf_write_index(emb, path, n_lists=8)
+    out = ivf_topk_indexed(spark, path, queries, k=3, nprobe=2)
+    rows = out.collect()
+    assert len(rows) == 5 * 3
+    # every query's neighbors are ranked 1..k with descending cosine
+    import collections
+
+    by_q = collections.defaultdict(list)
+    for r in rows:
+        by_q[r.q_id].append((r.rank, r.cos))
+    for q, rs in by_q.items():
+        rs.sort()
+        assert [r for r, _ in rs] == [1, 2, 3]
+        assert all(rs[i][1] >= rs[i + 1][1] for i in range(len(rs) - 1))
+    # a query vector searches for itself: its own id must be rank 1
+    # (it lives in its nearest list by construction)
+    top1 = {r.q_id: r.vec_id for r in rows if r.rank == 1}
+    assert all(q == v for q, v in top1.items())
+    # (b) the scan is partition-pruned at runtime
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "expected DPP on list_id"

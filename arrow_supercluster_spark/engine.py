@@ -69,6 +69,33 @@ class ArrowClusterEngine:
             raise RuntimeError("call load() first")  # engine.ts throws similarly pre-load
         return self._nodes
 
+    def append(self, points: DataFrame) -> "ArrowClusterEngine":
+        """Incremental refresh: aggregate ONLY the new points to leaf
+        cells, merge into the existing leaf via the leaf merge algebra
+        (counts/sums add, mins min — gc.merge_leaf_aggregates), and
+        re-derive the upper levels from the merged leaf. Old raw points
+        are never rescanned: the cost is O(|new| + occupied cells),
+        which is what keeps a 100 TB index refreshable. Writes the new
+        hierarchy generation beside the old one (the old table is being
+        read while the new one is written)."""
+        pts = gc.prepare_points(points)
+        new_leaf = gc.cell_agg(
+            gc.with_cells(pts, self.opts.leaf_zoom, self.opts),
+            self.opts.leaf_zoom,
+        )
+        old_leaf = self._require().filter(
+            F.col("zoom") == self.opts.leaf_zoom
+        ).select(*new_leaf.columns)
+        merged = gc.merge_leaf_aggregates(old_leaf, new_leaf, self.opts)
+        self._generation = getattr(self, "_generation", 0) + 1
+        path = f"{self.workdir}/hierarchy_gen{self._generation}"
+        self._nodes = gc.materialize_from_leaf(merged, path, self.opts)
+        self._points = (
+            self._points.unionByName(pts) if self._points is not None else pts
+        )
+        self._indexed_count = None
+        return self
+
     @property
     def indexed_point_count(self) -> int:
         """A7 (arrow-cluster-engine.ts:49-53)."""

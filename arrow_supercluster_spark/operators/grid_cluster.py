@@ -152,9 +152,40 @@ def materialize_hierarchy(
     lineage-blowup hazard SURVEY §7 flags). At 100 TB this is the only
     shape that works: level files are also the natural unit of incremental
     refresh and of engine-restart recovery."""
-    spark = points.sparkSession
     pts = points if prepared else prepare_points(points)
     leaf = cell_agg(with_cells(pts, opts.leaf_zoom, opts), opts.leaf_zoom)
+    return materialize_from_leaf(leaf, path, opts)
+
+
+def merge_leaf_aggregates(a: DataFrame, b: DataFrame, opts: ClusterOptions = DEFAULT_OPTIONS) -> DataFrame:
+    """Leaf node tables form a MERGE ALGEBRA (counts/sums add, mins min):
+    combining two corpora's leaves is one aggregation over the two
+    aggregate tables — no raw point is ever rescanned. This is what makes
+    incremental refresh O(|new| + |occupied cells|) at 100 TB."""
+    return (
+        a.unionByName(b)
+        .groupBy("cell_x", "cell_y")
+        .agg(
+            F.sum("num_points").alias("num_points"),
+            F.sum("sum_x").alias("sum_x"),
+            F.sum("sum_y").alias("sum_y"),
+            F.min("min_id").alias("min_id"),
+            F.min("min_lng").alias("min_lng"),
+            F.min("min_lat").alias("min_lat"),
+        )
+        .select(
+            F.lit(opts.leaf_zoom).alias("zoom"),
+            *[c for c in NODE_COLS if c != "zoom"],
+        )
+    )
+
+
+def materialize_from_leaf(
+    leaf: DataFrame, path: str, opts: ClusterOptions = DEFAULT_OPTIONS
+) -> DataFrame:
+    """Write the leaf level, derive all upper levels from it in one job,
+    return the zoom-partitioned table (see materialize_hierarchy)."""
+    spark = leaf.sparkSession
     leaf.write.mode("overwrite").partitionBy("zoom").parquet(path)
 
     # Derive ALL upper levels from the leaf aggregates in one job: the leaf

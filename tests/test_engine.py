@@ -140,3 +140,36 @@ def test_layer_memoization(spark, sf_dir):
     out3 = layer.get_clusters(zoom=5.0)  # integer zoom changed → requery
     assert max_job_id() > before
     assert out3 is layer.get_clusters(zoom=5.9)
+
+
+def test_incremental_append_matches_full_load(spark, sf_dir):
+    """engine.append merges new points into the hierarchy WITHOUT
+    rescanning old raw data; result must match a full load of the union
+    (counts/ids exact; centroid sums to 1e-9 — float addition order
+    differs between one-pass and merged aggregation)."""
+    from arrow_supercluster_spark.sources.points import derived_points
+
+    pts = derived_points(spark, sf_dir)
+    a = pts.filter(F.col("id") % 2 == 0)
+    b = pts.filter(F.col("id") % 2 == 1)
+
+    full = ArrowClusterEngine(spark, OPTS).load(pts)
+    inc = ArrowClusterEngine(spark, OPTS).load(a).append(b)
+
+    cols = ["zoom", "cell_x", "cell_y"]
+    f = (
+        full._require()
+        .select(*cols, "num_points", "min_id",
+                F.round("sum_x", 9).alias("sx"), F.round("sum_y", 9).alias("sy"))
+        .toPandas().sort_values(cols).reset_index(drop=True)
+    )
+    i = (
+        inc._require()
+        .select(*cols, "num_points", "min_id",
+                F.round("sum_x", 9).alias("sx"), F.round("sum_y", 9).alias("sy"))
+        .toPandas().sort_values(cols).reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(f, i)
+    assert inc.indexed_point_count == full.indexed_point_count

@@ -97,3 +97,44 @@ def test_two_phase_topk_equals_global_rank(spark, scores, nparts, k):
         for rank, (_, row) in enumerate(grp.head(k).iterrows(), start=1):
             want[(q, rank)] = row["vec_id"]
     assert got == want
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.floats(-179.9, 179.9, allow_nan=False),
+            st.floats(-84.9, 84.9, allow_nan=False),
+        ),
+        min_size=2,
+        max_size=120,
+    )
+)
+def test_cc_greedy_parity_random_points(spark, pts):
+    """mode="cc" == mode="exact" bit-identically for ARBITRARY point
+    clouds (hypothesis), not just the LCG fixture — duplicate positions,
+    tight clusters, and world-spanning spreads included. Shallow zoom
+    range keeps each example fast while still exercising multi-level
+    merges and re-ranking."""
+    from arrow_supercluster_spark.config import ClusterOptions
+    from arrow_supercluster_spark.operators.greedy import greedy_hierarchy
+
+    opts = ClusterOptions(max_zoom=6)
+    rows = [(i, float(lng), float(lat)) for i, (lng, lat) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, lng double, lat double")
+    cols = ["zoom", "cluster_id", "x", "y", "parent_id", "num_points", "pos"]
+
+    def norm(d):
+        return (
+            d.select(*cols).toPandas()
+            .sort_values(["zoom", "cluster_id", "pos"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    exact = norm(greedy_hierarchy(df, opts, mode="exact"))
+    cc = norm(greedy_hierarchy(df, opts, mode="cc"))
+    pd.testing.assert_frame_equal(cc, exact, check_exact=True)

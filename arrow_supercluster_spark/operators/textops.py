@@ -65,20 +65,31 @@ def quality_score(text_col) -> "F.Column":
 def lang_id_expr(text_col) -> "F.Column":
     """Stopword-vote language ID: score per language = number of tokens in
     that language's stopword list; argmax with deterministic tie-break
-    (language code order). Returns 'und' when no stopword hits."""
-    toks = tokenize(text_col)
+    (language code order). Returns 'und' when no stopword hits.
 
-    def stopword_hits(ws):
-        lits = F.array(*[F.lit(w) for w in ws])
-        # single-arg lambda: PySpark passes (element, index) to 2-arg lambdas
-        return F.size(F.filter(toks, lambda t: F.array_contains(lits, t)))
+    The token array is bound ONCE as a lambda variable (the
+    element_at/transform/array trick — see dedup.shingles): referencing
+    `tokenize(text)` directly in each language's filter would embed the
+    tokenization expression per language AND per use in the
+    greatest/CASE chain, re-evaluating it ~12× per row."""
 
-    scores = [(lang, stopword_hits(ws)) for lang, ws in sorted(STOPWORDS.items())]
-    best = F.greatest(*[s for _, s in scores])
-    out = F.lit("und")
-    for lang, s in reversed(scores):  # earlier langs win ties
-        out = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(out)
-    return out
+    def inner(toks):
+        def stopword_hits(ws):
+            lits = F.array(*[F.lit(w) for w in ws])
+            # single-arg lambda: PySpark passes (element, index) to 2-arg
+            # lambdas
+            return F.size(F.filter(toks, lambda t: F.array_contains(lits, t)))
+
+        scores = [
+            (lang, stopword_hits(ws)) for lang, ws in sorted(STOPWORDS.items())
+        ]
+        best = F.greatest(*[s for _, s in scores])
+        out = F.lit("und")
+        for lang, s in reversed(scores):  # earlier langs win ties
+            out = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(out)
+        return out
+
+    return F.element_at(F.transform(F.array(tokenize(text_col)), inner), 1)
 
 
 def rolling_fingerprint(text_col, window: int = 8) -> "F.Column":

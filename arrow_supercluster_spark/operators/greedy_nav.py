@@ -23,14 +23,13 @@ packed cluster id and walk parent pointers + per-zoom trees
     order is KDBush-internal (median-split traversal); we define ours as
     insertion order — deterministic and hierarchy-faithful.
 
-getLeaves pagination is DFS order (arrow-cluster-engine.ts:312-348): a
-leaf's sort key is the concatenation of fixed-width `pos` segments along
-its path from the queried cluster; sibling subtrees are contiguous,
-exactly like the reference's recursive skip/limit walk. (The reference's
-skipped+numPoints<=offset subtree skip is a traversal shortcut over the
-same order; a cumulative-count pushdown could prune subtrees here too —
-left as future work, the full leaf set of one cluster is bounded by its
-num_points.)
+getLeaves pagination is DFS order (arrow-cluster-engine.ts:312-348),
+computed in closed form: a subtree's leaves occupy the contiguous DFS
+index range [lo, lo+num_points), so child lo = parent lo + prefix sum of
+earlier siblings' counts (per-parent window over `pos`), a leaf's rank is
+lo+1, and subtrees whose range misses the requested page are pruned —
+the relational form of the reference's skipped+numPoints<=offset subtree
+skip. No global sort anywhere.
 
 Scale notes: every lookup is an equi-filter or broadcast join against a
 zoom-partitioned persisted table — partition pruning + parquet min/max
@@ -44,15 +43,6 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-
-# pos is salted into high bits in partitioned mode (≤ 2^54) → 19 digits
-# covers any int64
-_POS_W = 19
-
-
-def _pos_seg(col: F.Column) -> F.Column:
-    return F.lpad(col.cast("string"), _POS_W, "0")
-
 
 def anchor_origin_zoom(nodes: DataFrame, cluster_id: int) -> DataFrame:
     """(1-row) origin zoom of a packed cluster id: the level its children
@@ -83,55 +73,69 @@ def greedy_leaves(
     """getLeaves(clusterId, limit, offset) in DFS order
     (arrow-cluster-engine.ts:231-235, 312-348).
 
-    Per level, the level's rows broadcast-join the accumulated
-    (cluster_id, path) frontier; leaves collect with their path, clusters
-    extend the frontier. The frontier must ACCUMULATE (a descendant
-    created at a deep zoom is matched at its min-zoom row but its own
-    children live at its origin zoom, arbitrarily later), and
-    `frontier ∪ (level ⋈ frontier)` references the prior frontier twice —
-    left lazy that doubles the logical plan per level (2^18 nodes by the
-    leaf level, a Catalyst OOM). So each level eagerly localCheckpoints
-    the frontier, truncating lineage: ≤18 tiny jobs, each bounded by the
-    queried cluster's descendant count, never the corpus.
+    DFS leaf ranks are computed in CLOSED FORM, no global sort: a node's
+    leaves occupy the contiguous DFS-index range [lo, lo+num_points), so
+    child_lo = parent_lo + Σ num_points of earlier siblings (a per-parent
+    prefix sum over `pos` — the reference's child order). A leaf's rank
+    is simply lo+1. This also gives the reference's subtree-skip
+    (`skipped + numPoints <= offset`, :329-333) relationally: a subtree
+    whose whole range falls outside (offset, offset+limit] is PRUNED from
+    the frontier, so deep pagination into a billion-leaf cluster walks
+    only the subtrees that intersect the page.
+
+    The frontier must ACCUMULATE across levels (a descendant matched at
+    its min-zoom row has children at its origin zoom, arbitrarily later),
+    and `frontier ∪ f(frontier)` doubles the logical plan per level —
+    each level eagerly localCheckpoints it (≤18 tiny jobs, bounded by the
+    surviving subtree count, never the corpus).
 
     Returns (rank, id): rank = 1-based DFS position, filtered to
     (offset, offset+limit]."""
+    hi = None if limit is None else offset + limit
     frontier = (
         nodes.filter(F.col("cluster_id") == cluster_id)
-        .select(F.col("cluster_id").alias("_fid"), F.lit("").alias("_path"))
+        .select(F.col("cluster_id").alias("_fid"), F.lit(0).cast("long").alias("_lo"))
         .distinct()  # pass-through rows repeat the id across zooms
         .localCheckpoint(eager=True)
     )
     leaf_parts = []
     for z in range(min_zoom, leaf_zoom + 1):
         level = nodes.filter(F.col("zoom") == z)
-        joined = level.join(
-            F.broadcast(frontier), level["parent_id"] == F.col("_fid")
-        ).select(
-            "cluster_id",
-            "num_points",
-            F.concat(F.col("_path"), _pos_seg(F.col("pos"))).alias("_path"),
+        w = (
+            Window.partitionBy("_fid")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, -1)
         )
+        joined = (
+            level.join(F.broadcast(frontier), level["parent_id"] == F.col("_fid"))
+            .select("_fid", "_lo", "cluster_id", "num_points", "pos")
+            .withColumn(
+                "_clo",
+                F.col("_lo") + F.coalesce(F.sum("num_points").over(w), F.lit(0)),
+            )
+        )
+        # subtree-skip: keep only subtrees intersecting the page
+        kept = joined.filter(F.col("_clo") + F.col("num_points") > F.lit(offset))
+        if hi is not None:
+            kept = kept.filter(F.col("_clo") < F.lit(hi))
         leaf_parts.append(
-            joined.filter(F.col("num_points") == 1).select(
-                F.col("cluster_id").alias("id"), "_path"
+            kept.filter(F.col("num_points") == 1).select(
+                F.col("cluster_id").alias("id"),
+                (F.col("_clo") + 1).alias("rank"),
             )
         )
         if z < leaf_zoom:
             frontier = frontier.unionByName(
-                joined.filter(F.col("num_points") > 1).select(
-                    F.col("cluster_id").alias("_fid"), F.col("_path")
+                kept.filter(F.col("num_points") > 1).select(
+                    F.col("cluster_id").alias("_fid"), F.col("_clo").alias("_lo")
                 )
             ).localCheckpoint(eager=True)
     leaves = leaf_parts[0]
     for p in leaf_parts[1:]:
         leaves = leaves.unionByName(p)
-    ranked = leaves.select(
-        "id", F.row_number().over(Window.orderBy("_path")).alias("rank")
-    )
-    ranked = ranked.filter(F.col("rank") > offset)
-    if limit is not None:
-        ranked = ranked.filter(F.col("rank") <= offset + limit)
+    ranked = leaves.filter(F.col("rank") > offset)
+    if hi is not None:
+        ranked = ranked.filter(F.col("rank") <= hi)
     return ranked.select("rank", "id")
 
 

@@ -116,3 +116,70 @@ def curate_corpus(
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n").alias("n_tokens"))
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict,
+    key: str = "doc_id",
+    source: str = "source",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Domain-mixture sampling: each source keeps a deterministic
+    ~rate share of its rows (the pretraining data-mixing primitive —
+    upsample curated domains, downsample crawl). Same portable keyed
+    hash as hash_sample, with a per-source threshold: still one narrow
+    filter, no shuffle, membership stable across runs and engines."""
+    thr = F.lit(int(default_rate * HASH_MOD))
+    for s, r in sorted(rates.items()):
+        thr = F.when(F.col(source) == s, F.lit(int(r * HASH_MOD))).otherwise(thr)
+    return df.filter(hash_bucket(F.col(key)) < thr)
+
+
+def shard_payloads(
+    docs: DataFrame,
+    budget: int = 512,
+    text: str = "text",
+    key: str = "doc_id",
+    substreams: int = 1,
+    sep: str = "\n",
+) -> DataFrame:
+    """Materialize the packed training shards: per (lang, substream,
+    shard), documents concatenated in key order — the actual sequence a
+    trainer reads. One aggregation over the packed assignment; the
+    in-group order is pinned by sorting the collected (key, text) structs,
+    so output is deterministic under any partitioning. Shard payload size
+    is bounded by the token budget, so collect_list never exceeds
+    ~budget tokens per group."""
+    t = F.col(text)
+    scored = docs.select(
+        F.col(key),
+        t.alias("_text"),
+        textops.lang_id_expr(t).alias("lang"),
+        F.pmod(F.col(key), F.lit(substreams)).alias("substream"),
+        textops.token_count(t).cast("long").alias("n"),
+    )
+    w = (
+        Window.partitionBy("lang", "substream")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = scored.withColumn(
+        "shard",
+        F.floor(F.coalesce(F.sum("n").over(w), F.lit(0)) / F.lit(float(budget))),
+    )
+    collected = packed.groupBy("lang", "substream", "shard").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(key).alias("k"), F.col("_text").alias("t")))
+        ).alias("docs"),
+        F.sum("n").alias("n_tokens"),
+    )
+    payload = F.array_join(
+        F.transform(F.col("docs"), lambda d: d["t"]), sep
+    )
+    return collected.select(
+        "lang", "substream", "shard",
+        F.size("docs").alias("n_docs"),
+        "n_tokens",
+        payload.alias("payload"),
+    )

@@ -204,3 +204,60 @@ def q_ann_ivf_indexed(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("embedding")
     )
     return ivf_topk_indexed(spark, _IVF_PATH, queries, k=5, nprobe=2)
+
+
+_MIX_RATES = {f"src{i}": (0.2 if i % 2 == 0 else 0.05) for i in range(20)}
+_SQL_MIX_CASE = (
+    "CASE source "
+    + " ".join(
+        f"WHEN '{s}' THEN {int(r * pipeline.HASH_MOD)}"
+        for s, r in sorted(_MIX_RATES.items())
+    )
+    + " ELSE 0 END"
+)
+
+
+@register(
+    "q_mixture_sample",
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE (doc_id * {pipeline.HASH_MULT}) % {pipeline.HASH_MOD}
+          < {_SQL_MIX_CASE}
+    """,
+)
+def q_mixture_sample(spark, sf_dir):
+    """Pipeline — domain-mixture sampling: even-numbered sources keep
+    ~20%, odd ~5% (the pretraining data-mixing primitive). One narrow
+    deterministic filter; membership reproducible across engines."""
+    return pipeline.mixture_sample(_docs(spark, sf_dir), _MIX_RATES).select(
+        "doc_id", "source"
+    )
+
+
+@register(
+    "q_shard_payloads",
+    f"""
+    WITH langd AS ({_SQL_DOC_LANG_TOKS.format(src="documents")}),
+    packed AS (
+      SELECT d.doc_id, d.text, l.lang, l.n,
+             d.doc_id % {_SUBSTREAMS} AS substream,
+             COALESCE(SUM(l.n) OVER (
+               PARTITION BY l.lang, d.doc_id % {_SUBSTREAMS} ORDER BY d.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      FROM documents d JOIN langd l USING (doc_id)
+    )
+    SELECT lang, substream,
+           CAST(floor(prev / {float(_BUDGET)!r}) AS BIGINT) AS shard,
+           COUNT(*) AS n_docs, SUM(n) AS n_tokens,
+           string_agg(text, chr(10) ORDER BY doc_id) AS payload
+    FROM packed GROUP BY 1, 2, 3
+    """,
+)
+def q_shard_payloads(spark, sf_dir):
+    """Pipeline — materialized training shards: per (lang, substream,
+    shard) the documents concatenated in key order, the actual sequence a
+    trainer reads. Deterministic under any partitioning (collected
+    structs are sorted before joining)."""
+    return pipeline.shard_payloads(
+        _docs(spark, sf_dir), budget=_BUDGET, substreams=_SUBSTREAMS
+    )

@@ -1,0 +1,170 @@
+"""Corpus-hygiene operators for a pretraining pipeline: benchmark
+decontamination (n-gram overlap vs an eval set), PII redaction, and
+repetition-based quality signals (Gopher-style rules).
+
+These extend the reference's data-model scope (it has no text surface;
+its filter semantics F1-F3 at
+packages/arrow-supercluster/src/arrow-cluster-engine.ts:79-91 are the
+closest analog: "excluded rows never enter the index") with the brief's
+LLM-data-pipeline mandate. All public-knowledge techniques: n-gram
+overlap decontamination (GPT-2/3 papers' 8-gram / 13-gram method),
+regex PII scrubbing, and the repetition filters of Rae et al. 2021
+(Gopher) §A1.1.
+
+Scale notes (100 TB):
+- n-gram sets cross the shuffle as md5 digests, never raw text;
+- the eval-set side of the decontamination join is tiny by nature
+  (benchmarks are MBs) -> broadcast, so the corpus never shuffles;
+- PII scrubbing is a narrow per-row map (pure JVM regex, no Python);
+- repetition stats need one doc_id-keyed shuffle for token counts; the
+  sentence-level signals are narrow HOF expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from arrow_supercluster_spark.operators.dedup import normalize_text
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination
+# --------------------------------------------------------------------------
+
+
+def _ngram_expr(toks: str, n: int) -> F.Column:
+    """Array of space-joined n-grams over a token-array column (empty when
+    the doc is shorter than n tokens).
+
+    NOTE: guarded with CASE because Spark's sequence(1, 0) yields the
+    DESCENDING [1, 0], not an empty array.
+    """
+    return F.expr(
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(1, size({toks}) - {n} + 1), "
+        f"i -> array_join(slice({toks}, i, {n}), ' ')) "
+        f"ELSE array() END"
+    )
+
+
+def doc_ngram_digests(docs: DataFrame, n: int = 8) -> DataFrame:
+    """(doc_id, g) — the distinct md5 digests of each document's
+    word-level n-grams. Digests (32-byte hex) cross the wire, not text."""
+    toks = F.split(normalize_text(F.col("text")), " ")
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(_ngram_expr("toks", n), F.md5)
+                )
+            ).alias("g"),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame, eval_pred: F.Column, n: int = 8
+) -> DataFrame:
+    """Flag training documents sharing any word n-gram with the eval set.
+
+    `eval_pred` selects the held-out/benchmark rows within `docs` (in a
+    real pipeline the eval side is a separate tiny table; the join shape
+    is identical). Returns (doc_id, n_overlap) for contaminated non-eval
+    docs. The eval n-gram set is broadcast — the corpus side never
+    shuffles; scoring is a broadcast-hash semi-ish join + one partial agg.
+    """
+    grams = doc_ngram_digests(docs, n)
+    eval_ids = docs.filter(eval_pred).select("doc_id")
+    eval_grams = (
+        grams.join(F.broadcast(eval_ids), "doc_id").select("g").distinct()
+    )
+    train_grams = grams.join(
+        F.broadcast(eval_ids), "doc_id", "left_anti"
+    )
+    return (
+        train_grams.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+# Kept to syntax valid AND identical in Java regex (Spark) and RE2 (DuckDB
+# oracle): no backreferences, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails/phone numbers and count redactions per doc.
+
+    Narrow, pure-JVM regex map (no Python in the path); emits the
+    scrubbed text plus per-kind counts so downstream stats can audit
+    redaction rates."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+    scrubbed = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    n_phones = F.size(
+        F.regexp_extract_all(scrubbed, F.lit(PHONE_RE), F.lit(0))
+    )
+    scrubbed = F.regexp_replace(scrubbed, PHONE_RE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        scrubbed.alias("scrubbed_text"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Repetition quality signals (Gopher §A1.1-style)
+# --------------------------------------------------------------------------
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc repetition signals: duplicate-sentence fraction and the
+    fraction of tokens taken by the single most frequent token.
+
+    Sentence signals are narrow HOF expressions; the top-token fraction
+    needs one explode + doc_id-keyed aggregation (the scalable form — a
+    per-doc HOF count would be O(tokens²) per row). Both branches hash
+    on doc_id, so the final join co-partitions without a new Exchange
+    under AQE."""
+    toks = F.split(normalize_text(F.col("text")), " ")
+    sents = F.split(F.col("text"), r"\. ")
+    sent_stats = docs.select(
+        "doc_id",
+        F.size(sents).alias("n_sents"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(sents))
+            / F.greatest(F.size(sents), F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_sent_frac"),
+    )
+    tok_stats = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.max("cnt") / F.sum("cnt").cast("double"), 6
+            ).alias("top_tok_frac"),
+            F.sum("cnt").alias("n_tokens"),
+        )
+    )
+    return sent_stats.join(tok_stats, "doc_id").select(
+        "doc_id",
+        "n_sents",
+        "dup_sent_frac",
+        "n_tokens",
+        "top_tok_frac",
+        (
+            (F.col("dup_sent_frac") > 0.3) | (F.col("top_tok_frac") > 0.2)
+        ).alias("repetitive"),
+    )

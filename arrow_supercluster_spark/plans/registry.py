@@ -258,6 +258,7 @@ def _load_extended_registries():
         registry_ext6,
         registry_ext7,
         registry_ext8,
+        registry_ext9,
     )
 
 

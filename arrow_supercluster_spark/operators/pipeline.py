@@ -136,6 +136,70 @@ def mixture_sample(
     return df.filter(hash_bucket(F.col(key)) < thr)
 
 
+def stratified_sample(
+    df: DataFrame,
+    quota: int,
+    group: str = "lang",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Exact per-group quotas: the `quota` rows with the smallest
+    portable hash per `group` (deterministic across runs, partitionings,
+    and engines — the reproducible alternative to sampleBy, which is
+    rate-based and RNG-seeded per partition).
+
+    Two-phase so the per-group rank never sees the full table: a NARROW
+    partition-local top-`quota`-per-group pass first (selection by the
+    same (hash, key) total order is associative, so no global winner can
+    be eliminated locally), then the exact row_number rank over at most
+    partitions·quota rows per group. The final semi-join carries only
+    winner keys; the wide row never shuffles.
+    """
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    slim = df.select(
+        F.col(group).alias("_g"),
+        hash_bucket(F.col(key)).alias("_h"),
+        F.col(key).alias("_k"),
+    )
+
+    def reduce_part(batches):
+        acc = None
+        for pdf in batches:
+            both = pdf if acc is None else pd.concat((acc, pdf))
+            acc = (
+                both.sort_values(["_h", "_k"])
+                .groupby("_g", sort=False)
+                .head(quota)
+            )
+        if acc is not None:
+            yield acc
+
+    reduced = slim.mapInPandas(reduce_part, schema=slim.schema)
+    w = Window.partitionBy("_g").orderBy("_h", "_k")
+    winners = (
+        reduced.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= quota)
+        .select("_k")
+    )
+    return df.join(F.broadcast(winners), df[key] == winners["_k"]).drop("_k")
+
+
+def sql_stratified_sample(
+    quota: int, cols: str, group: str = "lang", key: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`stratified_sample` over `documents`."""
+    return f"""
+    SELECT {cols} FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY {group}
+               ORDER BY ({key} * {HASH_MULT}) % {HASH_MOD}, {key}) AS _r
+      FROM documents
+    ) WHERE _r <= {quota}
+    """
+
+
 def shard_payloads(
     docs: DataFrame,
     budget: int = 512,

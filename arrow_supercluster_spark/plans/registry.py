@@ -259,6 +259,7 @@ def _load_extended_registries():
         registry_ext7,
         registry_ext8,
         registry_ext9,
+        registry_ext10,
     )
 
 

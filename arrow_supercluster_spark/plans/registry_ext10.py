@@ -1,0 +1,152 @@
+"""Round-2 registry additions, batch 3: relevance scoring (BM25), LM
+quality scoring (unigram log-prob), stratified quota sampling, value
+histograms, a JSONL source/sink round-trip, and CUBE grouping sets.
+All oracle-checked; float outputs rounded before hashing.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from arrow_supercluster_spark.operators import pipeline, relevance
+from arrow_supercluster_spark.plans.registry import register
+from arrow_supercluster_spark.plans.registry_ext import SQL_TOKS, _docs
+
+_BM25_TERMS = ["spark", "hash", "vector"]
+_BM25_K = 20
+_VOCAB = 24  # small enough that the OOV smoothing path is actually exercised
+_QUOTA = 25
+
+
+@register(
+    "q_bm25_search",
+    relevance.sql_bm25_topk(_BM25_TERMS, _BM25_K, SQL_TOKS),
+)
+def q_bm25_search(spark, sf_dir):
+    """Pipeline — Okapi BM25 keyword relevance, top-20 for a 3-term
+    query. The corpus token stream is exploded only onto the query terms
+    (postings filter inside the generator projection), document
+    frequencies and the (N, avgdl) scalars are broadcast, and the final
+    rank is a TakeOrderedAndProject — no full-corpus shuffle."""
+    return relevance.bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=_BM25_K)
+
+
+@register(
+    "q_unigram_logprob",
+    relevance.sql_unigram_logprob(_VOCAB, SQL_TOKS),
+)
+def q_unigram_logprob(spark, sf_dir):
+    """Pipeline — CCNet-style LM quality signal: mean unigram log-prob
+    per document under the corpus's own top-V unigram distribution
+    (V=24 so out-of-vocabulary smoothing is exercised). One word-count
+    agg fits the vocabulary; scoring folds a broadcast token→ln(p) map
+    over each document's token array — narrow, no corpus shuffle."""
+    return relevance.unigram_logprob(_docs(spark, sf_dir), vocab_size=_VOCAB)
+
+
+@register(
+    "q_stratified_sample",
+    pipeline.sql_stratified_sample(_QUOTA, "doc_id, lang, source"),
+)
+def q_stratified_sample(spark, sf_dir):
+    """Pipeline — exact per-language quotas (25 docs/lang) by smallest
+    portable hash: the reproducible stratified-sampling primitive
+    (sampleBy is rate-based and RNG-seeded — membership changes across
+    runs). Two-phase: narrow partition-local top-quota-per-group, then
+    the exact rank over ≤ partitions·quota rows, then a broadcast
+    semi-join of winner keys — the wide row never shuffles."""
+    return pipeline.stratified_sample(_docs(spark, sf_dir), _QUOTA).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "q_value_histogram",
+    """
+    SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
+           COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v,
+           round(SUM(value), 4) AS sum_v
+    FROM events GROUP BY 1
+    """,
+)
+def q_value_histogram(spark, sf_dir):
+    """X1 companion — fixed-width histogram binning over events.value:
+    the profiling primitive behind every distribution dashboard. One
+    partial-agg shuffle keyed by ~20 bins; sums rounded before hashing
+    (double addition is order-dependent)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.floor(F.col("value") / 25.0).cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+        F.round(F.sum("value"), 4).alias("sum_v"),
+    )
+
+
+@register(
+    "q_jsonl_roundtrip",
+    """
+    SELECT event_id, user_id, event_type, value, props,
+           epoch_us(ts) AS ts_us
+    FROM events
+    """,
+)
+def q_jsonl_roundtrip(spark, sf_dir):
+    """S2 companion — JSON-lines source/sink round-trip (the exchange
+    format every labeling/ingest pipeline speaks): write events as JSONL
+    with microsecond timestamp fidelity, read back with an explicit
+    schema (schema inference on 100 TB is a full extra scan), and prove
+    value equality against the parquet original. Doubles survive via
+    shortest-round-trip formatting; timestamps via an explicit
+    6-fraction-digit format."""
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value", "props",
+        # parquet yields TIMESTAMP_NTZ; cast to instant semantics under the
+        # UTC session so the JSON format applies and unix_micros resolves
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    path = tempfile.mkdtemp(prefix="jsonl_rt_") + "/events"
+    ev.write.mode("overwrite").option("timestampFormat", ts_fmt).json(path)
+    back = (
+        spark.read.schema(ev.schema)
+        .option("timestampFormat", ts_fmt)
+        .json(path)
+    )
+    return back.select(
+        "event_id", "user_id", "event_type", "value", "props",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+
+
+@register(
+    "q_cube_agg",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n, round(SUM(o_totalprice), 2) AS sum_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_agg(spark, sf_dir):
+    """Grouping-sets coverage beyond ROLLUP: full CUBE over orders —
+    all four grouping combinations in one partial-agg pass (Spark
+    expands grouping sets before the single shuffle)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "sum_price",
+        )
+    )

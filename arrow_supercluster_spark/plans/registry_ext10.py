@@ -123,6 +123,68 @@ def q_jsonl_roundtrip(spark, sf_dir):
     )
 
 
+_CHUNK, _STRIDE = 200, 150  # 50-char overlap
+
+
+@register(
+    "q_doc_chunks",
+    f"""
+    SELECT doc_id, i AS chunk_idx,
+           substr(text, CAST(i * {_STRIDE} + 1 AS BIGINT), {_CHUNK}) AS chunk
+    FROM documents,
+         unnest(generate_series(0,
+           CAST(floor((length(text) - 1) / {_STRIDE}) AS BIGINT))) AS t(i)
+    """,
+)
+def q_doc_chunks(spark, sf_dir):
+    """Pipeline — fixed-window document chunking with overlap (the RAG /
+    context-window prep primitive): 200-char chunks on a 150-char stride.
+    A narrow generator projection — sequence+explode inside the row, no
+    shuffle, no UDF; chunk count derives from length() so the plan
+    needs no second scan."""
+    docs = _docs(spark, sf_dir)
+    n = F.length("text")
+    idx = F.explode(
+        F.sequence(F.lit(0), F.floor((n - 1) / _STRIDE).cast("long"))
+    ).alias("chunk_idx")
+    return docs.select("doc_id", "text", idx).select(
+        "doc_id",
+        "chunk_idx",
+        F.col("text")
+        .substr(F.col("chunk_idx") * _STRIDE + 1, F.lit(_CHUNK))
+        .alias("chunk"),
+    )
+
+
+@register(
+    "q_inverted_index",
+    f"""
+    SELECT tok, list_sort(list(DISTINCT doc_id)) AS docs,
+           COUNT(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id, unnest({SQL_TOKS}) AS tok FROM documents)
+    GROUP BY tok
+    """,
+)
+def q_inverted_index(spark, sf_dir):
+    """Pipeline — inverted index build (token → sorted posting list +
+    document frequency), the batch side of any search/retrieval system.
+    One token-keyed agg with map-side partials; postings travel as doc-id
+    sets, never text. At 100 TB, head tokens' lists get long — the
+    production layout shards postings by (token, doc_id range) buckets;
+    the relational kernel here is the per-bucket unit of that layout."""
+    from arrow_supercluster_spark.operators.dedup import tokenize
+
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(
+            F.array_sort(F.collect_set("doc_id")).alias("docs"),
+            F.count_distinct("doc_id").alias("df"),
+        )
+    )
+
+
 @register(
     "q_cube_agg",
     """

@@ -178,10 +178,10 @@ def q_inverted_index(spark, sf_dir):
     return (
         docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
         .groupBy("tok")
-        .agg(
-            F.array_sort(F.collect_set("doc_id")).alias("docs"),
-            F.count_distinct("doc_id").alias("df"),
-        )
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+        # df from the posting array itself — a count_distinct agg would
+        # force a second Expand+Exchange for the same number
+        .select("tok", "docs", F.size("docs").alias("df"))
     )
 
 

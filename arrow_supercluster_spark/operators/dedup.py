@@ -144,7 +144,16 @@ def lsh_candidate_pairs(
     if pre_dedup:
         docs = exact_dedup(docs, text, key)
     rows_per_band = num_hashes // bands
-    sigs = minhash_docs(docs, text, key, num_hashes, shingle_k)
+    # The signature table fans out four ways (two banded join sides + two
+    # signature re-attach joins); without materialization each consumer
+    # recomputes the shingle-explode + 16-min-agg lineage. Signatures are
+    # tiny (key + num_hashes longs — ~1/1000th of the text they summarize),
+    # so compute-once is the right trade at any scale (measured ~30%
+    # faster at sf0.1; on a real cluster persist() or an intermediate
+    # table serves the same role with executor-failure tolerance).
+    sigs = minhash_docs(docs, text, key, num_hashes, shingle_k).localCheckpoint(
+        eager=False
+    )
     banded = sigs.select(
         key,
         F.posexplode(

@@ -123,6 +123,73 @@ def q_jsonl_roundtrip(spark, sf_dir):
     )
 
 
+@register(
+    "q_group_quantiles",
+    """
+    SELECT lang,
+           round(quantile_cont(n_chars, 0.25), 6) AS p25,
+           round(quantile_cont(n_chars, 0.50), 6) AS p50,
+           round(quantile_cont(n_chars, 0.90), 6) AS p90,
+           COUNT(*) AS n
+    FROM documents GROUP BY lang
+    """,
+)
+def q_group_quantiles(spark, sf_dir):
+    """X1 companion — exact per-group quantiles (doc-length distribution
+    per language): linear-interpolated percentile, the corpus-profiling
+    shape behind every length-filter threshold choice. Exact percentile
+    shuffles each group's values to one reducer — right for bounded
+    group counts like languages; percentile_approx is the unbounded-
+    cardinality variant (tested in q_approx_distinct's family)."""
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("lang").agg(
+        F.round(F.expr("percentile(n_chars, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(n_chars, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.90)"), 6).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_WS_K = 50  # weighted-sample size
+
+
+@register(
+    "q_weighted_sample",
+    f"""
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (ORDER BY
+               round(-ln((({{m}} * doc_id) % {{mod}} + 1.0) / ({{mod}} + 1.0))
+                     / n_chars, 9),
+               doc_id) AS _r
+      FROM documents
+    ) WHERE _r <= {_WS_K}
+    """.format(m=pipeline.HASH_MULT, mod=pipeline.HASH_MOD),
+)
+def q_weighted_sample(spark, sf_dir):
+    """Pipeline — weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES, public algorithm): k docs drawn with probability
+    proportional to n_chars, via key = -ln(u)/w with u a DETERMINISTIC
+    hash-derived uniform — reproducible across runs, partitionings, and
+    engines, unlike rand()-seeded sampling. Keys are rounded before
+    ranking so a 1-ulp libm divergence can't flip the selection at the
+    boundary. Global top-k by smallest key = orderBy().limit() →
+    TakeOrderedAndProject: each partition keeps its own k candidates,
+    the driver merges k·partitions rows — no full sort, no hot reducer."""
+    docs = _docs(spark, sf_dir)
+    u = (
+        F.pmod(F.col("doc_id") * pipeline.HASH_MULT, F.lit(pipeline.HASH_MOD))
+        + 1.0
+    ) / float(pipeline.HASH_MOD + 1)
+    key = F.round(-F.log(u) / F.col("n_chars"), 9)
+    return (
+        docs.select("doc_id", "lang", "n_chars", key.alias("_key"))
+        .orderBy("_key", "doc_id")
+        .limit(_WS_K)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
 _CHUNK, _STRIDE = 200, 150  # 50-char overlap
 
 

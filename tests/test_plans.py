@@ -78,13 +78,18 @@ def test_cosine_topk_partial_before_rank(spark, sf_dir):
     moves O(partitions·k·|q|) rows, never all |corpus|·|q| scored pairs
     into one reducer per query."""
     plan = plan_of(REGISTRY["q_cosine_topk"].spark(spark, sf_dir))
-    assert "MapInPandas" in plan
+    # WindowGroupLimit must appear twice: the Partial below the Exchange
+    # (per-partition top-k before any shuffle) and the Final above it
+    assert plan.count("WindowGroupLimit") == 2
     assert plan.count("Exchange hashpartitioning") == 1
-    # toString prints root-first: the exchange must print before (= be an
-    # ancestor of) the MapInPandas it consumes
-    assert plan.index("Exchange hashpartitioning") < plan.index("MapInPandas")
+    # toString prints root-first: the exchange sits between the two
+    # WindowGroupLimits — ancestor of the partial, child of the final
+    first = plan.index("WindowGroupLimit")
+    second = plan.index("WindowGroupLimit", first + 1)
+    ex = plan.index("Exchange hashpartitioning")
+    assert first < ex < second
     # scoring itself stays JVM-side (broadcast join, no Python eval)
-    assert "EvalPython" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
 
 
 def test_spread_gates_on_input_parallelism(spark, sf_dir):

@@ -253,6 +253,33 @@ def q_inverted_index(spark, sf_dir):
 
 
 @register(
+    "q_csv_roundtrip",
+    """
+    SELECT event_id, user_id, event_type, value, props,
+           epoch_us(ts) AS ts_us
+    FROM events
+    """,
+)
+def q_csv_roundtrip(spark, sf_dir):
+    """S2 companion — CSV source/sink round-trip, completing the format
+    matrix (parquet, Arrow IPC, GeoParquet, JSONL, CSV). Timestamps ride
+    as epoch-microsecond longs (CSV has no timestamp type worth trusting
+    across writers); doubles survive via Java's shortest-round-trip
+    formatting; props (JSON-in-string with quotes/commas) exercises RFC
+    4180 quoting. Read back with an explicit schema — inference is a
+    second full scan and types drift."""
+    from arrow_supercluster_spark.sources.tables import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value", "props",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    path = tempfile.mkdtemp(prefix="csv_rt_") + "/events"
+    ev.write.mode("overwrite").option("header", "true").csv(path)
+    return spark.read.schema(ev.schema).option("header", "true").csv(path)
+
+
+@register(
     "q_cube_agg",
     """
     SELECT coalesce(o_orderstatus, 'ALL') AS status,

@@ -123,6 +123,110 @@ def q_jsonl_roundtrip(spark, sf_dir):
     )
 
 
+_PMI_MIN, _PMI_K = 5, 20
+
+
+@register(
+    "q_collocations",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKS} AS t FROM documents
+    ),
+    uni AS (
+      SELECT tok, COUNT(*) AS c FROM (SELECT unnest(t) AS tok FROM toks)
+      GROUP BY 1
+    ),
+    n_uni AS (SELECT SUM(c) AS n FROM uni),
+    bi AS (
+      SELECT x, y, COUNT(*) AS c FROM (
+        SELECT t[i] AS x, t[i+1] AS y
+        FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+      ) GROUP BY 1, 2
+    ),
+    n_bi AS (SELECT SUM(c) AS n FROM bi)
+    SELECT x, y, bi.c AS n_pair,
+           round(ln((bi.c / n_bi.n) /
+                    ((ux.c / n_uni.n) * (uy.c / n_uni.n))), 6) AS pmi
+    FROM bi
+    JOIN uni ux ON ux.tok = bi.x
+    JOIN uni uy ON uy.tok = bi.y
+    CROSS JOIN n_uni CROSS JOIN n_bi
+    WHERE bi.c >= {_PMI_MIN}
+    ORDER BY pmi DESC, x, y LIMIT {_PMI_K}
+    """,
+)
+def q_collocations(spark, sf_dir):
+    """Pipeline — PMI collocation mining (top bigrams by pointwise mutual
+    information, the classic phrase-detection statistic): bigram counts
+    from a zip-with-shifted-self inside the row (no second explode pass),
+    unigram marginals broadcast back onto the pair counts, scalars
+    cross-joined as 1-row broadcasts, final top-k a TakeOrdered. PMI is
+    rounded before ranking for cross-engine determinism."""
+    from arrow_supercluster_spark.operators.dedup import tokenize
+
+    docs = _docs(spark, sf_dir)
+    toked = docs.select(tokenize(F.col("text")).alias("t"))
+    uni = (
+        toked.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    bigrams = toked.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))).alias("x"),
+                F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0))).alias("y"),
+            )
+        ).alias("p")
+    ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    bi = bigrams.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_pair"))
+    n_bi = bi.agg(F.sum("n_pair").alias("n_bi"))
+    ux = uni.select(F.col("tok").alias("x"), F.col("c").alias("cx"))
+    uy = uni.select(F.col("tok").alias("y"), F.col("c").alias("cy"))
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair") / F.col("n_bi"))
+            / ((F.col("cx") / F.col("n_uni")) * (F.col("cy") / F.col("n_uni")))
+        ),
+        6,
+    )
+    return (
+        bi.filter(F.col("n_pair") >= _PMI_MIN)
+        .join(F.broadcast(ux), "x")
+        .join(F.broadcast(uy), "y")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select("x", "y", "n_pair", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "x", "y")
+        .limit(_PMI_K)
+    )
+
+
+@register(
+    "q_edit_distance",
+    """
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS dist
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def q_edit_distance(spark, sf_dir):
+    """Pipeline — Levenshtein edit distance over candidate pairs (the
+    exact-verify step after any fuzzy-candidate generator; prefixed to 80
+    chars because edit distance is O(m·n) per pair — the bound a real
+    pipeline also applies). Adjacent-id pairs stand in for an LSH
+    candidate set so the oracle is deterministic. Both engines implement
+    the classic dynamic-programming distance, so values match exactly."""
+    docs = _docs(spark, sf_dir)
+    a = docs.select(F.col("doc_id").alias("a_id"), F.substring("text", 1, 80).alias("a_t"))
+    b = docs.select(F.col("doc_id").alias("b_id"), F.substring("text", 1, 80).alias("b_t"))
+    return (
+        a.join(b, F.col("b_id") == F.col("a_id") + 1)
+        .select("a_id", "b_id", F.levenshtein("a_t", "b_t").alias("dist"))
+    )
+
+
 @register(
     "q_group_quantiles",
     """

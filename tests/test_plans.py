@@ -72,11 +72,11 @@ def test_hierarchy_partition_pruning(spark, sf_dir, tmp_path):
 
 
 def test_cosine_topk_partial_before_rank(spark, sf_dir):
-    """E3's final rank must consume the NARROW per-partition partial
-    top-k, not the raw scored set: exactly one hash Exchange (the window's),
-    sitting ABOVE the MapInPandas reduction in the tree — so the shuffle
-    moves O(partitions·k·|q|) rows, never all |corpus|·|q| scored pairs
-    into one reducer per query."""
+    """E3's final rank must consume a NARROW per-partition partial top-k,
+    not the raw scored set: Spark's WindowGroupLimit rewrite bounds each
+    input partition to k rows per query BELOW the Exchange — so the
+    shuffle moves O(partitions·k·|q|) rows, never all |corpus|·|q| scored
+    pairs into one reducer per query."""
     plan = plan_of(REGISTRY["q_cosine_topk"].spark(spark, sf_dir))
     # WindowGroupLimit must appear twice: the Partial below the Exchange
     # (per-partition top-k before any shuffle) and the Final above it
@@ -104,6 +104,9 @@ def test_spread_gates_on_input_parallelism(spark, sf_dir):
     wide = docs.repartition(par * 2)
     # spread() of an already-wide input adds nothing: same plan object
     assert spread(wide) is wide
+
+
+def test_grid_cluster_single_exchange(spark, sf_dir):
     """A1-grid at one zoom = scan → project → ONE exchange (hash agg with
     partial aggregation); more exchanges would mean a redundant shuffle."""
     from arrow_supercluster_spark.sources.points import derived_points
@@ -111,3 +114,24 @@ def test_spread_gates_on_input_parallelism(spark, sf_dir):
     plan = plan_of(gc.cluster_grid(derived_points(spark, sf_dir), 8, OPTS))
     assert plan.count("Exchange") == 1
     assert "HashAggregate" in plan
+
+
+def test_round2_batch3_plan_gates(spark, sf_dir):
+    """Scale-shape gates for the batch-3 operators: global top-ks are
+    TakeOrderedAndProject (per-partition k, driver merge — no full sort,
+    no hot reducer), marginals/stats ride as broadcasts, and nothing
+    drops to Python in the hot path."""
+    for name in ("q_bm25_search", "q_weighted_sample", "q_collocations"):
+        plan = plan_of(REGISTRY[name].spark(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, name
+        assert "EvalPython" not in plan, name
+    # collocations: unigram marginals + both scalar totals broadcast
+    plan = plan_of(REGISTRY["q_collocations"].spark(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("BroadcastNestedLoopJoin") >= 2  # 1-row scalar totals
+    # unigram LM: scoring plan is a narrow scan — zero Exchange
+    plan = plan_of(REGISTRY["q_unigram_logprob"].spark(spark, sf_dir))
+    assert "Exchange" not in plan
+    # chunking: pure generator, zero Exchange
+    plan = plan_of(REGISTRY["q_doc_chunks"].spark(spark, sf_dir))
+    assert "Exchange" not in plan

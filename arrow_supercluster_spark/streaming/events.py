@@ -85,3 +85,36 @@ def streaming_cluster_counts(points_stream: DataFrame, zoom: int, opts=None) -> 
 
     o = opts or DEFAULT_OPTIONS
     return cell_agg(with_cells(prepare_points(points_stream), zoom, o), zoom)
+
+
+def maintain_hierarchy(points_stream: DataFrame, engine) -> "object":
+    """Streaming hierarchy maintenance: fold each micro-batch of points
+    into an ArrowClusterEngine via the leaf merge algebra
+    (engine.append) — the incremental counterpart of the reference
+    layer's rebuild-on-data-change (arrow-cluster-layer.ts:89-106), which
+    re-clusters from scratch; here each batch costs O(|batch| + occupied
+    cells) and the full corpus is never rescanned.
+
+    Each batch is persisted to parquet under the engine workdir BEFORE
+    appending, because the foreachBatch DataFrame is only valid during
+    its micro-batch while the engine retains point lineage for singleton
+    coordinate joins. Returns the StreamingQuery; callers typically use
+    trigger(availableNow=True) + awaitTermination for catch-up ingest or
+    leave it running for continuous maintenance."""
+
+    def _fold(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        path = f"{engine.workdir}/stream_batches/{batch_id}"
+        batch_df.write.mode("overwrite").parquet(path)
+        stable = batch_df.sparkSession.read.parquet(path)
+        if engine._nodes is None:
+            engine.load(stable)
+        else:
+            engine.append(stable)
+
+    return (
+        points_stream.writeStream.outputMode("append")
+        .foreachBatch(_fold)
+        .option("checkpointLocation", f"{engine.workdir}/stream_ckpt")
+    )

@@ -105,3 +105,39 @@ def test_streaming_cluster_counts_match_batch(spark, sf_dir, tmp_path_factory):
         got.sort_values(key).reset_index(drop=True),
         want.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_streaming_hierarchy_maintenance_matches_batch(spark, sf_dir, tmp_path_factory):
+    """Streaming ingest via maintain_hierarchy (foreachBatch → leaf merge
+    algebra) must produce the same hierarchy as one batch load of all the
+    points — per-file micro-batches force at least two append folds."""
+    from pyspark.sql import functions as F
+
+    from arrow_supercluster_spark.engine import ArrowClusterEngine
+    from arrow_supercluster_spark.sources.points import derived_points
+    from arrow_supercluster_spark.streaming.events import maintain_hierarchy
+
+    src = str(tmp_path_factory.mktemp("pts_inc"))
+    pts = derived_points(spark, sf_dir)
+    half = pts.filter(F.col("id") % 2 == 0)
+    rest = pts.filter(F.col("id") % 2 != 0)
+    half.coalesce(1).write.mode("overwrite").parquet(src)
+    rest.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(pts.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    eng = ArrowClusterEngine(
+        spark, workdir=str(tmp_path_factory.mktemp("eng_inc"))
+    )
+    q = maintain_hierarchy(stream, eng).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    ref = ArrowClusterEngine(
+        spark, workdir=str(tmp_path_factory.mktemp("eng_ref"))
+    ).load(pts)
+
+    cols = ["zoom", "cell_x", "cell_y", "num_points"]
+    got = sorted(map(tuple, eng._require().select(*cols).collect()))
+    want = sorted(map(tuple, ref._require().select(*cols).collect()))
+    assert got == want and len(got) > 0

@@ -213,11 +213,12 @@ class ArrowClusterEngine:
 
 
 class GreedyClusterEngine:
-    """Packed-cluster-id drill-down surface over the greedy hierarchy —
-    the reference-id interop engine (SURVEY §4 item 3): getChildren /
-    getLeaves / getClusterExpansionZoom keyed by the reference's
-    (origin<<5)+zoom+count packed ids (arrow-cluster-engine.ts:198-256),
-    answered from the materialized greedy table's parent pointers."""
+    """Full reference API over the GREEDY hierarchy — the reference-id
+    interop engine (SURVEY §4 item 3): getClusters(bbox, zoom) plus
+    getChildren / getLeaves / getClusterExpansionZoom keyed by the
+    reference's (origin<<5)+zoom+count packed ids
+    (arrow-cluster-engine.ts:126-256), answered from the materialized
+    greedy table's per-zoom snapshots and parent pointers."""
 
     def __init__(
         self,
@@ -249,21 +250,19 @@ class GreedyClusterEngine:
             raise RuntimeError("call load() first")
         return self._nodes
 
-    def get_children(self, cluster_id: int) -> DataFrame:
-        """ClusterOutput-shaped children: clusters get inverse-Mercator
+    def _finalize(self, items: DataFrame) -> DataFrame:
+        """ClusterOutput-shaped rows: clusters get inverse-Mercator
         centroids, singletons keep ORIGINAL coords bit-exactly via a join
         back to the loaded points (the no-trig fast path,
-        arrow-cluster-engine.ts:209-219)."""
+        arrow-cluster-engine.ts:175-180, 209-219)."""
         from arrow_supercluster_spark.functions import projection as proj
-        from arrow_supercluster_spark.operators.greedy_nav import greedy_children
 
-        ch = greedy_children(self._require(), cluster_id)
         orig = self._points.select(
             F.col("id").alias("_oid"),
             F.col("lng").alias("_olng"),
             F.col("lat").alias("_olat"),
         )
-        out = ch.join(orig, ch["cluster_id"] == F.col("_oid"), "left")
+        out = items.join(orig, items["cluster_id"] == F.col("_oid"), "left")
         is_cluster = F.col("num_points") > F.lit(1)
         return out.select(
             F.col("cluster_id").alias("id"),
@@ -273,6 +272,24 @@ class GreedyClusterEngine:
             F.when(is_cluster, proj.y_lat(F.col("y"))).otherwise(F.col("_olat")).alias("lat"),
             "pos",
         )
+
+    def get_clusters(self, bbox, zoom: int) -> DataFrame:
+        """Q1 over the GREEDY hierarchy (arrow-cluster-engine.ts:126-193):
+        clamp zoom, select that level's item snapshot (levels[z] ==
+        treeData[z] — clusters formed at z plus pass-through items),
+        finalize positions, then the normalized bbox filter on output
+        coordinates (antimeridian = OR of ranges, Q6's relational form)."""
+        from arrow_supercluster_spark.operators.filters import bbox_predicate
+
+        z = max(self.opts.min_zoom, min(int(zoom), self.opts.max_zoom + 1))
+        items = self._require().filter(F.col("zoom") == z)
+        return self._finalize(items).filter(bbox_predicate(*bbox))
+
+    def get_children(self, cluster_id: int) -> DataFrame:
+        """Q2 keyed by packed cluster id (arrow-cluster-engine.ts:198-226)."""
+        from arrow_supercluster_spark.operators.greedy_nav import greedy_children
+
+        return self._finalize(greedy_children(self._require(), cluster_id))
 
     def get_leaves(
         self, cluster_id: int, limit: Optional[int] = None, offset: int = 0

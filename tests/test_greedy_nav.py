@@ -166,3 +166,37 @@ def test_registry_greedy_nav_oracle(spark):
         qd = REGISTRY[name]
         errs = compare(name, qd.spark(spark, "/root/testdata/sf0.001"), con, qd.sql)
         assert not errs, errs
+
+
+def test_greedy_engine_get_clusters(spark):
+    """Q1 over the greedy hierarchy: world bbox returns the whole level,
+    a half-world bbox partitions it, singleton positions are bit-exact
+    originals, and zoom clamps to [minZoom, maxZoom+1]
+    (arrow-cluster-engine.ts:126-193, 428-433)."""
+    from arrow_supercluster_spark.engine import GreedyClusterEngine
+
+    pts = lcg_points(300)
+    df = spark.createDataFrame(pts, "id long, lng double, lat double")
+    eng = GreedyClusterEngine(spark, OPTS).load(df)
+    world = (-180.0, -85.0, 180.0, 85.0)
+
+    for z in (OPTS.min_zoom, 4, OPTS.max_zoom + 1):
+        level_n = eng._require().filter(F.col("zoom") == z).count()
+        got = eng.get_clusters(world, z).collect()
+        assert len(got) == level_n, z
+        assert sum(r.point_count for r in got) == 300
+
+    # over-deep zoom clamps to leaf level (everything a singleton)
+    deep = eng.get_clusters(world, 99).collect()
+    assert all(not r.is_cluster and r.point_count == 1 for r in deep)
+    by_id = {p[0]: (p[1], p[2]) for p in pts}
+    for r in deep:
+        assert (r.lng, r.lat) == by_id[r.id]  # bit-exact originals
+
+    # east + west halves partition the world result at z=4
+    east = eng.get_clusters((0.0, -85.0, 180.0, 85.0), 4).collect()
+    west = eng.get_clusters((-180.0, -85.0, 0.0, 85.0), 4).collect()
+    allz = eng.get_clusters(world, 4).collect()
+    in_both = {r.id for r in east} & {r.id for r in west}
+    assert {r.id for r in east} | {r.id for r in west} == {r.id for r in allz}
+    assert all(r.lng == 0.0 for r in allz if r.id in in_both)  # boundary only

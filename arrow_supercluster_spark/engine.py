@@ -234,15 +234,21 @@ class GreedyClusterEngine:
         self._nodes: Optional[DataFrame] = None
         self._points: Optional[DataFrame] = None
 
-    def load(self, points: DataFrame, mode: str = "exact") -> "GreedyClusterEngine":
+    def load(
+        self, points: DataFrame, mode: str = "exact", mask=None
+    ) -> "GreedyClusterEngine":
+        """mask: reference filterMask semantics — masked rows skip the
+        index but still count toward the id-space salt (see
+        greedy_hierarchy), so ids interoperate with a reference engine
+        loaded with the same mask."""
         from arrow_supercluster_spark.operators.greedy import greedy_hierarchy
 
         path = f"{self.workdir}/nodes"
-        greedy_hierarchy(points, self.opts, mode=mode).write.mode(
+        greedy_hierarchy(points, self.opts, mode=mode, mask=mask).write.mode(
             "overwrite"
         ).parquet(path)
         self._nodes = self.spark.read.parquet(path)
-        self._points = points
+        self._points = points if mask is None else points.filter(mask)
         return self
 
     def _require(self) -> DataFrame:

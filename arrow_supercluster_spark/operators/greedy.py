@@ -274,6 +274,7 @@ def greedy_hierarchy(
     opts: ClusterOptions = DEFAULT_OPTIONS,
     mode: str = "exact",
     partition_zoom: int = 3,
+    mask=None,
 ):
     """Spark operator: points (id, lng, lat — nulls already dropped or will
     be dropped here) → per-zoom greedy item table.
@@ -284,11 +285,17 @@ def greedy_hierarchy(
     embarrassingly parallel, deterministic, clusters bounded by cell walls.
     mode="cc": exact AND distributed — per-level dependency-closure
     groups, bit-identical to mode="exact" (see module docstring).
+
+    mask: optional boolean Column with the reference's filterMask
+    semantics (arrow-cluster-engine.ts:62,79): masked-out rows never
+    enter the index but STILL count toward table.numRows, the id-space
+    salt — so ids stay interoperable with a reference engine loaded with
+    the same mask. Pre-filtering `points` instead would shift every id.
     """
     from pyspark.sql import functions as F
 
     if mode == "cc":
-        return greedy_hierarchy_cc(points, opts)
+        return greedy_hierarchy_cc(points, opts, mask=mask)
 
     from arrow_supercluster_spark.operators.filters import drop_null_geometry
     from arrow_supercluster_spark.functions.projection import fround, lat_y, lng_x
@@ -301,6 +308,8 @@ def greedy_hierarchy(
     # operator's id space is fixed — i.e. rows the reference would count
     # (masked rows included) must still be present in `points` here.
     total = points.count()
+    if mask is not None:
+        points = points.filter(mask)  # AFTER the id-space salt is fixed
     pts = (
         drop_null_geometry(points)
         .select(
@@ -545,7 +554,7 @@ def _zip_rank(df, sort_cols: list, out: str = "idx"):
     return s.mapInPandas(add_idx, schema)
 
 
-def greedy_hierarchy_cc(points, opts: ClusterOptions = DEFAULT_OPTIONS):
+def greedy_hierarchy_cc(points, opts: ClusterOptions = DEFAULT_OPTIONS, mask=None):
     """Exact distributed greedy hierarchy (mode="cc" of greedy_hierarchy;
     see module docstring for why components are the exact dependency
     closure). Bit-identical output to mode="exact", partition-invariant."""
@@ -560,7 +569,9 @@ def greedy_hierarchy_cc(points, opts: ClusterOptions = DEFAULT_OPTIONS):
 
     import functools
 
-    total = points.count()  # pre-drop, matching the reference id salt
+    total = points.count()  # pre-drop, pre-mask: the reference id salt
+    if mask is not None:
+        points = points.filter(mask)
     pts = drop_null_geometry(points).select(
         F.col("id").alias("cluster_id"),
         fround(lng_x(F.col("lng"))).alias("x"),

@@ -234,3 +234,52 @@ def test_spark_partitioned_conserves_counts(spark):
     a = out.sort_values(["zoom", "cluster_id"]).reset_index(drop=True)
     b = out2.sort_values(["zoom", "cluster_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_mask_preserves_id_space(spark):
+    """filterMask semantics (arrow-cluster-engine.ts:62,79,378): masked
+    rows never enter the index but still count toward table.numRows —
+    the id salt. Masked load must therefore equal a load of the same
+    table with masked rows' coordinates nulled (which the reference also
+    skips while still counting them), NOT a load of the pre-filtered
+    table (which shifts every cluster id)."""
+    from pyspark.sql import functions as F
+
+    from arrow_supercluster_spark.operators.greedy import greedy_hierarchy
+
+    pts = lcg_points(240)
+    df = spark.createDataFrame(pts, "id long, lng double, lat double")
+    mask = F.col("id") % 3 != 0
+
+    masked = greedy_hierarchy(df, mode="exact", mask=mask)
+    nulled = greedy_hierarchy(
+        spark.createDataFrame(
+            [(i, lng if i % 3 != 0 else None, lat if i % 3 != 0 else None)
+             for i, lng, lat in pts],
+            "id long, lng double, lat double",
+        ),
+        mode="exact",
+    )
+    cols = ["zoom", "cluster_id", "parent_id", "num_points", "x", "y", "pos"]
+    got = sorted(map(tuple, masked.select(*cols).collect()))
+    want = sorted(map(tuple, nulled.select(*cols).collect()))
+    assert got == want and len(got) > 0
+
+    # and ids DIFFER from the naive pre-filtered load (total = 160 ≠ 240)
+    prefiltered = greedy_hierarchy(df.filter(mask), mode="exact")
+    pre = sorted(
+        r.cluster_id
+        for r in prefiltered.filter(F.col("num_points") > 1)
+        .select("cluster_id").collect()
+    )
+    post = sorted(
+        r.cluster_id
+        for r in masked.filter(F.col("num_points") > 1)
+        .select("cluster_id").collect()
+    )
+    assert pre != post
+
+    # cc mode honors the same contract
+    cc = greedy_hierarchy(df, mode="cc", mask=mask)
+    got_cc = sorted(map(tuple, cc.select(*cols).collect()))
+    assert got_cc == want

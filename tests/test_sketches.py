@@ -46,3 +46,45 @@ def test_connected_components_long_path_converges(spark):
     got = connected_components(pairs).toPandas()
     assert (got.component_id == 0).all()
     assert len(got) == 41
+
+
+def test_simhash_matches_independent_vote(spark):
+    """SimHash exactness: recompute the per-bit majority vote in plain
+    Python from Spark's own token hashes (isolating the aggregation and
+    bit-packing logic from the hash choice) and compare fingerprints;
+    then the metamorphic property — near-identical docs land within a
+    small Hamming distance, token-disjoint docs far apart."""
+    from arrow_supercluster_spark.operators.dedup import (
+        normalize_text,
+        simhash_docs,
+        tokenize,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon eta"),   # one token differs
+        (2, "one two three four five six"),          # disjoint
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.simhash for r in simhash_docs(docs, bits=32).collect()}
+
+    tok_hashes = (
+        docs.select(
+            "doc_id", F.explode(tokenize(F.col("text"))).alias("tok")
+        )
+        .select("doc_id", F.xxhash64("tok").alias("h"))
+        .collect()
+    )
+    by_doc = {}
+    for r in tok_hashes:
+        by_doc.setdefault(r.doc_id, []).append(r.h)
+    for did, hs in by_doc.items():
+        fp = 0
+        for b in range(32):
+            votes = sum(1 if (h >> b) & 1 else -1 for h in hs)
+            if votes > 0:
+                fp += 1 << b
+        assert got[did] == fp, did
+
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(got[0], got[1]) < ham(got[0], got[2])

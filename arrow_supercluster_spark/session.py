@@ -36,3 +36,29 @@ def build_session(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .getOrCreate()
     )
+
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def register_views(spark: SparkSession, sf_dir: str, engine=None) -> None:
+    """Expose the engine surface to plain `spark.sql()`: every testdata
+    table becomes a temp view (events through the timestamp-normalizing
+    reader), and, when an engine is given, its materialized hierarchy is
+    published as `cluster_hierarchy` — so a SQL-only consumer can run
+    the same queries the DataFrame API expresses (views are lazy; no
+    data is copied)."""
+    from arrow_supercluster_spark.sources.tables import read_events
+
+    for t in TABLES:
+        df = (
+            read_events(spark, sf_dir)
+            if t == "events"
+            else spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        )
+        df.createOrReplaceTempView(t)
+    if engine is not None:
+        engine._require().createOrReplaceTempView("cluster_hierarchy")

@@ -173,3 +173,26 @@ def test_incremental_append_matches_full_load(spark, sf_dir):
 
     pd.testing.assert_frame_equal(f, i)
     assert inc.indexed_point_count == full.indexed_point_count
+
+
+def test_register_views_sql_surface(spark, sf_dir, tmp_path):
+    """SQL-only consumption: after register_views, the corpus and the
+    materialized hierarchy answer plain spark.sql() queries."""
+    from arrow_supercluster_spark.engine import ArrowClusterEngine
+    from arrow_supercluster_spark.session import register_views
+    from arrow_supercluster_spark.sources.points import derived_points
+
+    eng = ArrowClusterEngine(spark, workdir=str(tmp_path / "eng")).load(
+        derived_points(spark, sf_dir)
+    )
+    register_views(spark, sf_dir, engine=eng)
+    n_docs = spark.sql("SELECT COUNT(*) AS n FROM documents").collect()[0].n
+    assert n_docs > 0
+    top = spark.sql(
+        "SELECT zoom, COUNT(*) AS n FROM cluster_hierarchy GROUP BY zoom"
+        " ORDER BY zoom LIMIT 1"
+    ).collect()[0]
+    assert top.zoom == 0 and top.n > 0
+    # events view carries normalized instant-semantics timestamps
+    t = dict(spark.table("events").dtypes)["ts"]
+    assert t == "timestamp"

@@ -100,3 +100,69 @@ def nearest_centroid(emb: DataFrame, cents: DataFrame) -> DataFrame:
         best.groupBy("label", "assigned")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
     )
+
+
+def kmeans_step(emb: DataFrame, k: int = 8) -> DataFrame:
+    """One distributed Lloyd iteration (k-means, public algorithm):
+    deterministic seeds (the k lowest vec_ids — reproducible, unlike
+    random init), squared-L2 assignment against broadcast centroids,
+    then the recomputed per-cluster mean. Returns
+    (cid, n_vecs, centroid[dim]).
+
+    Scale shape (the IVF index trainer's inner loop, similarity.py):
+    - the k seed vectors ride to every task as literals (k × dim
+      doubles — Spark ships them once per stage, the moral equivalent
+      of a broadcast): assignment is a NARROW map, argmin a per-row
+      array_min over the k (d2, cid) structs — no join, no window, no
+      corpus shuffle;
+    - the mean is posexplode → (cid, pos) partial agg: one shuffle of
+      scalar components, map-side combined. The corpus never shuffles
+      whole rows. Driver-side iteration over this step converges the
+      full algorithm; one step is the differentially-checkable kernel.
+
+    Floats: distances and means are computed in double and rounded
+    (_ROUND) before argmin/output so association order can't flip a
+    comparison across engines; ties break toward the lower cid."""
+    vec = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    # k seed vectors to the driver (k × dim doubles — the same scale of
+    # driver state as ivf_build's clusterCenters), embedded as literals:
+    # assignment becomes a NARROW map, no join, no shuffle of the corpus.
+    seeds = sorted(
+        vec.filter(F.col("vec_id") < k).collect(), key=lambda r: r.vec_id
+    )
+
+    def d2_to(cvec) -> F.Column:
+        carr = F.array(*[F.lit(float(x)) for x in cvec])
+        return F.aggregate(
+            F.zip_with("vec", carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(d2_to(r.vec), _ROUND).alias("d2"),
+                F.lit(int(r.vec_id)).alias("cid"),
+            )
+            for r in seeds
+        ]
+    )
+    assigned = vec.select(
+        "vec_id", F.array_min(scored)["cid"].alias("cid"), "vec"
+    )
+    per_pos = (
+        assigned.select("cid", F.posexplode("vec").alias("pos", "v"))
+        .groupBy("cid", "pos")
+        .agg(F.round(F.avg("v"), _ROUND).alias("av"))
+    )
+    sizes = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
+    cents = per_pos.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "av"))),
+            lambda s: s["av"],
+        ).alias("centroid")
+    )
+    return sizes.join(cents, "cid").select("cid", "n_vecs", "centroid")

@@ -260,6 +260,7 @@ def _load_extended_registries():
         registry_ext8,
         registry_ext9,
         registry_ext10,
+        registry_ext11,
     )
 
 

@@ -261,6 +261,7 @@ def _load_extended_registries():
         registry_ext9,
         registry_ext10,
         registry_ext11,
+        registry_ext12,
     )
 
 

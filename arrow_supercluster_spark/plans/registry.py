@@ -262,6 +262,7 @@ def _load_extended_registries():
         registry_ext10,
         registry_ext11,
         registry_ext12,
+        registry_ext13,
     )
 
 

@@ -1,0 +1,60 @@
+"""Graph operators beyond connected components (dedup.py): PageRank.
+
+Public algorithm (Brin & Page 1998), expressed relationally: rank
+iteration = one join + one aggregate per round, driver-controlled like
+the zoom recursion (SURVEY §3.1) and the components loop (dedup.py).
+
+Scale shape (100 TB of edges):
+- edges shuffle ONCE per iteration keyed by destination; ranks are
+  |nodes| rows (small side → broadcastable when nodes ≪ edges);
+- per-iteration results are localCheckpointed so the lineage stays
+  O(1) instead of O(iterations) — the same discipline as the zoom loop;
+- ranks round to 9 decimals each iteration: double summation order is
+  partition-dependent, and without re-rounding the drift compounds
+  across iterations (the cross-engine parity rationale of
+  plans/registry.py's float discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over a directed edge list, fixed iteration count.
+    Simplified dangling treatment (their mass is dropped, the common
+    relational variant); uniform init 1/N. Returns (node, rank)."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.select("node", F.round(F.lit(1.0 / n), 9).alias("rank"))
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contribs = (
+            edges.join(deg, src)
+            .join(ranks, F.col(src) == F.col("node"))
+            .select(F.col(dst).alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    base + damping * F.coalesce(F.col("inflow"), F.lit(0.0)), 9
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

@@ -263,6 +263,7 @@ def _load_extended_registries():
         registry_ext11,
         registry_ext12,
         registry_ext13,
+        registry_ext14,
     )
 
 

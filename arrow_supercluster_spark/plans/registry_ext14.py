@@ -1,0 +1,151 @@
+"""Round-2 registry additions, batch 7: PIVOT cross-tabulation,
+KL-divergence distribution profiling, and relational PageRank over a
+derived co-occurrence graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arrow_supercluster_spark.operators import graph
+from arrow_supercluster_spark.plans.registry import register
+from arrow_supercluster_spark.plans.registry_ext import _docs
+from arrow_supercluster_spark.sources.tables import read_events
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "q_pivot_counts",
+    f"""
+    SELECT user_id,
+           {', '.join(
+               f"COUNT(*) FILTER (event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES
+           )},
+           round(SUM(value), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot_counts(spark, sf_dir):
+    """Relational substrate — PIVOT cross-tab (user × event-type counts,
+    the report shape behind every cohort dashboard). Spark's pivot with
+    an EXPLICIT value list compiles to a single partial-aggregable
+    hash agg (no second pass to discover the pivot values — at 100 TB
+    value-discovery is a full extra scan). One shuffle keyed by
+    user_id."""
+    ev = read_events(spark, sf_dir)
+    counts = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = counts.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+    totals = ev.groupBy("user_id").agg(
+        F.round(F.sum("value"), 4).alias("total_value")
+    )
+    return renamed.join(totals, "user_id")
+
+
+@register(
+    "q_source_lang_kl",
+    """
+    WITH sl AS (
+      SELECT source, lang, COUNT(*) AS c_sl FROM documents GROUP BY 1, 2
+    ),
+    s AS (SELECT source, COUNT(*) AS c_s FROM documents GROUP BY 1),
+    l AS (SELECT lang, COUNT(*) AS c_l FROM documents GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT sl.source,
+           round(SUM((c_sl * 1.0 / c_s)
+                     * ln((c_sl * 1.0 / c_s) / (c_l * 1.0 / n))), 6) AS kl
+    FROM sl JOIN s USING (source) JOIN l USING (lang) CROSS JOIN n
+    GROUP BY sl.source
+    """,
+)
+def q_source_lang_kl(spark, sf_dir):
+    """Pipeline — per-source KL divergence of the language distribution
+    vs the corpus marginal (the domain-mixture health metric: how
+    skewed is each source's language mix?). Three tiny aggregates
+    (|source×lang|, |source|, |lang| rows) broadcast-joined; the scan
+    is the only big read. Zero-count langs contribute nothing (the
+    standard plug-in estimator); KL rounded before hashing (ln +
+    double sums)."""
+    docs = _docs(spark, sf_dir)
+    sl = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c_sl"))
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c_s"))
+    lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c_l"))
+    n = docs.count()
+    p_sl = F.col("c_sl") * 1.0 / F.col("c_s")
+    p_l = F.col("c_l") * 1.0 / F.lit(float(n))
+    return (
+        sl.join(F.broadcast(s), "source")
+        .join(F.broadcast(lang), "lang")
+        .groupBy("source")
+        .agg(F.round(F.sum(p_sl * F.log(p_sl / p_l)), 6).alias("kl"))
+    )
+
+
+def _pagerank_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+    {cur} AS (
+      SELECT nodes.node,
+             round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nstat.n
+                   + CAST(0.85 AS DOUBLE) * coalesce(c.inflow, 0.0), 9) AS rank
+      FROM nodes CROSS JOIN nstat
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank / d.deg) AS inflow
+        FROM edges e JOIN deg d ON d.src = e.src
+                     JOIN {prev} r ON r.node = e.src
+        GROUP BY e.dst
+      ) c USING (node)
+    )"""
+
+
+_PR_SQL = (
+    """
+    WITH edges AS (
+      SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+      FROM events a JOIN events b
+        ON a.event_type = b.event_type
+       AND date_trunc('hour', a.ts) = date_trunc('hour', b.ts)
+       AND a.user_id <> b.user_id
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nstat AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    r0 AS (
+      SELECT node, round(CAST(1.0 AS DOUBLE) / nstat.n, 9) AS rank
+      FROM nodes CROSS JOIN nstat
+    ),"""
+    + ",".join(_pagerank_iter_sql(f"r{i}", f"r{i + 1}") for i in range(3))
+    + """
+    SELECT node, round(rank, 6) AS rank FROM r3
+    """
+)
+
+
+@register("q_pagerank", _PR_SQL)
+def q_pagerank(spark, sf_dir):
+    """Graph family (with connected components, dedup.py) — PageRank
+    over the user co-occurrence graph (same event type in the same
+    hour), 3 iterations, damping 0.85. Spark runs the relational
+    iteration driver-side with per-round localCheckpoint (lineage
+    O(1), like the zoom loop); the oracle unrolls the same three
+    rounds as chained CTEs — differentially checking the whole
+    iteration algebra. Ranks re-round to 9 each round so summation
+    order can't compound drift across engines."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id", "event_type", F.date_trunc("hour", "ts").alias("h")
+    )
+    a = ev.select(F.col("user_id").alias("src"), "event_type", "h")
+    b = ev.select(F.col("user_id").alias("dst"), "event_type", "h")
+    edges = (
+        a.join(b, ["event_type", "h"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return graph.pagerank(edges, iterations=3, damping=0.85)

@@ -34,19 +34,26 @@ def q_pivot_counts(spark, sf_dir):
     value-discovery is a full extra scan). One shuffle keyed by
     user_id."""
     ev = read_events(spark, sf_dir)
-    counts = (
+    # one scan, one shuffle: counts AND value sums ride the same pivot
+    # agg; the overall total is the fixed-order sum of the 5 per-type
+    # partials (drift ~1e-12 ≪ the 1e-4 rounding grid)
+    pivoted = (
         ev.groupBy("user_id")
         .pivot("event_type", _EVENT_TYPES)
-        .agg(F.count(F.lit(1)))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
     )
-    renamed = counts.select(
+    total = sum(
+        [F.coalesce(F.col(f"{t}_sv"), F.lit(0.0)) for t in _EVENT_TYPES],
+        F.lit(0.0),
+    )
+    return pivoted.select(
         "user_id",
-        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+        *[
+            F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+        F.round(total, 4).alias("total_value"),
     )
-    totals = ev.groupBy("user_id").agg(
-        F.round(F.sum("value"), 4).alias("total_value")
-    )
-    return renamed.join(totals, "user_id")
 
 
 @register(

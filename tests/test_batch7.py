@@ -71,6 +71,10 @@ def test_round2_batch7_plan_gates(spark, sf_dir):
     Python anywhere."""
     plan = plan_of(_run("q_pivot_counts", spark, sf_dir))
     assert "EvalPython" not in plan
+    # pivot = Spark's two-phase agg ((user,type) partial → pivotfirst),
+    # but counts and totals share it: ONE scan of events, no self-join
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
     plan = plan_of(_run("q_source_lang_kl", spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "EvalPython" not in plan

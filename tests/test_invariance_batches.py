@@ -1,0 +1,41 @@
+"""Partition-count invariance for the round-2 batch 4-7 operators:
+identical results under different spark.sql.shuffle.partitions — the
+metamorphic check SURVEY §5 layer 2 names as the one a naive distributed
+port silently fails (every float was rounded BEFORE a comparison or
+output for exactly this reason)."""
+
+import pytest
+
+from arrow_supercluster_spark.plans.registry import REGISTRY
+
+_QUERIES = [
+    "q_embedding_quantize",
+    "q_tfidf_terms",
+    "q_zscore_outliers",
+    "q_boilerplate_ngrams",
+    "q_sliding_windows",
+    "q_median_length_filter",
+    "q_upsert_merge",
+    "q_containment_adjacent",
+    "q_rolling_avg",
+    "q_resample_ffill",
+    "q_json_schema_parse",
+    "q_pivot_counts",
+    "q_source_lang_kl",
+    "q_pagerank",
+]
+
+
+@pytest.mark.parametrize("name", _QUERIES)
+def test_partition_invariance(name, spark, sf_dir):
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = REGISTRY[name].spark(spark, sf_dir)
+        rows_a = sorted(map(str, a.collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        b = REGISTRY[name].spark(spark, sf_dir)
+        rows_b = sorted(map(str, b.collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base)
+    assert rows_a == rows_b, name

@@ -158,3 +158,54 @@ def q_json_schema_parse(spark, sf_dir):
         F.sum("k").alias("sum_k"),
         F.round(F.avg("k"), 6).alias("avg_k"),
     )
+
+
+@register(
+    "q_json_corrupt_audit",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (NOT ok) AS n_corrupt,
+           CAST(SUM(k) AS BIGINT) AS sum_k
+    FROM (
+      SELECT event_type,
+             json_valid(p) AS ok,
+             CASE WHEN json_valid(p)
+                  THEN CAST(json_extract_string(p, '$.k') AS INTEGER)
+             END AS k
+      FROM (
+        SELECT event_type,
+               CASE WHEN event_id % 13 = 0
+                    THEN substr(props, 1, length(props) - 1)
+                    ELSE props END AS p
+        FROM events
+      ) raw
+    ) t GROUP BY event_type
+    """,
+)
+def q_json_corrupt_audit(spark, sf_dir):
+    """E5 companion — corrupt-record auditing: 1/13th of the props
+    strings are truncated (synthetic corruption, deterministic by id),
+    then parsed in PERMISSIVE mode — failures become nulls and are
+    COUNTED per group instead of killing the job (the operational
+    posture for 100 TB of scraped JSON: quarantine-and-count, never
+    fail the pipeline). Spark detects corruption via from_json null-out;
+    the oracle via json_valid — differentially checking the detection
+    itself. sum_k proves good records still aggregate."""
+    ev = read_events(spark, sf_dir)
+    p = F.when(
+        F.col("event_id") % 13 == 0,
+        F.expr("substr(props, 1, length(props) - 1)"),
+    ).otherwise(F.col("props"))
+    # PERMISSIVE from_json yields an all-null-fields struct (not a null
+    # struct) on malformed input — field nullity IS the corruption signal
+    # (every well-formed props has k in this corpus)
+    parsed = ev.select(
+        "event_type",
+        F.from_json(p, "k INT").alias("s"),
+    ).select("event_type", F.col("s.k").alias("k"))
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("k").isNull().cast("long")).alias("n_corrupt"),
+        F.sum("k").alias("sum_k"),
+    )

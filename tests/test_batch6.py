@@ -57,3 +57,13 @@ def test_round2_batch6_plan_gates(spark, sf_dir):
         assert "Window" in plan and "EvalPython" not in plan
     plan = plan_of(_run("q_json_schema_parse", spark, sf_dir))
     assert plan.count("Exchange") == 1 and "EvalPython" not in plan
+
+
+def test_json_corrupt_audit_counts(spark, sf_dir):
+    """Corruption injected on event_id % 13 == 0 — the per-type corrupt
+    counts must sum to exactly that population."""
+    out = _run("q_json_corrupt_audit", spark, sf_dir)
+    ev = read_events(spark, sf_dir)
+    expected = ev.filter(F.col("event_id") % 13 == 0).count()
+    got = out.agg(F.sum("n_corrupt")).collect()[0][0]
+    assert got == expected

@@ -1,0 +1,84 @@
+"""Scale sweep: measure hierarchy load + query latency as the point
+count grows 40× (100k → 4M), on the same local[32] harness bench.py
+uses. The claim under test is the one SURVEY §3.1 designs for: load is
+ONE shuffle of the raw points (leaf agg) + a leaf-derived rollup, so
+wall time should grow ~linearly with input, and query latency should
+stay flat (partition-pruned single-zoom scans).
+
+Run:  python tools/scale_sweep.py          # writes JSON lines to stdout
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F
+
+from arrow_supercluster_spark.config import ClusterOptions
+from arrow_supercluster_spark.engine import ArrowClusterEngine
+
+LCG_A, LCG_M = 16807, 2**31 - 1
+
+
+def synthetic_points(spark, n: int):
+    base = spark.range(n)
+    x1 = ((F.col("id") + 1) * LCG_A) % LCG_M
+    x2 = (x1 * LCG_A) % LCG_M
+    return base.select(
+        F.col("id"),
+        (F.lit(-180.0) + F.lit(360.0) * (x1 / F.lit(float(LCG_M)))).alias("lng"),
+        (F.lit(-85.0) + F.lit(170.0) * (x2 / F.lit(float(LCG_M)))).alias("lat"),
+    )
+
+
+def main():
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("scale-sweep")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    opts = ClusterOptions()  # radius 75, zooms 0..16 (full 18 levels)
+
+    for n in (100_000, 1_000_000, 4_000_000):
+        pts = synthetic_points(spark, n)
+        t0 = time.time()
+        eng = ArrowClusterEngine(spark, opts).load(pts)
+        load_s = time.time() - t0
+
+        t0 = time.time()
+        for z in (0, 4, 8, 12):
+            eng.get_clusters([-180.0, -85.0, 180.0, 85.0], z).count()
+        query_all_s = time.time() - t0
+
+        t0 = time.time()
+        small = eng.get_clusters([-10.0, -10.0, 10.0, 10.0], 10).count()
+        small_q_s = time.time() - t0
+
+        print(
+            json.dumps(
+                {
+                    "n_points": n,
+                    "load_sec": round(load_s, 2),
+                    "query_4zooms_sec": round(query_all_s, 2),
+                    "small_bbox_z10_sec": round(small_q_s, 2),
+                    "small_bbox_rows": small,
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -166,3 +166,39 @@ def kmeans_step(emb: DataFrame, k: int = 8) -> DataFrame:
         ).alias("centroid")
     )
     return sizes.join(cents, "cid").select("cid", "n_vecs", "centroid")
+
+
+def dimension_stats(emb: DataFrame) -> DataFrame:
+    """Per-dimension corpus statistics (pos, mean, std, min, max) — the
+    feature-profiling pass before any standardization/whitening. One
+    posexplode → (pos) agg: a shuffle of scalar components with
+    map-side combine, keyed by the (tiny) dimension index."""
+    return (
+        emb.select(F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            F.round(F.avg("v"), _ROUND).alias("mu"),
+            F.round(F.stddev_samp("v"), _ROUND).alias("sd"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+    )
+
+
+def standardize(emb: DataFrame) -> DataFrame:
+    """Z-score standardization per dimension (classic ML preprocessing):
+    (x - mu)/sd with the corpus stats computed by dimension_stats.
+
+    The stats table is |dims| rows → collected to the driver and shipped
+    as literal arrays (same discipline as kmeans_step's seeds): scaling
+    becomes a NARROW zip_with map — zero shuffle, zero join on the
+    corpus path. Components rounded so cross-engine hashes agree."""
+    stats = sorted(dimension_stats(emb).collect(), key=lambda r: r.pos)
+    mu = F.array(*[F.lit(float(r.mu)) for r in stats])
+    sd = F.array(*[F.lit(float(r.sd)) for r in stats])
+    z = F.zip_with(
+        F.col("embedding").cast("array<double>"),
+        F.zip_with(mu, sd, lambda m, s: F.struct(m.alias("m"), s.alias("s"))),
+        lambda x, ms: F.round((x - ms["m"]) / ms["s"], _ROUND),
+    )
+    return emb.select("vec_id", z.alias("z"))

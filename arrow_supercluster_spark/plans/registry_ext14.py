@@ -7,9 +7,9 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from arrow_supercluster_spark.operators import graph
+from arrow_supercluster_spark.operators import centroids, graph
 from arrow_supercluster_spark.plans.registry import register
-from arrow_supercluster_spark.plans.registry_ext import _docs
+from arrow_supercluster_spark.plans.registry_ext import _docs, _emb
 from arrow_supercluster_spark.sources.tables import read_events
 
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -156,3 +156,63 @@ def q_pagerank(spark, sf_dir):
         .distinct()
     )
     return graph.pagerank(edges, iterations=3, damping=0.85)
+
+
+@register(
+    "q_embedding_stats",
+    """
+    SELECT pos,
+           round(AVG(CAST(v AS DOUBLE)), 6) AS mu,
+           round(stddev_samp(CAST(v AS DOUBLE)), 6) AS sd,
+           MIN(v) AS mn, MAX(v) AS mx
+    FROM (
+      SELECT unnest(embedding) AS v,
+             unnest(generate_series(0, len(embedding) - 1)) AS pos
+      FROM embeddings
+    ) t GROUP BY pos
+    """,
+)
+def q_embedding_stats(spark, sf_dir):
+    """Embedding ops — per-dimension feature profile (mean/std/min/max
+    per position): the stats pass behind standardization, outlier
+    clipping, and drift monitoring. One posexplode + dimension-keyed
+    agg; output is |dims| rows."""
+    return centroids.dimension_stats(_emb(spark, sf_dir))
+
+
+@register(
+    "q_embedding_standardize",
+    """
+    WITH stats AS (
+      SELECT pos,
+             round(AVG(CAST(v AS DOUBLE)), 6) AS mu,
+             round(stddev_samp(CAST(v AS DOUBLE)), 6) AS sd
+      FROM (
+        SELECT unnest(embedding) AS v,
+               unnest(generate_series(0, len(embedding) - 1)) AS pos
+        FROM embeddings
+      ) t GROUP BY pos
+    ),
+    comp AS (
+      SELECT e.vec_id, u.pos,
+             round((CAST(u.v AS DOUBLE) - s.mu) / s.sd, 6) AS z
+      FROM (
+        SELECT vec_id,
+               unnest(embedding) AS v,
+               unnest(generate_series(0, len(embedding) - 1)) AS pos
+        FROM embeddings
+      ) u
+      JOIN embeddings e ON e.vec_id = u.vec_id
+      JOIN stats s ON s.pos = u.pos
+    )
+    SELECT vec_id, list(z ORDER BY pos) AS z FROM comp GROUP BY vec_id
+    """,
+)
+def q_embedding_standardize(spark, sf_dir):
+    """Embedding ops — per-dimension z-score standardization. Spark
+    ships the |dims|-row stats as literal arrays (kmeans_step's seed
+    discipline) so scaling is a narrow zip_with — the corpus never
+    shuffles or joins; the oracle rebuilds vectors the relational way
+    (unnest → join stats → list(ORDER BY pos)), differentially checking
+    the literal-broadcast rewrite. Stats and outputs rounded at 6."""
+    return centroids.standardize(_emb(spark, sf_dir))

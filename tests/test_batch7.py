@@ -78,3 +78,30 @@ def test_round2_batch7_plan_gates(spark, sf_dir):
     plan = plan_of(_run("q_source_lang_kl", spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "EvalPython" not in plan
+
+
+def test_standardize_gives_unit_stats(spark, sf_dir):
+    """After z-scoring, every dimension's mean ≈ 0 and sample std ≈ 1
+    (within the 1e-6 component rounding)."""
+    from arrow_supercluster_spark.operators import centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    z = centroids.standardize(emb).select(
+        "vec_id", F.col("z").alias("embedding")
+    )
+    stats = centroids.dimension_stats(z).collect()
+    assert stats
+    for r in stats:
+        assert abs(r.mu) < 1e-4, r
+        assert abs(r.sd - 1.0) < 1e-3, r
+
+
+def test_standardize_plan_is_narrow(spark, sf_dir):
+    """Scaling ships stats as literals: the returned plan has zero
+    Exchange and zero Join — a pure scan+project."""
+    from arrow_supercluster_spark.operators import centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = plan_of(centroids.standardize(emb))
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "EvalPython" not in plan

@@ -23,6 +23,9 @@ _QUERIES = [
     "q_pivot_counts",
     "q_source_lang_kl",
     "q_pagerank",
+    "q_embedding_stats",
+    "q_embedding_standardize",
+    "q_json_corrupt_audit",
 ]
 
 

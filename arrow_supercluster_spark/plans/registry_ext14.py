@@ -216,3 +216,97 @@ def q_embedding_standardize(spark, sf_dir):
     (unnest → join stats → list(ORDER BY pos)), differentially checking
     the literal-broadcast rewrite. Stats and outputs rounded at 6."""
     return centroids.standardize(_emb(spark, sf_dir))
+
+
+@register(
+    "q_first_last_agg",
+    """
+    SELECT user_id,
+           (MIN(row(ts, event_id, event_type)))[3] AS first_type,
+           (MAX(row(ts, event_id, event_type)))[3] AS last_type,
+           epoch_us(MIN(ts)) AS first_us,
+           epoch_us(MAX(ts)) AS last_us,
+           COUNT(*) AS n
+    FROM events GROUP BY user_id
+    """,
+)
+def q_first_last_agg(spark, sf_dir):
+    """Relational substrate — first/last-event-per-user via min_by/max_by
+    (the sessionless funnel shape: acquisition channel → latest action).
+    A single partial-aggregable agg — the window-free form of
+    'first/last value per group' that at 100 TB avoids materializing a
+    per-user ordering entirely. Keyed by (ts, event_id) so timestamp
+    ties can't make the answer engine-dependent."""
+    ev = read_events(spark, sf_dir)
+    key = F.struct("ts", "event_id")
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_type", key).alias("first_type"),
+        F.max_by("event_type", key).alias("last_type"),
+        F.unix_micros(F.min("ts")).alias("first_us"),
+        F.unix_micros(F.max("ts")).alias("last_us"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_cross_source_overlap",
+    """
+    WITH hashes AS (
+      SELECT DISTINCT source,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+      FROM documents
+    ),
+    pair AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+      FROM hashes a JOIN hashes b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    per_src AS (SELECT source, COUNT(*) AS n FROM hashes GROUP BY 1)
+    SELECT p.src_a, p.src_b, p.n_common,
+           round(p.n_common * 1.0 / (na.n + nb.n - p.n_common), 6)
+             AS jaccard
+    FROM pair p
+    JOIN per_src na ON na.source = p.src_a
+    JOIN per_src nb ON nb.source = p.src_b
+    """,
+)
+def q_cross_source_overlap(spark, sf_dir):
+    """Pipeline — cross-source duplication matrix: for every source
+    pair, the count and Jaccard of shared (normalized-text) hashes —
+    the dataset-audit view that tells you which crawls re-scraped the
+    same pages before you mix them. The join carries 32-byte digests,
+    never text; per-source totals broadcast back onto the ~|sources|²
+    pair rows."""
+    from arrow_supercluster_spark.operators.dedup import normalize_text
+
+    docs = _docs(spark, sf_dir)
+    hashes = docs.select(
+        "source", F.md5(normalize_text(F.col("text"))).alias("h")
+    ).distinct()
+    a = hashes.select(F.col("source").alias("src_a"), "h")
+    b = hashes.select(F.col("source").alias("src_b"), "h")
+    pair = (
+        a.join(b, "h")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    per = hashes.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    na = per.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    nb = per.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        pair.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )

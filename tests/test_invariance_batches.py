@@ -26,6 +26,8 @@ _QUERIES = [
     "q_embedding_stats",
     "q_embedding_standardize",
     "q_json_corrupt_audit",
+    "q_first_last_agg",
+    "q_cross_source_overlap",
 ]
 
 

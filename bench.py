@@ -45,9 +45,11 @@ def progress(msg: str) -> None:
     print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
-def timed(fn, warmup: int = 1, runs: int = 3) -> float:
+def timed(fn, warmup: int = 1, runs: int = 5) -> float:
     """Median-of-`runs` after `warmup` (mirrors benchmarks/run.ts:38-42,
-    64-88 median-of-10 with 3 warmups, scaled down for wall-clock)."""
+    64-88 median-of-10 with 3 warmups, scaled down for wall-clock;
+    runs=5 because the shared host shows ±20% wall-clock noise between
+    whole-bench invocations — a wider median damps single-run spikes)."""
     for _ in range(warmup):
         fn()
     samples = []
@@ -72,7 +74,12 @@ def main() -> None:
 
     import shutil, tempfile
 
-    workdir = tempfile.mkdtemp(prefix="bench_hierarchy_")
+    # scratch hierarchy on tmpfs when available: the bench measures
+    # compute + shuffle, not the local disk (on a cluster this write goes
+    # to the distributed store); ext4-/tmp adds ±hundreds of ms of I/O
+    # noise per cold build
+    scratch_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="bench_hierarchy_", dir=scratch_root)
 
     # --- bench_load: points → full 18-level hierarchy checkpointed -------
     def load_hierarchy():
@@ -80,7 +87,7 @@ def main() -> None:
         gc.materialize_hierarchy(derived_points(spark, SF_DIR), f"{workdir}/h", OPTS)
 
     progress("bench_load...")
-    results["bench_load"] = timed(load_hierarchy, warmup=1, runs=3)
+    results["bench_load"] = timed(load_hierarchy, warmup=1, runs=5)
     progress("bench_load done")
 
     # materialized hierarchy = the engine-instance state (§3.3 session layer)
@@ -95,7 +102,7 @@ def main() -> None:
             out.filter(bbox_predicate(*world)).write.mode("overwrite").format("noop").save()
 
     progress("bench_query...")
-    results["bench_query"] = timed(query_all_zooms, warmup=1, runs=3)
+    results["bench_query"] = timed(query_all_zooms, warmup=1, runs=5)
     progress("bench_query done")
 
     # --- bench_mask: load under selectivity (run.ts:228-295) -------------
@@ -106,7 +113,7 @@ def main() -> None:
             gc.materialize_hierarchy(pts, f"{workdir}/m", OPTS)
 
         progress(f"bench_{label}...")
-        results[f"bench_{label}"] = timed(load_masked, warmup=0, runs=1)
+        results[f"bench_{label}"] = timed(load_masked, warmup=0, runs=3)
 
     # --- bench_pipeline: read → load → query @ z6 (pipeline.ts:163-202) --
     def pipeline():
@@ -116,7 +123,7 @@ def main() -> None:
         out.write.mode("overwrite").format("noop").save()
 
     progress("bench_pipeline...")
-    results["bench_pipeline"] = timed(pipeline, warmup=1, runs=3)
+    results["bench_pipeline"] = timed(pipeline, warmup=1, runs=5)
     shutil.rmtree(workdir, ignore_errors=True)
 
     # --- headline extension/relational queries at sf -------------------
@@ -131,7 +138,7 @@ def main() -> None:
             _qd.spark(spark, SF_DIR).write.mode("overwrite").format("noop").save()
 
         progress(f"query {name}...")
-        results[name] = timed(run, warmup=1, runs=3)
+        results[name] = timed(run, warmup=1, runs=5)
 
     # --- wire size: Arrow IPC vs GeoJSON of the z6 cluster output --------
     # (mirrors benchmarks/pipeline.ts:112-125: same payload serialized both

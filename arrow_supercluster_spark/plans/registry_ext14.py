@@ -310,3 +310,50 @@ def q_cross_source_overlap(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "q_ntile_quartiles",
+    """
+    SELECT doc_id, lang,
+           ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+             AS quartile
+    FROM documents
+    """,
+)
+def q_ntile_quartiles(spark, sf_dir):
+    """Relational substrate — NTILE quartile assignment per language
+    (the bucketing step behind 'drop the bottom length quartile'
+    curation rules; complements the threshold form in
+    q_median_length_filter). Window keys on lang (bounded cardinality);
+    ordered by (n_chars, doc_id) so ties can't make bucket boundaries
+    engine-dependent."""
+    from pyspark.sql.window import Window as W
+
+    docs = _docs(spark, sf_dir)
+    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id", "lang", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+@register(
+    "q_regex_extract_all",
+    """
+    SELECT doc_id,
+           regexp_extract_all(text, '[a-z]*ar[a-z]*') AS hits,
+           len(regexp_extract_all(text, '[a-z]*ar[a-z]*')) AS n_hits
+    FROM documents
+    """,
+)
+def q_regex_extract_all(spark, sf_dir):
+    """Text ops — regexp_extract_all as a row-local generator (the
+    PII/entity/candidate-span extraction primitive — q_pii_scrub is the
+    replace form, this is the extract form): all 'ar'-containing words
+    per document, with counts. Narrow projection, zero shuffle; both
+    engines use RE2-class regex semantics so hit lists match exactly."""
+    docs = _docs(spark, sf_dir)
+    hits = F.regexp_extract_all("text", F.lit("[a-z]*ar[a-z]*"), 0)
+    return docs.select(
+        "doc_id", hits.alias("hits"), F.size(hits).alias("n_hits")
+    )

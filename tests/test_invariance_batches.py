@@ -28,6 +28,8 @@ _QUERIES = [
     "q_json_corrupt_audit",
     "q_first_last_agg",
     "q_cross_source_overlap",
+    "q_ntile_quartiles",
+    "q_regex_extract_all",
 ]
 
 

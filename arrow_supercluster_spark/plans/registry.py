@@ -264,6 +264,7 @@ def _load_extended_registries():
         registry_ext12,
         registry_ext13,
         registry_ext14,
+        registry_ext15,
     )
 
 

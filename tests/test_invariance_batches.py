@@ -30,6 +30,9 @@ _QUERIES = [
     "q_cross_source_overlap",
     "q_ntile_quartiles",
     "q_regex_extract_all",
+    "q_dedup_best_keeper",
+    "q_curation_verdict",
+    "q_chunk_dedup",
 ]
 
 

@@ -13,6 +13,7 @@ from arrow_supercluster_spark.operators.dedup import normalize_text
 from arrow_supercluster_spark.operators.textops import quality_score
 from arrow_supercluster_spark.plans.registry import register
 from arrow_supercluster_spark.plans.registry_ext import SQL_NORM, SQL_TOKS, _docs
+from arrow_supercluster_spark.sources.points import SQL_POINTS
 
 _SQL_QUALITY = f"""
     (CASE WHEN CAST(length(text) AS DOUBLE)
@@ -173,3 +174,64 @@ def q_chunk_dedup(spark, sf_dir):
         .select(F.col("w.doc_id").alias("doc_id"), F.col("w.chunk_idx").alias("chunk_idx"))
     )
     return winners
+
+
+_R_EARTH_M = 6371008.8  # IUGG mean Earth radius
+
+
+@register(
+    "q_haversine_segments",
+    f"""
+    WITH pts AS (
+      SELECT id, radians(lng) AS rlng, radians(lat) AS rlat
+      FROM ({SQL_POINTS}) WHERE lng IS NOT NULL
+    )
+    SELECT a.id AS a_id, b.id AS b_id,
+           round(2 * {_R_EARTH_M!r} * asin(sqrt(
+             pow(sin((b.rlat - a.rlat) / 2), 2)
+             + cos(a.rlat) * cos(b.rlat)
+               * pow(sin((b.rlng - a.rlng) / 2), 2)
+           )), 3) AS dist_m
+    FROM pts a JOIN pts b ON b.id = a.id + 1
+    """,
+)
+def q_haversine_segments(spark, sf_dir):
+    """Geo extension — great-circle (haversine) distance in meters over
+    consecutive point pairs: the metric surface the Mercator-only
+    reference lacks (projected distance distorts with latitude; radius
+    queries in meters need the sphere). Narrow trig projections + one
+    broadcast-able pair equi-join; rounded to mm before hashing
+    (transcendental discipline). The same formula drives radius-in-
+    meters filters and track-length aggregations at any scale."""
+    from arrow_supercluster_spark.sources.points import derived_points
+
+    pts = (
+        derived_points(spark, sf_dir)
+        .filter(F.col("lng").isNotNull())
+        .select(
+            "id",
+            F.radians("lng").alias("rlng"),
+            F.radians("lat").alias("rlat"),
+        )
+    )
+    a = pts.select(
+        F.col("id").alias("a_id"),
+        F.col("rlng").alias("a_rlng"),
+        F.col("rlat").alias("a_rlat"),
+    )
+    b = pts.select(
+        F.col("id").alias("b_id"),
+        F.col("rlng").alias("b_rlng"),
+        F.col("rlat").alias("b_rlat"),
+    )
+    h = (
+        F.pow(F.sin((F.col("b_rlat") - F.col("a_rlat")) / 2), 2)
+        + F.cos(F.col("a_rlat"))
+        * F.cos(F.col("b_rlat"))
+        * F.pow(F.sin((F.col("b_rlng") - F.col("a_rlng")) / 2), 2)
+    )
+    dist = 2 * _R_EARTH_M * F.asin(F.sqrt(h))
+    return (
+        a.join(b, F.col("b_id") == F.col("a_id") + 1)
+        .select("a_id", "b_id", F.round(dist, 3).alias("dist_m"))
+    )

@@ -33,6 +33,7 @@ _QUERIES = [
     "q_dedup_best_keeper",
     "q_curation_verdict",
     "q_chunk_dedup",
+    "q_haversine_segments",
 ]
 
 

@@ -235,3 +235,23 @@ def q_haversine_segments(spark, sf_dir):
         a.join(b, F.col("b_id") == F.col("a_id") + 1)
         .select("a_id", "b_id", F.round(dist, 3).alias("dist_m"))
     )
+
+
+@register("q_audio_features", None)
+def q_audio_features(spark, sf_dir):
+    """Multimodal — REAL audio decode: payloads are genuine RIFF/WAVE
+    PCM16 files (synthesized per doc id — the container ships no media
+    data, but the bytes are playable WAV), decoded by a from-scratch
+    chunk-walking parser (numpy only, no external libs — unlike
+    image/video, WAV needs none) into rate/duration/RMS/peak/dominant-
+    frequency/per-frame energy. Arrow-batched mapInPandas, payload
+    pruned after decode. Rows-only: the oracle can't run numpy; the
+    in-repo test (tests/test_multimodal.py) checks decoded features
+    against the synthesis closed form — a strictly stronger check."""
+    from arrow_supercluster_spark.operators.multimodal import (
+        audio_features,
+        documents_as_audio,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return audio_features(documents_as_audio(docs))

@@ -47,3 +47,47 @@ def test_frame_sample_filters_before_python(spark, sf_dir):
     fi = plan.index("Filter")
     mi = plan.index("MapInPandas")
     assert mi < fi, "filter must be below (after in print order) the Python map"
+
+
+def test_wav_decode_roundtrip():
+    """decode_wav inverts synthesize_wav exactly (bit-level PCM)."""
+    from arrow_supercluster_spark.operators.multimodal import (
+        decode_wav,
+        synthesize_wav,
+    )
+    import numpy as np
+
+    rate, s = decode_wav(synthesize_wav(7))
+    assert rate == 8000 and len(s) == 4000
+    assert abs(float(np.max(np.abs(s))) - (0.5 + (7 % 5) * 0.1)) < 1e-3
+
+
+def test_wav_decode_rejects_garbage():
+    from arrow_supercluster_spark.operators.multimodal import decode_wav
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"not a wav file at all")
+
+
+def test_audio_features_match_synthesis(spark, sf_dir):
+    """Decoded features match the synthesis closed form: dominant
+    frequency (zero-crossing estimate) within 2% of the sine frequency,
+    RMS = amplitude/sqrt(2) within 1%."""
+    from pyspark.sql import functions as F
+
+    from arrow_supercluster_spark.operators.multimodal import (
+        audio_features,
+        documents_as_audio,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    out = audio_features(documents_as_audio(docs)).collect()
+    assert len(out) == 40
+    for r in out:
+        freq = 200.0 + (r.media_id % 40) * 25.0
+        amp = 0.5 + (r.media_id % 5) * 0.1
+        assert r.sample_rate == 8000 and r.n_samples == 4000
+        assert abs(r.zc_freq - freq) / freq < 0.02, r
+        assert abs(r.rms - amp / 2**0.5) / (amp / 2**0.5) < 0.01, r
+        assert len(r.frame_rms) == 4000 // 512

@@ -262,3 +262,148 @@ def audio_features(media: DataFrame, frame: int = 512) -> DataFrame:
             "frame_rms array<float>"
         ),
     )
+
+
+# ===========================================================================
+# REAL image path — uncompressed 24-bit BMP needs no external library
+# either (BITMAPFILEHEADER + BITMAPINFOHEADER + raw BGR rows): genuine
+# image bytes in, genuine pixel features out, and a REAL resize.
+# ===========================================================================
+
+
+def synthesize_bmp(media_id: int, width: int = 32, height: int = 24) -> bytes:
+    """A real BMP file (24-bit, bottom-up, 4-byte-aligned rows):
+    a horizontal gradient tinted by the id. Any viewer can open it."""
+    import struct
+
+    x = np.arange(width, dtype=np.float64) / max(width - 1, 1)
+    y = np.arange(height, dtype=np.float64) / max(height - 1, 1)
+    r = np.clip((media_id * 37) % 256 * np.ones((height, width)), 0, 255)
+    g = np.clip(255 * x[None, :] * np.ones((height, 1)), 0, 255)
+    b = np.clip(255 * y[:, None] * np.ones((1, width)), 0, 255)
+    px = np.stack([b, g, r], axis=-1).astype(np.uint8)  # BGR
+    row_size = (width * 3 + 3) & ~3
+    pad = row_size - width * 3
+    body = b"".join(
+        px[row].tobytes() + b"\0" * pad for row in range(height - 1, -1, -1)
+    )
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return hdr + dib + body
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL decoder: parse the BMP headers (24-bit uncompressed only)
+    and return an (h, w, 3) uint8 RGB array. Raises ValueError on
+    anything else."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (_, _, _, _, offset) = struct.unpack_from("<2sIHHI", payload, 0)
+    (hsz, w, h, _, bpp, comp) = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0 or h <= 0 or w <= 0:
+        raise ValueError("only 24-bit uncompressed bottom-up BMP supported")
+    row_size = (w * 3 + 3) & ~3
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for row in range(h):
+        start = offset + (h - 1 - row) * row_size
+        bgr = np.frombuffer(payload, dtype=np.uint8, count=w * 3, offset=start)
+        out[row] = bgr.reshape(w, 3)[:, ::-1]  # BGR → RGB
+    return out
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """REAL nearest-neighbor resize via index sampling (numpy only)."""
+    h, w = img.shape[:2]
+    yi = np.minimum((np.arange(height) * h) // height, h - 1)
+    xi = np.minimum((np.arange(width) * w) // width, w - 1)
+    return img[yi[:, None], xi[None, :]]
+
+
+def documents_as_images(docs: DataFrame) -> DataFrame:
+    """Media table with REAL BMP payloads synthesized per doc_id."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [synthesize_bmp(int(i)) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="media_id long, payload binary, n_bytes long"
+    )
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """REAL image feature extraction over BMP payloads: dimensions and
+    per-channel means. Arrow-batched mapInPandas."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "width": [], "height": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_bmp(p)
+                rows["media_id"].append(mid)
+                rows["height"].append(img.shape[0])
+                rows["width"].append(img.shape[1])
+                for i, c in enumerate(("mean_r", "mean_g", "mean_b")):
+                    rows[c].append(round(float(img[:, :, i].mean()), 4))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        run,
+        schema=(
+            "media_id long, width int, height int, "
+            "mean_r double, mean_g double, mean_b double"
+        ),
+    )
+
+
+def resize_images(media: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
+    """REAL resize: decode → nearest-neighbor sample → re-encode BMP.
+    Output payloads are themselves valid BMPs of the target size."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def encode(img: np.ndarray) -> bytes:
+            h, w = img.shape[:2]
+            row_size = (w * 3 + 3) & ~3
+            pad = row_size - w * 3
+            body = b"".join(
+                img[row, :, ::-1].tobytes() + b"\0" * pad
+                for row in range(h - 1, -1, -1)
+            )
+            dib = struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+            )
+            hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+            return hdr + dib + body
+
+        for pdf in batches:
+            out = [
+                encode(resize_nearest(decode_bmp(p), width, height))
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out,
+                    "n_bytes": [len(p) for p in out],
+                }
+            )
+
+    return media.mapInPandas(
+        run, schema="media_id long, payload binary, n_bytes long"
+    )

@@ -255,3 +255,23 @@ def q_audio_features(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return audio_features(documents_as_audio(docs))
+
+
+@register("q_image_features", None)
+def q_image_features(spark, sf_dir):
+    """Multimodal — REAL image decode: payloads are genuine 24-bit BMP
+    files (synthesized gradients — the container ships no image data,
+    but the bytes open in any viewer), decoded by a from-scratch header
+    parser (numpy only — BMP, like WAV, needs no codec) into
+    dimensions + per-channel means. With q_audio_features this de-stubs
+    two of the three media kinds; only compressed formats (JPEG/PNG/
+    video codecs) remain stubbed, honestly, for lack of codec libs.
+    Rows-only: numpy can't run in the SQL oracle; the in-repo tests
+    check decode/resize against the synthesis closed form."""
+    from arrow_supercluster_spark.operators.multimodal import (
+        documents_as_images,
+        image_features,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return image_features(documents_as_images(docs))

@@ -91,3 +91,52 @@ def test_audio_features_match_synthesis(spark, sf_dir):
         assert abs(r.zc_freq - freq) / freq < 0.02, r
         assert abs(r.rms - amp / 2**0.5) / (amp / 2**0.5) < 0.01, r
         assert len(r.frame_rms) == 4000 // 512
+
+
+def test_bmp_decode_roundtrip():
+    """decode_bmp inverts synthesize_bmp: dimensions and the id-tinted
+    red channel come back exactly."""
+    from arrow_supercluster_spark.operators.multimodal import (
+        decode_bmp,
+        synthesize_bmp,
+    )
+
+    img = decode_bmp(synthesize_bmp(5, width=32, height=24))
+    assert img.shape == (24, 32, 3)
+    assert int(img[:, :, 0].min()) == int(img[:, :, 0].max()) == (5 * 37) % 256
+    # gradient: green grows with x, blue with y
+    assert img[0, 0, 1] < img[0, -1, 1]
+    assert img[0, 0, 2] < img[-1, 0, 2]
+
+
+def test_bmp_resize_real(spark, sf_dir):
+    """resize_images emits VALID BMPs at the target size; corner colors
+    survive nearest-neighbor sampling."""
+    from arrow_supercluster_spark.operators.multimodal import (
+        decode_bmp,
+        documents_as_images,
+        resize_images,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
+    rows = resize_images(documents_as_images(docs), 16, 16).collect()
+    assert len(rows) == 5
+    for r in rows:
+        img = decode_bmp(bytes(r.payload))
+        assert img.shape == (16, 16, 3)
+        assert int(img[0, 0, 0]) == (r.media_id * 37) % 256
+
+
+def test_image_features_match_synthesis(spark, sf_dir):
+    """Per-channel means match the synthesis closed form: red is the
+    constant id tint; green/blue are gradient means ≈ 127.5."""
+    from arrow_supercluster_spark.operators.multimodal import (
+        documents_as_images,
+        image_features,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    for r in image_features(documents_as_images(docs)).collect():
+        assert (r.width, r.height) == (32, 24)
+        assert abs(r.mean_r - (r.media_id * 37) % 256) < 1e-6
+        assert abs(r.mean_g - 127.5) < 1.0 and abs(r.mean_b - 127.5) < 1.0

@@ -72,6 +72,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     results: dict[str, float] = {}
 
+    # Host-speed calibration: a fixed CPU-bound reference op (numpy
+    # matmul), reported alongside the timings. The shared host's
+    # throughput varies ±50% between invocations (neighbor steal);
+    # comparing bench totals across rounds without this is comparing
+    # different machines. Not part of the total.
+    import numpy as _np
+
+    _a = _np.random.default_rng(42).random((1500, 1500))
+    calib = timed(lambda: _a @ _a, warmup=1, runs=5)
+
     import shutil, tempfile
 
     # scratch hierarchy on tmpfs when available: the bench measures
@@ -202,6 +212,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {k: round(v, 3) for k, v in results.items()},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "calibration_matmul_sec": round(calib, 4),
                 "wire": {
                     "ipc_bytes": ipc_bytes,
                     "geojson_bytes": geojson_bytes,

@@ -36,6 +36,10 @@ def pagerank(
         .distinct()
     )
     n = nodes.count()
+    if n == 0:
+        # empty graph (e.g. a co-occurrence window that matched nothing)
+        # → empty rank table, not a ZeroDivisionError at plan build
+        return nodes.select("node", F.lit(0.0).alias("rank")).limit(0)
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
     ranks = nodes.select("node", F.round(F.lit(1.0 / n), 9).alias("rank"))
     base = (1.0 - damping) / n

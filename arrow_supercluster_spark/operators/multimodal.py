@@ -180,6 +180,8 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         (size,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
             fmt_tag, channels, rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", body, 0
             )
@@ -192,6 +194,7 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         raise ValueError("missing fmt/data chunk")
     if bits != 16 or channels != 1:
         raise ValueError("only PCM16 mono supported")
+    data = data[: len(data) // 2 * 2]  # tolerate odd trailing byte
     samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32767.0
     return rate, samples
 
@@ -220,19 +223,43 @@ def documents_as_audio(docs: DataFrame) -> DataFrame:
 def audio_features(media: DataFrame, frame: int = 512) -> DataFrame:
     """REAL audio feature extraction over WAV payloads: sample rate,
     duration, RMS, peak, dominant frequency (zero-crossing estimate),
-    and per-frame RMS energy. Arrow-batched mapInPandas; undecodable
-    payloads are counted, not fatal (n_bad column pattern upstream)."""
+    and per-frame RMS energy. Arrow-batched mapInPandas.
+
+    Quarantine-and-count posture: an undecodable payload yields a row
+    with ok=false and null features instead of killing the job — one
+    bad record in a 100 TB corpus must not abort the run. Empty (but
+    structurally valid) audio yields zeroed features."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {
-                "media_id": [], "sample_rate": [], "n_samples": [],
-                "duration_s": [], "rms": [], "peak": [], "zc_freq": [],
-                "frame_rms": [],
+                "media_id": [], "ok": [], "sample_rate": [],
+                "n_samples": [], "duration_s": [], "rms": [], "peak": [],
+                "zc_freq": [], "frame_rms": [],
             }
+
+            def emit(mid, ok, rate=None, n=None, dur=None, rms=None,
+                     peak=None, zc=None, fr=None):
+                rows["media_id"].append(mid)
+                rows["ok"].append(ok)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(n)
+                rows["duration_s"].append(dur)
+                rows["rms"].append(rms)
+                rows["peak"].append(peak)
+                rows["zc_freq"].append(zc)
+                rows["frame_rms"].append(fr)
+
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                rate, s = decode_wav(p)
+                try:
+                    rate, s = decode_wav(p)
+                except ValueError:
+                    emit(mid, False)
+                    continue
                 n = len(s)
+                if n == 0:
+                    emit(mid, True, rate, 0, 0.0, 0.0, 0.0, 0.0, [])
+                    continue
                 zc = int(np.sum(np.signbit(s[1:]) != np.signbit(s[:-1])))
                 nf = n // frame
                 fr = (
@@ -244,20 +271,20 @@ def audio_features(media: DataFrame, frame: int = 512) -> DataFrame:
                     if nf
                     else np.zeros(0, dtype=np.float32)
                 )
-                rows["media_id"].append(mid)
-                rows["sample_rate"].append(rate)
-                rows["n_samples"].append(n)
-                rows["duration_s"].append(round(n / rate, 6))
-                rows["rms"].append(round(float(np.sqrt(np.mean(s**2))), 6))
-                rows["peak"].append(round(float(np.max(np.abs(s))), 6))
-                rows["zc_freq"].append(round(zc * rate / (2.0 * n), 3))
-                rows["frame_rms"].append(fr.tolist())
+                emit(
+                    mid, True, rate, n,
+                    round(n / rate, 6),
+                    round(float(np.sqrt(np.mean(s**2))), 6),
+                    round(float(np.max(np.abs(s))), 6),
+                    round(zc * rate / (2.0 * n), 3),
+                    fr.tolist(),
+                )
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(
         run,
         schema=(
-            "media_id long, sample_rate int, n_samples long, "
+            "media_id long, ok boolean, sample_rate int, n_samples long, "
             "duration_s double, rms double, peak double, zc_freq double, "
             "frame_rms array<float>"
         ),

@@ -315,6 +315,10 @@ def q_doc_chunks(spark, sf_dir):
     needs no second scan."""
     docs = _docs(spark, sf_dir)
     n = F.length("text")
+    # empty docs produce NO chunks: Spark's sequence(0, -1) would
+    # auto-step backwards to [0, -1] where DuckDB's generate_series is
+    # empty — filter before the generator (same guard as q_chunk_dedup)
+    docs = docs.filter(n > 0)
     idx = F.explode(
         F.sequence(F.lit(0), F.floor((n - 1) / _STRIDE).cast("long"))
     ).alias("chunk_idx")

@@ -51,8 +51,11 @@ def q_dedup_best_keeper(spark, sf_dir):
     arbitrary min-id copy — what production curation actually does
     (copies differ in trailing boilerplate/casing after normalization).
     One agg keyed by text digest keeping max(struct(q, -id)); the
-    winner set broadcasts back as a semi-join. The corpus text never
-    shuffles — digests and (q, id) pairs do."""
+    winner set comes back as a semi-join (no forced broadcast — winners
+    are one row per distinct text, unbounded at corpus scale; the
+    planner's autoBroadcastJoinThreshold decides, same as
+    dedup.exact_dedup). The corpus text never shuffles — digests and
+    (q, id) pairs do."""
     docs = _docs(spark, sf_dir)
     scored = docs.select(
         "doc_id",
@@ -64,7 +67,7 @@ def q_dedup_best_keeper(spark, sf_dir):
         .agg(F.max(F.struct(F.col("q"), (-F.col("doc_id")).alias("neg_id"))).alias("w"))
         .select((-F.col("w.neg_id")).alias("doc_id"))
     )
-    return docs.join(F.broadcast(winners), "doc_id", "leftsemi").select(
+    return docs.join(winners, "doc_id", "leftsemi").select(
         "doc_id", "lang", "source"
     )
 
@@ -101,8 +104,10 @@ def q_curation_verdict(spark, sf_dir):
     size) plus narrow scoring — no second scan, no join."""
     from pyspark.sql.window import Window as W
 
+    from arrow_supercluster_spark.operators.textops import token_count
+
     docs = _docs(spark, sf_dir)
-    toks = F.size(F.split(normalize_text(F.col("text")), " "))
+    toks = token_count(F.col("text"))
     scored = docs.select(
         "doc_id",
         F.round(quality_score(F.col("text")), 6).alias("q"),
@@ -158,6 +163,10 @@ def q_chunk_dedup(spark, sf_dir):
     shuffles."""
     docs = _docs(spark, sf_dir)
     n = F.length("text")
+    # filter empty docs BEFORE the generator: Spark's sequence(0, -1)
+    # auto-steps backwards to [0, -1] (phantom chunks) where DuckDB's
+    # generate_series(0, -1) is empty
+    docs = docs.filter(n > 0)
     idx = F.explode(
         F.sequence(F.lit(0), F.floor((n - 1) / _ST).cast("long"))
     ).alias("chunk_idx")

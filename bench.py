@@ -84,11 +84,18 @@ def main() -> None:
 
     import shutil, tempfile
 
-    # scratch hierarchy on tmpfs when available: the bench measures
-    # compute + shuffle, not the local disk (on a cluster this write goes
-    # to the distributed store); ext4-/tmp adds ±hundreds of ms of I/O
-    # noise per cold build
-    scratch_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    # scratch hierarchy on tmpfs when available AND big enough (docker
+    # defaults /dev/shm to 64MB — check free space, don't assume): the
+    # bench measures compute + shuffle, not the local disk (on a cluster
+    # this write goes to the distributed store); ext4-/tmp adds
+    # ±hundreds of ms of I/O noise per cold build
+    scratch_root = None
+    if os.path.isdir("/dev/shm"):
+        try:
+            if shutil.disk_usage("/dev/shm").free > 4 << 30:
+                scratch_root = "/dev/shm"
+        except OSError:
+            pass
     workdir = tempfile.mkdtemp(prefix="bench_hierarchy_", dir=scratch_root)
 
     # --- bench_load: points → full 18-level hierarchy checkpointed -------

@@ -140,3 +140,34 @@ def test_image_features_match_synthesis(spark, sf_dir):
         assert (r.width, r.height) == (32, 24)
         assert abs(r.mean_r - (r.media_id * 37) % 256) < 1e-6
         assert abs(r.mean_g - 127.5) < 1.0 and abs(r.mean_b - 127.5) < 1.0
+
+
+def test_audio_features_quarantines_bad_payloads(spark, sf_dir):
+    """A malformed payload among good ones yields ok=false with null
+    features — it must not kill the job (quarantine-and-count)."""
+    import pandas as pd
+
+    from arrow_supercluster_spark.operators.multimodal import (
+        audio_features,
+        synthesize_wav,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "media_id": [1, 2, 3],
+            "payload": [synthesize_wav(1), b"garbage", b"RIFFxxxxWAVEfmt "],
+            "n_bytes": [0, 0, 0],
+        }
+    )
+    media = spark.createDataFrame(pdf)
+    out = {r.media_id: r for r in audio_features(media).collect()}
+    assert out[1].ok and out[1].sample_rate == 8000
+    assert not out[2].ok and out[2].rms is None
+    assert not out[3].ok
+
+
+def test_pagerank_empty_edges(spark):
+    from arrow_supercluster_spark.operators import graph
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert graph.pagerank(edges).count() == 0

@@ -350,6 +350,7 @@ class ClusterLayer:
         self._opts = opts
         self._engine: Optional[ArrowClusterEngine] = None
         self._data: Optional[DataFrame] = None
+        self._mask = None
         self._mask_repr: Optional[str] = None
         self._last_key = None
         self._output: Optional[list] = None
@@ -359,6 +360,7 @@ class ClusterLayer:
             self.spark, self._opts, self._workdir
         ).load(points, mask=mask)
         self._data = points
+        self._mask = mask
         self._mask_repr = repr(mask) if mask is not None else None
         self._last_key = None  # engineChanged forces the next query
 
@@ -377,8 +379,9 @@ class ClusterLayer:
         if opts != self._opts:
             self._opts = opts
             if self._data is not None:
-                mask = None  # mask is captured in the engine's loaded state
-                self._rebuild(self._data, mask)
+                # rebuild constructs a FRESH engine — the current mask
+                # must ride along or masked points silently reappear
+                self._rebuild(self._data, self._mask)
         return self
 
     def get_clusters(self, zoom: float, bbox=WORLD_BBOX) -> list:

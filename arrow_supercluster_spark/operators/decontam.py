@@ -74,12 +74,15 @@ def decontaminate(
     docs. The eval n-gram set is broadcast — the corpus side never
     shuffles; scoring is a broadcast-hash semi-ish join + one partial agg.
     """
-    grams = doc_ngram_digests(docs, n)
-    eval_ids = docs.filter(eval_pred).select("doc_id")
+    # digest the EVAL side from the filtered docs directly: a join below
+    # the n-gram generator can't be pushed by Catalyst, so joining after
+    # doc_ngram_digests(docs) would shingle+md5 the ENTIRE corpus a
+    # second time just to keep the MB-scale eval slice
     eval_grams = (
-        grams.join(F.broadcast(eval_ids), "doc_id").select("g").distinct()
+        doc_ngram_digests(docs.filter(eval_pred), n).select("g").distinct()
     )
-    train_grams = grams.join(
+    eval_ids = docs.filter(eval_pred).select("doc_id")
+    train_grams = doc_ngram_digests(docs, n).join(
         F.broadcast(eval_ids), "doc_id", "left_anti"
     )
     return (

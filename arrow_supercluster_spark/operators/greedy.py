@@ -307,7 +307,24 @@ def greedy_hierarchy(
     # applying a filter mask should do so via the mask contract AFTER this
     # operator's id space is fixed — i.e. rows the reference would count
     # (masked rows included) must still be present in `points` here.
-    total = points.count()
+    total, max_id = points.agg(
+        F.count(F.lit(1)), F.max("id")
+    ).collect()[0]
+    # Packed cluster ids live at (idx<<5)+(z+1)+total, i.e. strictly
+    # above total; a USER point id >= total CAN collide with one of them,
+    # making drill-down by id ambiguous (the reference can't hit this —
+    # its ids are table row indices by construction; the clustering
+    # itself stays correct either way). Surface it loudly.
+    if max_id is not None and max_id >= total:
+        import warnings
+
+        warnings.warn(
+            f"point id {max_id} >= row count {total}: packed cluster ids "
+            "may collide with point ids, making id-keyed drill-down "
+            "(get_children/get_leaves) ambiguous. Re-index ids to 0..n-1 "
+            "(row indices, the reference's id space) for drill-down use.",
+            stacklevel=3,
+        )
     if mask is not None:
         points = points.filter(mask)  # AFTER the id-space salt is fixed
     pts = (
@@ -569,7 +586,19 @@ def greedy_hierarchy_cc(points, opts: ClusterOptions = DEFAULT_OPTIONS, mask=Non
 
     import functools
 
-    total = points.count()  # pre-drop, pre-mask: the reference id salt
+    # pre-drop, pre-mask: the reference id salt; same id<total guard as
+    # greedy_hierarchy (packed ids live above total)
+    total, max_id = points.agg(
+        F.count(F.lit(1)), F.max("id")
+    ).collect()[0]
+    if max_id is not None and max_id >= total:
+        import warnings
+
+        warnings.warn(
+            f"point id {max_id} >= row count {total}: packed cluster ids "
+            "may collide with point ids — see greedy_hierarchy's guard.",
+            stacklevel=3,
+        )
     if mask is not None:
         points = points.filter(mask)
     pts = drop_null_geometry(points).select(

@@ -104,11 +104,13 @@ def q_jsonl_roundtrip(spark, sf_dir):
     shortest-round-trip formatting; timestamps via an explicit
     6-fraction-digit format."""
     ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "event_id", "user_id", "event_type", "value", "props",
-        # parquet yields TIMESTAMP_NTZ; cast to instant semantics under the
-        # UTC session so the JSON format applies and unix_micros resolves
-        F.col("ts").cast("timestamp").alias("ts"),
+    from arrow_supercluster_spark.sources.tables import read_events
+
+    # read_events normalizes every driver-round ts encoding (bigint
+    # nanos under the legacy conf, TIMESTAMP_NTZ) to instant-semantics
+    # TimestampType — a bare cast here breaks on the nanos rounds
+    ev = read_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value", "props", "ts"
     )
     path = tempfile.mkdtemp(prefix="jsonl_rt_") + "/events"
     ev.write.mode("overwrite").option("timestampFormat", ts_fmt).json(path)

@@ -69,21 +69,33 @@ def write_geoparquet(
         import pyarrow.parquet as pq
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         fname = os.path.join(path, f"part-{pid:05d}.parquet")
+        # poor-man's commit protocol (we bypass Spark's committer to
+        # attach the geo footer): write to a DOT-PREFIXED attempt file
+        # (hidden from parquet directory listings), fsync+close, then
+        # atomically rename onto the final name. A task that dies
+        # mid-write leaves only a hidden temp; a retry or speculative
+        # duplicate attempt atomically replaces the same final name, so
+        # readers never see a truncated footer or a doubled part.
+        tmp = os.path.join(
+            path, f".part-{pid:05d}-attempt{ctx.attemptNumber()}.tmp"
+        )
         writer = None
         schema = None
         n = 0
         for batch in batches:
             if writer is None:
                 schema = batch.schema.with_metadata({b"geo": geo})
-                writer = pq.ParquetWriter(fname, schema, compression=compression)
+                writer = pq.ParquetWriter(tmp, schema, compression=compression)
             writer.write_batch(
                 pa.RecordBatch.from_arrays(batch.columns, schema=schema)
             )
             n += batch.num_rows
         if writer is not None:
             writer.close()
+            os.replace(tmp, fname)
             yield pa.RecordBatch.from_pydict(
                 {"file": [os.path.basename(fname)], "rows": [n]},
                 schema=pa.schema(

@@ -105,13 +105,24 @@ def maintain_hierarchy(points_stream: DataFrame, engine) -> "object":
     def _fold(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        import os as _os
+
         path = f"{engine.workdir}/stream_batches/{batch_id}"
+        # foreachBatch is AT-LEAST-ONCE: after a crash between the fold
+        # and the checkpoint commit, the same batch_id is re-delivered.
+        # The fold mutates engine state (leaf merge), so replaying it
+        # would double-count — a durable per-batch marker makes the fold
+        # idempotent (written only after the merge completes).
+        marker = f"{path}._folded"
+        if _os.path.exists(marker):
+            return
         batch_df.write.mode("overwrite").parquet(path)
         stable = batch_df.sparkSession.read.parquet(path)
         if engine._nodes is None:
             engine.load(stable)
         else:
             engine.append(stable)
+        open(marker, "w").close()
 
     return (
         points_stream.writeStream.outputMode("append")

@@ -196,7 +196,17 @@ def main() -> None:
     prev, prev_file = {}, None
     import glob as _glob
 
-    benches = sorted(_glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json")))
+    def _round_num(p: str) -> int:
+        # numeric sort: lexicographic puts BENCH_r10 before BENCH_r2
+        import re as _re
+
+        m = _re.search(r"BENCH_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    benches = sorted(
+        _glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json")),
+        key=_round_num,
+    )
     if benches:
         prev_file = benches[-1]
         try:

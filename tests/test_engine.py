@@ -196,3 +196,25 @@ def test_register_views_sql_surface(spark, sf_dir, tmp_path):
     # events view carries normalized instant-semantics timestamps
     t = dict(spark.table("events").dtypes)["ts"]
     assert t == "timestamp"
+
+
+def test_layer_set_options_preserves_mask(spark, sf_dir):
+    """Regression: set_options rebuilds a FRESH engine — the mask set
+    via set_data must ride along, or masked points silently reappear."""
+    from pyspark.sql import functions as F
+
+    from arrow_supercluster_spark.config import ClusterOptions
+    from arrow_supercluster_spark.engine import ClusterLayer
+    from arrow_supercluster_spark.sources.points import derived_points
+
+    pts = derived_points(spark, sf_dir)
+    mask = (F.col("id") % 2) == 0
+    n_masked = pts.filter(mask).filter(
+        F.col("lng").isNotNull() & F.col("lat").isNotNull()
+    ).count()
+
+    layer = ClusterLayer(spark).set_data(pts, mask=mask)
+    layer.set_options(ClusterOptions(radius=40))
+    out = layer.get_clusters(zoom=17.0)  # leaf zoom: every point a row
+    total = sum((r.num_points or 1) for r in out)
+    assert total == n_masked

@@ -138,3 +138,74 @@ def test_cc_greedy_parity_random_points(spark, pts):
     exact = norm(greedy_hierarchy(df, opts, mode="exact"))
     cc = norm(greedy_hierarchy(df, opts, mode="cc"))
     pd.testing.assert_frame_equal(cc, exact, check_exact=True)
+
+
+@given(
+    mid=st.integers(min_value=0, max_value=10_000),
+    n=st.integers(min_value=0, max_value=3000),
+)
+@settings(max_examples=30, deadline=None)
+def test_wav_roundtrip_property(mid, n):
+    """Any synthesized WAV decodes to exactly its parameters — including
+    n=0 (empty data chunk) and 1-sample files."""
+    import numpy as np
+
+    from arrow_supercluster_spark.operators.multimodal import (
+        decode_wav,
+        synthesize_wav,
+    )
+
+    rate, s = decode_wav(synthesize_wav(mid, n_samples=n))
+    assert rate == 8000 and len(s) == n
+    if n:
+        amp = 0.5 + (mid % 5) * 0.1
+        assert float(np.max(np.abs(s))) <= amp + 1e-3
+
+
+@given(
+    mid=st.integers(min_value=0, max_value=10_000),
+    w=st.integers(min_value=1, max_value=64),
+    h=st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=30, deadline=None)
+def test_bmp_roundtrip_property(mid, w, h):
+    """Any (width, height) — including the odd widths whose rows need
+    4-byte padding — round-trips through encode/decode exactly."""
+    from arrow_supercluster_spark.operators.multimodal import (
+        decode_bmp,
+        synthesize_bmp,
+    )
+
+    img = decode_bmp(synthesize_bmp(mid, width=w, height=h))
+    assert img.shape == (h, w, 3)
+    assert int(img[0, 0, 0]) == (mid * 37) % 256
+
+
+@given(
+    data=st.one_of(
+        st.binary(min_size=0, max_size=200),
+        # adversarial: valid magic bytes + garbage body, so the chunk
+        # walkers actually run instead of bailing at the signature
+        st.binary(min_size=0, max_size=120).map(lambda b: b"RIFF" + b),
+        st.binary(min_size=8, max_size=120).map(
+            lambda b: b"RIFF" + b[:4] + b"WAVE" + b[4:]
+        ),
+        st.binary(min_size=0, max_size=120).map(lambda b: b"BM" + b),
+    ),
+)
+@settings(max_examples=120, deadline=None)
+def test_decoders_reject_garbage_with_valueerror(data):
+    """Arbitrary bytes either decode or raise ValueError — never any
+    other exception type (the quarantine contract)."""
+    import pytest as _pytest
+
+    from arrow_supercluster_spark.operators.multimodal import (
+        decode_bmp,
+        decode_wav,
+    )
+
+    for dec in (decode_wav, decode_bmp):
+        try:
+            dec(data)
+        except ValueError:
+            pass

@@ -265,6 +265,7 @@ def _load_extended_registries():
         registry_ext13,
         registry_ext14,
         registry_ext15,
+        registry_ext16,
     )
 
 

@@ -34,6 +34,10 @@ _QUERIES = [
     "q_curation_verdict",
     "q_chunk_dedup",
     "q_haversine_segments",
+    "q_funnel_conversion",
+    "q_retention_cohorts",
+    "q_event_dedup_window",
+    "q_string_agg",
 ]
 
 

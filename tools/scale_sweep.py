@@ -51,7 +51,9 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     opts = ClusterOptions()  # radius 75, zooms 0..16 (full 18 levels)
 
-    for n in (100_000, 1_000_000, 4_000_000):
+    import sys as _sys
+    sizes = [int(a) for a in _sys.argv[1:]] or [100_000, 1_000_000, 4_000_000]
+    for n in sizes:
         pts = synthetic_points(spark, n)
         t0 = time.time()
         eng = ArrowClusterEngine(spark, opts).load(pts)

@@ -123,36 +123,7 @@ def kmeans_step(emb: DataFrame, k: int = 8) -> DataFrame:
     Floats: distances and means are computed in double and rounded
     (_ROUND) before argmin/output so association order can't flip a
     comparison across engines; ties break toward the lower cid."""
-    vec = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
-    )
-    # k seed vectors to the driver (k × dim doubles — the same scale of
-    # driver state as ivf_build's clusterCenters), embedded as literals:
-    # assignment becomes a NARROW map, no join, no shuffle of the corpus.
-    seeds = sorted(
-        vec.filter(F.col("vec_id") < k).collect(), key=lambda r: r.vec_id
-    )
-
-    def d2_to(cvec) -> F.Column:
-        carr = F.array(*[F.lit(float(x)) for x in cvec])
-        return F.aggregate(
-            F.zip_with("vec", carr, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    scored = F.array(
-        *[
-            F.struct(
-                F.round(d2_to(r.vec), _ROUND).alias("d2"),
-                F.lit(int(r.vec_id)).alias("cid"),
-            )
-            for r in seeds
-        ]
-    )
-    assigned = vec.select(
-        "vec_id", F.array_min(scored)["cid"].alias("cid"), "vec"
-    )
+    assigned = seed_assign(emb, k)
     per_pos = (
         assigned.select("cid", F.posexplode("vec").alias("pos", "v"))
         .groupBy("cid", "pos")
@@ -202,3 +173,85 @@ def standardize(emb: DataFrame) -> DataFrame:
         lambda x, ms: F.round((x - ms["m"]) / ms["s"], _ROUND),
     )
     return emb.select("vec_id", z.alias("z"))
+
+
+def seed_assign(emb: DataFrame, k: int = 8) -> DataFrame:
+    """(vec_id, cid, vec) — squared-L2 argmin assignment against the k
+    deterministic seed vectors (lowest vec_ids), the same literal-shipped
+    narrow map kmeans_step uses: no join, no shuffle of the corpus.
+    Distances rounded to _ROUND before the argmin (ties -> lower cid) so
+    the assignment is reproducible cross-engine."""
+    vec = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    seeds = sorted(
+        vec.filter(F.col("vec_id") < k).collect(), key=lambda r: r.vec_id
+    )
+
+    def d2_to(cvec) -> F.Column:
+        carr = F.array(*[F.lit(float(x)) for x in cvec])
+        return F.aggregate(
+            F.zip_with("vec", carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(d2_to(r.vec), _ROUND).alias("d2"),
+                F.lit(int(r.vec_id)).alias("cid"),
+            )
+            for r in seeds
+        ]
+    )
+    return vec.select("vec_id", F.array_min(scored)["cid"].alias("cid"), "vec")
+
+
+def semantic_dedup(emb: DataFrame, k: int = 8, tau: float = 0.9) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    method): shard the embedding space into k centroid cells, then drop
+    any vector that has a LOWER-id near-twin (cosine >= tau) in the SAME
+    cell. Returns the kept rows as (vec_id, cid).
+
+    The drop rule "exists y < x in cell(x) with cos(x,y) >= tau" is
+    order-free and deterministic — no dependence on scan order, so the
+    result is partition-invariant and SQL-expressible (the DuckDB oracle
+    runs the same rule as a NOT EXISTS).
+
+    Scale shape: the quadratic pair term is confined WITHIN each
+    centroid cell (SemDeDup's whole point — cells are ~n/k vectors, and
+    in production k ~ sqrt(n) keeps cells tiny); the pair join is an
+    equi-join on cid, never a global cross join. Assignment is the
+    narrow seed_assign map. Cosines rounded to _ROUND before the
+    threshold so the cut is reproducible cross-engine."""
+    assigned = seed_assign(emb, k)
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"), F.col("cid"), F.col("vec").alias("a_v")
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("cid").alias("b_cid"),
+        F.col("vec").alias("b_v"),
+    )
+    pairs = a.join(
+        b, (F.col("cid") == F.col("b_cid")) & (F.col("a_id") < F.col("b_id"))
+    )
+    cos = F.round(_sim(F.col("a_v"), F.col("b_v")), _ROUND)
+    dropped = (
+        pairs.select("b_id", cos.alias("cos"))
+        .filter(F.col("cos") >= tau)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, "vec_id", "left_anti")
+        .select("vec_id", "cid")
+    )
+
+
+def _sim(a: F.Column, b: F.Column) -> F.Column:
+    """Cosine with the zero-vector guard (0.0, matching
+    similarity.cosine — ANSI mode would abort on 0/0)."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(_dot(a, b) / denom)

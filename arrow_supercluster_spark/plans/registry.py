@@ -266,6 +266,7 @@ def _load_extended_registries():
         registry_ext14,
         registry_ext15,
         registry_ext16,
+        registry_ext17,
     )
 
 

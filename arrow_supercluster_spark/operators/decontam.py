@@ -22,7 +22,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from arrow_supercluster_spark.operators.dedup import normalize_text
 
@@ -170,4 +170,90 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         (
             (F.col("dup_sent_frac") > 0.3) | (F.col("top_tok_frac") > 0.2)
         ).alias("repetitive"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Duplicate-span detection (substring-level dedup signal)
+# --------------------------------------------------------------------------
+
+
+def positioned_gram_digests(docs: DataFrame, n: int = 8) -> DataFrame:
+    """(doc_id, pos, g) — md5 digest of the word n-gram starting at each
+    1-based token position (NOT deduplicated: positions matter here,
+    unlike doc_ngram_digests)."""
+    toks = F.split(normalize_text(F.col("text")), " ")
+    pg = F.expr(
+        f"CASE WHEN size(toks) >= {n} THEN "
+        f"transform(sequence(1, size(toks) - {n} + 1), "
+        f"i -> struct(i AS pos, md5(array_join(slice(toks, i, {n}), ' ')) AS g)) "
+        f"ELSE array() END"
+    )
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode(pg).alias("p"))
+        .select("doc_id", F.col("p.pos").alias("pos"), F.col("p.g").alias("g"))
+    )
+
+
+def dup_spans(
+    docs: DataFrame, n: int = 8, max_df: int = 20, min_run: int = 2
+) -> DataFrame:
+    """Substring-level duplicate spans between document pairs: for each
+    pair sharing a run of >= `min_run` CONSECUTIVE word n-grams, the
+    longest such run in tokens — the relational form of the
+    substring-dedup signal of Lee et al. 2021 ("Deduplicating Training
+    Data Makes Language Models Better", which uses suffix arrays on a
+    single machine; the distributed equivalent is positioned-n-gram
+    matching + islands detection, all joins/windows here).
+
+    Returns (a_id, b_id, max_span_tokens), a_id < b_id.
+
+    Semantics & scale:
+    - grams with document frequency > `max_df` are excluded FIRST
+      (boilerplate: a gram shared by hundreds of docs would otherwise
+      quadratically explode the pair join — same posting-list cap
+      every MapReduce dedup pipeline applies). The cap is part of the
+      operator's definition and the oracle applies it identically.
+    - the pair join is keyed on the gram digest (equi-join; digests
+      cross the shuffle, never text);
+    - runs are found with the islands trick (pos − row_number per
+      (a, b, diagonal) — a window over at most one document's worth of
+      positions, never a global sort): consecutive positions on the
+      same diagonal pa − pb form one island;
+    - span length in tokens = run length in grams + n − 1.
+    """
+    pg = positioned_gram_digests(docs, n)
+    rare = pg.join(
+        pg.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("g"),
+        "g",
+        "leftsemi",
+    )
+    a = rare.select(
+        F.col("doc_id").alias("a_id"), F.col("pos").alias("pa"), "g"
+    )
+    b = rare.select(
+        F.col("doc_id").alias("b_id"), F.col("pos").alias("pb"), "g"
+    )
+    pairs = a.join(b, "g").filter(F.col("a_id") < F.col("b_id")).select(
+        "a_id", "b_id", "pa", (F.col("pa") - F.col("pb")).alias("diag")
+    )
+    w = Window.partitionBy("a_id", "b_id", "diag").orderBy("pa")
+    runs = (
+        pairs.withColumn("island", F.col("pa") - F.row_number().over(w))
+        .groupBy("a_id", "b_id", "diag", "island")
+        .agg(F.count(F.lit(1)).alias("run"))
+    )
+    return (
+        runs.groupBy("a_id", "b_id")
+        .agg(F.max("run").alias("max_run"))
+        .filter(F.col("max_run") >= min_run)
+        .select(
+            "a_id",
+            "b_id",
+            (F.col("max_run") + F.lit(n - 1)).alias("max_span_tokens"),
+        )
     )

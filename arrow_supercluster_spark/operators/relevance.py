@@ -191,3 +191,103 @@ def sql_unigram_logprob(vocab_size: int, sql_toks: str) -> str:
     FROM toks LEFT JOIN vocab v USING (tok) CROSS JOIN total
     GROUP BY doc_id
     """
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    lam: float = 0.7,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean INTERPOLATED-BIGRAM log-probability under the
+    corpus's own counts — the step up from unigram_logprob (Jelinek-
+    Mercer interpolation, public formula):
+
+        P(y|x) = lam * c(x,y)/c(x)  +  (1-lam) * c(y)/N
+
+    c(x) is the corpus unigram count (never 0 — every scored token is
+    by construction in the corpus), so unseen bigrams back off to the
+    unigram term and the log is always defined. Documents with < 2
+    tokens have no bigrams and are excluded (both engines).
+
+    Returns (doc_id, n_bigrams, avg_logprob) rounded to 6.
+
+    Scale shape: bigrams come from an in-row zip of the token array with
+    its own shift (no second explode pass, same trick as the PMI miner);
+    the bigram count table is joined on the (x, y) pair key — a plain
+    equi-join that AQE broadcasts when the vocabulary is small and
+    shuffles by key when it is not; unigram counts and the corpus total
+    ride as broadcast/1-row sides. The corpus text itself never
+    re-shuffles for scoring."""
+    toked = docs.select(key, tokenize(F.col(text)).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bigr = toked.select(
+        key,
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))).alias("x"),
+                F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0))).alias("y"),
+            )
+        ).alias("p"),
+    ).select(key, F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+
+    uni = (
+        toked.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_total = uni.agg(F.sum("c").alias("n"))
+    bi = bigr.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+
+    ux = uni.select(F.col("tok").alias("x"), F.col("c").alias("c_x"))
+    uy = uni.select(F.col("tok").alias("y"), F.col("c").alias("c_y"))
+    scored = (
+        bigr.join(bi, ["x", "y"], "left")
+        .join(F.broadcast(ux), "x")
+        .join(F.broadcast(uy), "y")
+        .crossJoin(F.broadcast(n_total))
+    )
+    lp = F.log(
+        F.lit(lam) * F.coalesce(F.col("c_xy"), F.lit(0)) / F.col("c_x")
+        + F.lit(1.0 - lam) * F.col("c_y") / F.col("n")
+    )
+    return (
+        scored.groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum(lp) / F.count(F.lit(1)), 6).alias("avg_logprob"),
+        )
+    )
+
+
+def sql_bigram_logprob(lam: float, sql_toks: str) -> str:
+    """DuckDB twin of bigram_logprob: same interpolation, same exclusion
+    of sub-2-token docs, same rounding."""
+    return f"""
+    WITH toked AS (
+      SELECT doc_id, {sql_toks} AS t FROM documents
+    ),
+    bigr AS (
+      SELECT doc_id, t[i] AS x, t[i+1] AS y
+      FROM toked, unnest(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2
+    ),
+    uni AS (
+      SELECT tok, COUNT(*) AS c FROM (
+        SELECT unnest(t) AS tok FROM toked WHERE len(t) >= 2
+      ) flat GROUP BY 1
+    ),
+    n_total AS (SELECT SUM(c) AS n FROM uni),
+    bi AS (SELECT x, y, COUNT(*) AS c_xy FROM bigr GROUP BY 1, 2)
+    SELECT bigr.doc_id, COUNT(*) AS n_bigrams,
+           round(SUM(ln({lam} * COALESCE(bi.c_xy, 0) / ux.c
+                         + {1.0 - lam} * uy.c / n_total.n)) / COUNT(*), 6)
+             AS avg_logprob
+    FROM bigr
+    LEFT JOIN bi USING (x, y)
+    JOIN uni ux ON ux.tok = bigr.x
+    JOIN uni uy ON uy.tok = bigr.y
+    CROSS JOIN n_total
+    GROUP BY bigr.doc_id
+    """

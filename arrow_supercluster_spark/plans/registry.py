@@ -267,6 +267,7 @@ def _load_extended_registries():
         registry_ext15,
         registry_ext16,
         registry_ext17,
+        registry_ext18,
     )
 
 

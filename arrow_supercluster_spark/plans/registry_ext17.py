@@ -1,4 +1,4 @@
-"""Round-2 registry additions, batch 11 — runtime-filter and
+"""Round-2 registry additions, batch 12 — runtime-filter and
 semantic-dedup primitives plus event-attribution joins:
 
 - q_bloom_decontam: relational Bloom filter as a runtime prefilter in
@@ -56,7 +56,7 @@ def q_bloom_decontam(spark, sf_dir):
     and the survivors are exactly re-verified; the payoff at 100 TB is
     that the corpus-gram side crosses NO shuffle for the prefilter and
     the exact join sees only bloom survivors instead of every gram.
-    tests/test_batch11.py checks the no-false-negative superset property
+    tests/test_batch12b.py checks the no-false-negative superset property
     and the candidate reduction directly."""
     return bloomfilter.bloom_decontaminate(
         _docs(spark, sf_dir),

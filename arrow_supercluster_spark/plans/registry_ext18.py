@@ -1,4 +1,4 @@
-"""Round-2 registry additions, batch 12 — substring-level dedup signal,
+"""Round-2 registry additions, batch 13 — substring-level dedup signal,
 bigram language-model scoring, and triangle counting:
 
 - q_dup_spans: longest duplicated token span per document pair

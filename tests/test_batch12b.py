@@ -1,4 +1,4 @@
-"""Batch-11 operator tests: relational Bloom filter (no false
+"""Batch-12 operator tests: relational Bloom filter (no false
 negatives, candidate reduction, exact composition), SemDeDup semantic
 dedup (independent numpy oracle), and the stream-stream interval join
 (streaming pair set ≡ batch pair set)."""

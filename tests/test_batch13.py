@@ -1,4 +1,4 @@
-"""Batch-12 operator tests: duplicate-span detection on constructed
+"""Batch-13 operator tests: duplicate-span detection on constructed
 fixtures, triangle counting on a known graph, bigram-LM edge cases."""
 
 import pandas as pd

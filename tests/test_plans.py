@@ -135,3 +135,43 @@ def test_round2_batch3_plan_gates(spark, sf_dir):
     # chunking: pure generator, zero Exchange
     plan = plan_of(REGISTRY["q_doc_chunks"].spark(spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_bloom_probe_broadcasts_bitmap(spark, sf_dir):
+    """The bloom prefilter's bucket join must be a BroadcastHashJoin
+    (the bitmap is fixed-size by construction) and the plan must contain
+    no cartesian/nested-loop join."""
+    from arrow_supercluster_spark.operators import bloomfilter
+    from arrow_supercluster_spark.operators.decontam import doc_ngram_digests
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grams = doc_ngram_digests(docs, 8)
+    eval_g = grams.filter(F.col("doc_id") % 29 == 0).select("g").distinct()
+    bloom = bloomfilter.bloom_build(eval_g, "g", m_bits=1 << 17, k=4)
+    probe = bloomfilter.bloom_prefilter(
+        grams, "g", bloom, m_bits=1 << 17, k=4
+    )
+    plan = plan_of(probe)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_no_global_cross_join(spark, sf_dir):
+    """SemDeDup's pair join must be keyed on the cell id — no cartesian
+    product, no nested-loop join of the full corpus."""
+    from arrow_supercluster_spark.operators import centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = plan_of(centroids.semantic_dedup(emb, k=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_attribution_join_is_equi_keyed(spark, sf_dir):
+    """The attribution join must hash on user_id (equi key) with the
+    time bound as a residual condition, not degrade to a nested loop."""
+    q = REGISTRY["q_view_purchase_attribution"].spark(spark, sf_dir)
+    plan = plan_of(q)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

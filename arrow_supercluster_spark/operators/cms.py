@@ -1,0 +1,63 @@
+"""Count-min sketch (Cormode & Muthukrishnan 2005, public algorithm):
+a fixed-size mergeable frequency summary, the counting cousin of the
+HLL cardinality sketch already in the repo.
+
+Relational shape (100 TB): the sketch is a (depth x width) counter
+table built by ONE aggregation over the token stream — the shuffle
+carries at most d*w counter rows per partition (map-side combined),
+never the stream. Probing joins the d probe positions of each query
+key against the sketch (broadcast — the sketch is d*w rows by
+construction) and takes the min over depths. Estimates are
+deterministic given the hash family (xxhash64 salted by depth), but
+the hash family is engine-specific, so the registry entry is
+rows-only; tests/test_batch14.py asserts the CMS sandwich guarantee
+(est >= true count, est <= true + eps*N) against exact counts instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def cms_build(df: DataFrame, col: str, width: int = 2048, depth: int = 4) -> DataFrame:
+    """(d, bucket, c) — counter table of the count-min sketch over
+    df[col] occurrences. At most depth*width rows."""
+    probes = df.select(
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d"),
+        F.col(col).alias("k"),
+    )
+    return (
+        probes.select(
+            "d", F.pmod(F.xxhash64("k", "d"), F.lit(width)).alias("bucket")
+        )
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame, keys: DataFrame, col: str, width: int = 2048, depth: int = 4
+) -> DataFrame:
+    """(key, est) — point-frequency estimate for each row of keys[col]:
+    min over depths of the counter at the key's bucket. Missing buckets
+    count as 0 (the key was never seen at that depth)."""
+    probes = keys.select(F.col(col).alias("k")).withColumn(
+        "d", F.explode(F.array(*[F.lit(i) for i in range(depth)]))
+    )
+    probes = probes.withColumn(
+        "bucket", F.pmod(F.xxhash64("k", "d"), F.lit(width))
+    )
+    joined = probes.join(F.broadcast(cms), ["d", "bucket"], "left").select(
+        "k", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    return joined.groupBy("k").agg(F.min("c").alias("est"))
+
+
+def merge_sketches(a: DataFrame, b: DataFrame) -> DataFrame:
+    """CMS merge = elementwise counter sum — the property that lets
+    per-partition / per-day sketches roll up without re-reading data."""
+    return (
+        a.unionAll(b)
+        .groupBy("d", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )

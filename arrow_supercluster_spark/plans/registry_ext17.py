@@ -49,7 +49,7 @@ from arrow_supercluster_spark.sources.tables import read_events, read_table
 def q_bloom_decontam(spark, sf_dir):
     """Pipeline — the CLEAN training set (docs sharing no word-8-gram
     with the eval slice), computed through a relational Bloom filter:
-    eval grams -> fixed-size bitmap (2^17 bits, broadcast) -> narrow
+    eval grams -> fixed-size bitmap (2^20 bits = 128 KB, broadcast; size the bitmap for the EXPECTED eval-set cardinality - a saturated bloom is correct but stops pruning) -> narrow
     probe of the train grams -> exact semi-join verify over the few
     survivors -> anti-join. Equivalent to the plain exact anti-join (the
     oracle's NOT EXISTS) because bloom filters have no false negatives

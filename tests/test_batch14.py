@@ -122,3 +122,84 @@ def test_merge_intervals_fixture(spark, sf_dir):
     assert (
         q.spark(spark, sf_dir).agg(F.sum("n_events")).collect()[0][0] == total
     )
+
+
+def test_dynamic_backfill_leaves_other_partitions_untouched(spark, sf_dir, tmp_path):
+    """Dynamic partition overwrite must replace ONLY the rewritten
+    day's files; other days' part-files (names and mtimes) survive."""
+    import os
+
+    ev = read_events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    path = str(tmp_path / "events")
+    ev.write.partitionBy("day").parquet(path)
+
+    def part_files():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("day="):
+                full = os.path.join(path, d)
+                out[d] = {
+                    (f, os.path.getmtime(os.path.join(full, f)))
+                    for f in os.listdir(full)
+                    if f.endswith(".parquet")
+                }
+        return out
+
+    before = part_files()
+    target = "day=2024-01-10"
+    assert target in before
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            ev.filter(
+                (F.col("day") == F.lit("2024-01-10").cast("date"))
+                & (F.col("event_type") == "click")
+            )
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    after = part_files()
+    assert after[target] != before[target]  # the backfilled day changed
+    for d in before:
+        if d != target:
+            assert after[d] == before[d], d  # every other day untouched
+
+
+def test_event_transitions_fixture(spark):
+    """a->b->a for one user, a->b for another: P(b|a)=2/2=1, P(a|b)=1/1=1."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (0, 1, "a", base),
+        (1, 1, "b", base + dt.timedelta(minutes=1)),
+        (2, 1, "a", base + dt.timedelta(minutes=2)),
+        (3, 2, "a", base),
+        (4, 2, "b", base + dt.timedelta(minutes=1)),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts"])
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = df.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("nxt")
+    )
+    pair = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pair.groupBy("src").agg(F.sum("n").alias("t"))
+    got = {
+        (r.src, r.dst): (r.n, round(r.n / r.t, 6))
+        for r in pair.join(tot, "src").collect()
+    }
+    assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}

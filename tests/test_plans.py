@@ -175,3 +175,11 @@ def test_attribution_join_is_equi_keyed(spark, sf_dir):
     plan = plan_of(q)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_group_topk_partial_window_limit(spark, sf_dir):
+    """q_group_topk must get the WindowGroupLimit split (partial
+    per-partition top-k below the Exchange + final above it), so no
+    group's full membership lands on one reducer."""
+    q = REGISTRY["q_group_topk"].spark(spark, sf_dir)
+    assert plan_of(q).count("WindowGroupLimit") == 2

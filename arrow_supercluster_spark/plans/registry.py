@@ -270,6 +270,7 @@ def _load_extended_registries():
         registry_ext18,
         registry_ext19,
         registry_ext20,
+        registry_ext21,
     )
 
 

@@ -203,3 +203,37 @@ def test_event_transitions_fixture(spark):
         for r in pair.join(tot, "src").collect()
     }
     assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+
+
+def test_streaming_cms_equals_batch(spark, sf_dir, tmp_path_factory):
+    """Per-micro-batch CMS partials merged at read == the one-shot batch
+    sketch over the same tokens."""
+    from arrow_supercluster_spark.streaming.sketches import (
+        maintain_cms,
+        read_cms,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+
+    src = str(tmp_path_factory.mktemp("cms_src"))
+    sink = str(tmp_path_factory.mktemp("cms_sink")) + "/sketch"
+    # many small files -> several micro-batches
+    toks.repartition(8).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(toks.schema).option(
+        "maxFilesPerTrigger", "3"
+    ).parquet(src)
+    q = (
+        maintain_cms(stream, sink, col="tok", width=W, depth=D)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    merged = {(r.d, r.bucket): r.c for r in read_cms(spark, sink).collect()}
+    whole = {
+        (r.d, r.bucket): r.c
+        for r in cms.cms_build(toks, "tok", width=W, depth=D).collect()
+    }
+    assert merged == whole

@@ -271,6 +271,7 @@ def _load_extended_registries():
         registry_ext19,
         registry_ext20,
         registry_ext21,
+        registry_ext22,
     )
 
 

@@ -272,6 +272,7 @@ def _load_extended_registries():
         registry_ext20,
         registry_ext21,
         registry_ext22,
+        registry_ext23,
     )
 
 

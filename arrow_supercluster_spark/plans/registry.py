@@ -273,6 +273,7 @@ def _load_extended_registries():
         registry_ext21,
         registry_ext22,
         registry_ext23,
+        registry_ext24,
     )
 
 

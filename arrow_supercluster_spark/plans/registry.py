@@ -274,6 +274,7 @@ def _load_extended_registries():
         registry_ext22,
         registry_ext23,
         registry_ext24,
+        registry_ext25,
     )
 
 

@@ -434,3 +434,200 @@ def resize_images(media: DataFrame, width: int = 16, height: int = 16) -> DataFr
     return media.mapInPandas(
         run, schema="media_id long, payload binary, n_bytes long"
     )
+
+
+# ===========================================================================
+# Perceptual image hashing (aHash) + Hamming near-dup — the image-side
+# dedup kernel: decode → luma → 8×8 nearest resize → mean threshold →
+# 64-bit hash; candidate pairs via 16-bit band equi-joins (pigeonhole:
+# Hamming ≤ 3 with 4 bands ⇒ at least one band identical), verified with
+# bit_count(xor). Same plan family as the SimHash text path.
+# ===========================================================================
+
+
+def ahash64(img: np.ndarray) -> int:
+    """Average-hash (public algorithm): 64-bit signed int, bit (y*8+x)
+    set iff the 8×8-downsampled luma pixel exceeds the mean."""
+    luma = (
+        0.299 * img[:, :, 0].astype(np.float64)
+        + 0.587 * img[:, :, 1].astype(np.float64)
+        + 0.114 * img[:, :, 2].astype(np.float64)
+    )
+    small = resize_nearest(luma, 8, 8)
+    bits = (small > small.mean()).astype(np.uint64).ravel()
+    h = np.uint64(0)
+    for i, b in enumerate(bits):
+        h |= b << np.uint64(i)
+    return int(h.astype(np.int64))  # two's-complement into BIGINT
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """(media_id, ahash) over BMP payloads; quarantine posture (ok flag)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "ok": [], "ahash": []}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                rows["media_id"].append(mid)
+                try:
+                    rows["ahash"].append(ahash64(decode_bmp(p)))
+                    rows["ok"].append(True)
+                except (ValueError, IndexError):
+                    rows["ahash"].append(None)
+                    rows["ok"].append(False)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema="media_id long, ok boolean, ahash long")
+
+
+def ahash_neardup_pairs(
+    hashes: DataFrame, max_dist: int = 3, bands: int = 4
+) -> DataFrame:
+    """(a_id, b_id, hamming) with Hamming(ahash) <= max_dist, a_id < b_id.
+
+    Candidates come from `bands` equi-joins on (band_idx, 16-bit band
+    value) — NEVER all-pairs. Recall is exact for max_dist < bands
+    (pigeonhole); the bit_count(xor) verify keeps precision exact. Both
+    sides shuffle once on the band key; at 100 TB this is the SimHash
+    banding plan with images upstream.
+    """
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = hashes.filter(F.col("ahash").isNotNull())
+    banded = h.select(
+        F.col("media_id"),
+        F.col("ahash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("ahash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("media_id", "ahash", "bk.band_idx", "bk.band_val")
+    a = banded.select(
+        F.col("media_id").alias("a_id"),
+        F.col("ahash").alias("a_hash"),
+        "band_idx",
+        "band_val",
+    )
+    b = banded.select(
+        F.col("media_id").alias("b_id"),
+        F.col("ahash").alias("b_hash"),
+        "band_idx",
+        "band_val",
+    )
+    ham = F.bit_count(F.col("a_hash").bitwiseXOR(F.col("b_hash")))
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_dist)
+        .distinct()
+    )
+
+
+# ===========================================================================
+# Spectral audio features — numpy rFFT over the decoded PCM: dominant
+# frequency (true spectral peak, not the zero-crossing estimate in
+# audio_features) and spectral centroid.
+# ===========================================================================
+
+
+def audio_spectral(media: DataFrame) -> DataFrame:
+    """(media_id, ok, n, dominant_hz, centroid_hz) via numpy rFFT."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "ok": [], "n": [],
+                "dominant_hz": [], "centroid_hz": [],
+            }
+
+            def emit(mid, ok, n=None, dom=None, cen=None):
+                rows["media_id"].append(mid)
+                rows["ok"].append(ok)
+                rows["n"].append(n)
+                rows["dominant_hz"].append(dom)
+                rows["centroid_hz"].append(cen)
+
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    rate, sig = decode_wav(p)
+                except ValueError:
+                    emit(mid, False)
+                    continue
+                n = len(sig)
+                if n == 0:
+                    emit(mid, True, 0)
+                    continue
+                mag = np.abs(np.fft.rfft(sig))
+                freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+                mag[0] = 0.0  # ignore DC for the peak
+                dom = float(freqs[int(np.argmax(mag))])
+                denom = float(mag.sum())
+                cen = float((freqs * mag).sum() / denom) if denom > 0 else 0.0
+                emit(mid, True, n, round(dom, 2), round(cen, 2))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        run,
+        schema=(
+            "media_id long, ok boolean, n long, "
+            "dominant_hz double, centroid_hz double"
+        ),
+    )
+
+
+def synthesize_bmp_textured(media_id: int, width: int = 32, height: int = 24) -> bytes:
+    """A real BMP whose STRUCTURE (not just tint) varies with the id: a
+    checkerboard whose x/y frequencies derive from the id, over the base
+    gradient. Needed for perceptual-hash tests — the plain gradient corpus
+    differs only by a uniform red tint, which a mean-thresholded hash
+    (correctly) cancels, collapsing every image to one hash."""
+    import struct
+
+    fx = 1 + media_id % 7
+    fy = 1 + (media_id // 7) % 5
+    xx = np.arange(width)
+    yy = np.arange(height)
+    checker = ((xx[None, :] * fx // 8 + yy[:, None] * fy // 6) % 2) * 255.0
+    r = ((media_id * 37) % 256) * np.ones((height, width))
+    g = checker
+    b = 255.0 * (yy[:, None] / max(height - 1, 1)) * np.ones((1, width))
+    px = np.stack([b, g, r], axis=-1).astype(np.uint8)  # BGR
+    row_size = (width * 3 + 3) & ~3
+    pad = row_size - width * 3
+    body = b"".join(
+        px[row].tobytes() + b"\0" * pad for row in range(height - 1, -1, -1)
+    )
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return hdr + dib + body
+
+
+def documents_as_textured_images(docs: DataFrame) -> DataFrame:
+    """Media table with structurally-varying BMP payloads (see above)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [synthesize_bmp_textured(int(i)) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="media_id long, payload binary, n_bytes long"
+    )

@@ -275,6 +275,7 @@ def _load_extended_registries():
         registry_ext23,
         registry_ext24,
         registry_ext25,
+        registry_ext26,
     )
 
 

@@ -108,3 +108,53 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         .unionAll(tri.select(F.col("c").alias("node")))
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007, public algorithm), made DETERMINISTIC: each round every node
+    adopts the most frequent label among its neighbors, ties broken by
+    smallest label (the textbook random tie-break would not be
+    reproducible across partitionings, let alone engines).
+
+    Returns (node, label) after `iterations` synchronous rounds; labels
+    start as the node's own id. Per round: one join keyed on the edge
+    destination + one (src, label) agg + one bounded per-src window
+    (frame = the node's distinct neighbor labels, degree-bounded) —
+    edges shuffle once per round, labels are |nodes|-sized.
+    localCheckpoint per round keeps lineage O(1).
+    """
+    from pyspark.sql import Window
+
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    labels = nodes.withColumn("label", F.col("node"))
+    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    w = Window.partitionBy("e_src").orderBy(F.col("c").desc(), F.col("label"))
+    for _ in range(iterations):
+        cnt = (
+            e.join(labels, e.e_dst == labels.node)
+            .groupBy("e_src", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        pick = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("e_src").alias("node"), F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(pick, "node", "left")
+            .select(
+                "node", F.coalesce("new_label", F.col("label")).alias("label")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels

@@ -276,6 +276,7 @@ def _load_extended_registries():
         registry_ext24,
         registry_ext25,
         registry_ext26,
+        registry_ext27,
     )
 
 

@@ -1,0 +1,82 @@
+"""Batch-22 tests: label-propagation on constructed graphs, RRF fusion
+math spot check, MAD outliers vs numpy."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from arrow_supercluster_spark.operators.graph import label_propagation
+from arrow_supercluster_spark.plans.registry import REGISTRY
+
+
+def test_label_prop_two_triangles(spark):
+    # triangles {1,2,3} and {10,11,12} bridged by 3-10; undirected edges
+    und = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und], "src long, dst long"
+    )
+    labels = {r.node: r.label for r in label_propagation(edges, iterations=3).collect()}
+    # each triangle converges onto its min member
+    assert labels[1] == labels[2] == 1
+    assert labels[11] == labels[12]
+    # bridge nodes pulled toward the smaller community's label
+    assert labels[3] in (1, 2)
+    assert set(labels) == {1, 2, 3, 10, 11, 12}
+
+
+def test_label_prop_star_deterministic(spark):
+    # star: center 5, leaves 1..4 (each leaf sees only the center)
+    und = [(5, i) for i in (1, 2, 3, 4)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und], "src long, dst long"
+    )
+    one = {r.node: r.label for r in label_propagation(edges, iterations=3).collect()}
+    two = {
+        r.node: r.label
+        for r in label_propagation(edges.repartition(5), iterations=3).collect()
+    }
+    assert one == two  # deterministic under partitioning
+    # round 1: center adopts min leaf (1), leaves adopt 5; round 2: center
+    # adopts 5's-neighbors' labels = {5}? no — synchronous: center sees leaf
+    # labels (all 5), leaves see center label (1); just assert stability of
+    # the documented tie-break, not a hand-derived fixpoint:
+    assert set(one.values()) <= {1, 2, 3, 4, 5}
+
+
+def test_rrf_math(spark, sf_dir):
+    rows = REGISTRY["q_rrf_fusion"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        expect = 0.0
+        if r.rank_a is not None:
+            expect += 1.0 / (60 + r.rank_a)
+        if r.rank_b is not None:
+            expect += 1.0 / (60 + r.rank_b)
+        assert abs(r.rrf - round(expect, 9)) < 1e-12
+    # ordering is by fused score descending
+    vals = [r.rrf for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    # at least one fused doc must appear in both rankings on this corpus
+    assert any(r.rank_a is not None and r.rank_b is not None for r in rows)
+
+
+def test_mad_outliers_vs_numpy(spark, sf_dir):
+    from arrow_supercluster_spark.sources.tables import read_events
+
+    ev = read_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    pdf = ev.select("event_id", "event_type", "value").toPandas()
+    expected = set()
+    for et, grp in pdf.groupby("event_type"):
+        v = grp["value"].to_numpy()
+        m = np.percentile(v, 50)
+        mad = np.percentile(np.abs(v - m), 50)
+        if mad <= 0:
+            continue
+        z = np.round(0.6745 * (v - m) / mad, 6)
+        for eid, zz in zip(grp["event_id"], z):
+            if abs(zz) > 3.5:
+                expected.add((eid, round(float(zz), 6)))
+    got = {
+        (r.event_id, r.robust_z)
+        for r in REGISTRY["q_mad_outliers"].spark(spark, sf_dir).collect()
+    }
+    assert got == expected

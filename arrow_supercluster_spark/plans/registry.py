@@ -277,6 +277,7 @@ def _load_extended_registries():
         registry_ext25,
         registry_ext26,
         registry_ext27,
+        registry_ext28,
     )
 
 

@@ -278,6 +278,7 @@ def _load_extended_registries():
         registry_ext26,
         registry_ext27,
         registry_ext28,
+        registry_ext29,
     )
 
 

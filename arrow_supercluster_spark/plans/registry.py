@@ -279,6 +279,7 @@ def _load_extended_registries():
         registry_ext27,
         registry_ext28,
         registry_ext29,
+        registry_ext30,
     )
 
 

@@ -280,6 +280,7 @@ def _load_extended_registries():
         registry_ext28,
         registry_ext29,
         registry_ext30,
+        registry_ext31,
     )
 
 

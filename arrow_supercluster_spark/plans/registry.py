@@ -281,6 +281,7 @@ def _load_extended_registries():
         registry_ext29,
         registry_ext30,
         registry_ext31,
+        registry_ext32,
     )
 
 

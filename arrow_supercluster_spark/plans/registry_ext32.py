@@ -24,7 +24,7 @@ from arrow_supercluster_spark.sources.tables import read_table
 # ===========================================================================
 
 _Q5_REGION = "ASIA"
-_Q5_FROM, _Q5_TO = "1994-01-01", "1995-01-01"
+_Q5_FROM, _Q5_TO = "1995-01-01", "1999-01-01"  # testdata orders span 1995..2001
 
 
 @register(
@@ -49,7 +49,7 @@ _Q5_FROM, _Q5_TO = "1994-01-01", "1995-01-01"
 def q_tpch_q5(spark, sf_dir):
     """Relational substrate — the TPC-H Q5 'local supplier volume'
     shape: revenue by nation where the customer and the line's supplier
-    share a nation, one region, one order-date year. Plan: region →
+    share a nation, one region, a four-year order-date range. Plan: region →
     nation → supplier/customer are broadcast dims (hinted), the only
     shuffles are orders⋈customer (custkey) and lineitem⋈orders
     (orderkey); the date filter pushes into the orders scan, pruning

@@ -172,7 +172,10 @@ def q_city_mask(spark, sf_dir):
     return filters.city_mask(derived_points(spark, sf_dir), _CITIES).select("id", "city", "mask")
 
 
-_BBOX = (-60.0, -30.0, 60.0, 40.0)
+# the derived points live in a narrow lng strip near -180 (custkeys are
+# small, so one LCG step reaches only ~1.2% of the modulus); the box must
+# overlap the strip or the filter is a trivial empty match
+_BBOX = (-180.0, -30.0, -176.0, 40.0)
 
 @register(
     "q_bbox_filter",
@@ -282,6 +285,7 @@ def _load_extended_registries():
         registry_ext30,
         registry_ext31,
         registry_ext32,
+        registry_ext33,
     )
 
 

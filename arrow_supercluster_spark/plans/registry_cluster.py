@@ -94,7 +94,7 @@ for _z in (0, 4, 8, 12):
 # Q1 — getClusters (bbox + zoom → ClusterOutput)
 # ===========================================================================
 
-_Q1_BBOX = (-120.0, -50.0, 120.0, 55.0)
+_Q1_BBOX = (-180.0, -50.0, -176.0, 55.0)  # must overlap the -180 point strip
 
 
 def _mk_get_clusters(zoom: int):
@@ -226,11 +226,11 @@ def q_get_children(spark, sf_dir):
 @register(
     "q_get_leaves",
     f"""
-    WITH anchor AS {_sql_anchor_cell(6)},
+    WITH anchor AS {_sql_anchor_cell(4)},
     leaves AS (
       SELECT p.id, p.lng, p.lat,
              row_number() OVER (ORDER BY p.id) AS rank
-      FROM ({_sql_nodes_points(6)}) p, anchor
+      FROM ({_sql_nodes_points(4)}) p, anchor
       WHERE p.cell_x = anchor.ax AND p.cell_y = anchor.ay
     )
     SELECT rank, id, lng, lat FROM leaves WHERE rank BETWEEN 3 AND 12
@@ -243,8 +243,10 @@ def q_get_leaves(spark, sf_dir):
     window (offset=2, limit=10)."""
     from pyspark.sql import Window
 
-    anchor = _anchor_cell(spark, sf_dir, 6)
-    pts = gc.with_cells(_points_xy(spark, sf_dir), 6, OPTS)
+    # zoom 4: the anchor cell holds ~10 points, so the offset/limit page
+    # is non-empty (at zoom 6 the cell is a singleton -> trivial empty page)
+    anchor = _anchor_cell(spark, sf_dir, 4)
+    pts = gc.with_cells(_points_xy(spark, sf_dir), 4, OPTS)
     leaves = pts.join(
         F.broadcast(anchor),
         (F.col("cell_x") == F.col("ax")) & (F.col("cell_y") == F.col("ay")),
@@ -343,9 +345,9 @@ def q_descendants(spark, sf_dir):
 @register(
     "q_pick_rows",
     f"""
-    WITH anchor AS {_sql_anchor_cell(6)}
+    WITH anchor AS {_sql_anchor_cell(4)}
     SELECT p.id, c.c_name, c.c_acctbal, c.c_mktsegment
-    FROM ({_sql_nodes_points(6)}) p, anchor, customer c
+    FROM ({_sql_nodes_points(4)}) p, anchor, customer c
     WHERE p.cell_x = anchor.ax AND p.cell_y = anchor.ay AND c.c_custkey = p.id
     """,
 )
@@ -353,8 +355,10 @@ def q_pick_rows(spark, sf_dir):
     """J1 — picking row-materialization join (picking.ts:14-51): leaves of
     the picked cluster joined back to full source rows; the leaf list is
     tiny → broadcast join (the relational form of table.get(i))."""
-    anchor = _anchor_cell(spark, sf_dir, 6)
-    pts = gc.with_cells(_points_xy(spark, sf_dir), 6, OPTS)
+    # zoom 4: the anchor cell holds ~10 leaves (a zoom-6 cell is a
+    # singleton -> a trivial 1-row pick)
+    anchor = _anchor_cell(spark, sf_dir, 4)
+    pts = gc.with_cells(_points_xy(spark, sf_dir), 4, OPTS)
     leaves = pts.join(
         F.broadcast(anchor),
         (F.col("cell_x") == F.col("ax")) & (F.col("cell_y") == F.col("ay")),

@@ -253,8 +253,10 @@ def q_first_last_agg(spark, sf_dir):
     """
     WITH hashes AS (
       SELECT DISTINCT source,
-             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
-      FROM documents
+             md5(substr(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+                        s.i, 100)) AS h
+      FROM documents, unnest(generate_series(1, 301, 100)) AS s(i)
+      WHERE length(text) >= 100
     ),
     pair AS (
       SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
@@ -280,9 +282,21 @@ def q_cross_source_overlap(spark, sf_dir):
     from arrow_supercluster_spark.operators.dedup import normalize_text
 
     docs = _docs(spark, sf_dir)
-    hashes = docs.select(
-        "source", F.md5(normalize_text(F.col("text"))).alias("h")
-    ).distinct()
+    # 100-char chunk digests (offsets 1,101,201,301 of the normalized
+    # text): the corpus has no FULL-document cross-source duplicates, so
+    # whole-doc hashing is a trivial empty matrix; chunk granularity is
+    # also what a real crawl-overlap audit uses (partial re-scrapes)
+    offs = F.array(*[F.lit(i) for i in (1, 101, 201, 301)])
+    hashes = (
+        docs.filter(F.length("text") >= 100)
+        .select(
+            "source",
+            normalize_text(F.col("text")).alias("norm"),
+            F.explode(offs).alias("i"),
+        )
+        .select("source", F.md5(F.expr("substr(norm, i, 100)")).alias("h"))
+        .distinct()
+    )
     a = hashes.select(F.col("source").alias("src_a"), "h")
     b = hashes.select(F.col("source").alias("src_b"), "h")
     pair = (

@@ -23,11 +23,13 @@ from arrow_supercluster_spark.sources.points import SQL_POINTS, derived_points
 # ===========================================================================
 
 # Three non-degenerate polygons (lng, lat rings, not closed — the edge
-# list wraps). Chosen to partly overlap the LCG point cloud.
+# list wraps). The derived point cloud is a narrow strip at lng≈-180
+# (see sources/points.py), so the rings hug the strip — polygons placed
+# over the visually "obvious" oceans match nothing.
 _POLYGONS = {
-    "atlantic_tri": [(-60.0, -20.0), (-10.0, 45.0), (-75.0, 40.0)],
-    "indo_quad": [(55.0, -35.0), (110.0, -30.0), (120.0, 25.0), (60.0, 20.0)],
-    "pacific_band": [(150.0, -50.0), (179.0, -45.0), (175.0, 10.0), (145.0, 5.0)],
+    "strip_tri": [(-180.0, -60.0), (-175.5, -55.0), (-179.0, -15.0)],
+    "strip_quad": [(-180.0, -5.0), (-175.8, 0.0), (-176.2, 45.0), (-179.8, 40.0)],
+    "north_band": [(-180.0, 50.0), (-175.9, 55.0), (-176.5, 80.0), (-179.9, 75.0)],
 }
 
 

@@ -183,4 +183,9 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     from arrow_supercluster_spark.operators.similarity import neardup_pairs_lsh
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return neardup_pairs_lsh(emb, threshold=0.9)
+    # 0.45 for the same reason as q_embedding_neardup: the synthetic
+    # embeddings are near-orthogonal, 0.9 matches nothing
+    # wider tables (4 planes x 8) so the near-orthogonal corpus's true
+    # pairs actually collide: recall ~0.8 at cos 0.45 vs ~0.1 with the
+    # default 8x4 geometry tuned for 0.9-similarity corpora
+    return neardup_pairs_lsh(emb, threshold=0.45, n_planes=4, n_tables=8)

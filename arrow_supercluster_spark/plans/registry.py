@@ -286,6 +286,7 @@ def _load_extended_registries():
         registry_ext31,
         registry_ext32,
         registry_ext33,
+        registry_ext34,
     )
 
 

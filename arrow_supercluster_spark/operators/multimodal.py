@@ -631,3 +631,48 @@ def documents_as_textured_images(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(
         run, schema="media_id long, payload binary, n_bytes long"
     )
+
+
+# ===========================================================================
+# File-based media ingestion — the binaryFile source: media arrives as
+# FILES (the real-world shape), not in-flight synthesized payloads.
+# ===========================================================================
+
+
+def write_media_files(docs: DataFrame, path: str) -> int:
+    """Materialize one REAL .bmp file per doc under `path` (executor-side
+    writes via mapInPandas — each task writes its partition's files, the
+    driver only counts). Local-FS layout for the test environment; on an
+    object store the same pattern writes via the store's client.
+    Returns the file count."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+
+    def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        for pdf in batches:
+            for i in pdf["doc_id"]:
+                payload = synthesize_bmp_textured(int(i))
+                with open(os.path.join(path, f"media_{int(i):08d}.bmp"), "wb") as f:
+                    f.write(payload)
+                n += 1
+        yield pd.DataFrame({"n": [n]})
+
+    counts = docs.select("doc_id").mapInPandas(write, schema="n long").collect()
+    return int(sum(r.n for r in counts))
+
+
+def read_media_files(spark, path: str) -> DataFrame:
+    """binaryFile source → the standard media table (media_id, payload,
+    n_bytes). The id parses from the filename; `content` arrives as one
+    binary column per file — Spark's native whole-file ingestion, with
+    partition parallelism = file count and predicate pushdown on path/
+    length metadata."""
+    raw = spark.read.format("binaryFile").option("pathGlobFilter", "*.bmp").load(path)
+    media_id = F.regexp_extract(F.col("path"), r"media_(\d+)\.bmp$", 1).cast("long")
+    return raw.select(
+        media_id.alias("media_id"),
+        F.col("content").alias("payload"),
+        F.col("length").alias("n_bytes"),
+    )

@@ -287,6 +287,7 @@ def _load_extended_registries():
         registry_ext32,
         registry_ext33,
         registry_ext34,
+        registry_ext35,
     )
 
 

@@ -129,3 +129,42 @@ def maintain_hierarchy(points_stream: DataFrame, engine) -> "object":
         .foreachBatch(_fold)
         .option("checkpointLocation", f"{engine.workdir}/stream_ckpt")
     )
+
+
+def trending_counts(
+    events_stream: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming half of 'trending event types': per (1h window ×
+    event_type) counts with a watermark. Ranking is NOT done here —
+    window functions cannot run incrementally on an unbounded stream, so
+    the streaming job maintains only the mergeable counts (state bounded
+    by |windows in watermark| × |types|) and the consumer (or a
+    foreachBatch finisher) applies `finish_trending_topk` per emitted
+    window. The split is the point: counts stream, ranks finish."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH").alias("hour"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def finish_trending_topk(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Batch finisher: rank the (hour, event_type, n) counts to the
+    top-k per hour (count desc, type asc — deterministic)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("hour").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("hour", "event_type", "n", "rk")
+    )

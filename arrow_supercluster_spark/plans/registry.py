@@ -288,6 +288,7 @@ def _load_extended_registries():
         registry_ext33,
         registry_ext34,
         registry_ext35,
+        registry_ext36,
     )
 
 

@@ -289,6 +289,7 @@ def _load_extended_registries():
         registry_ext34,
         registry_ext35,
         registry_ext36,
+        registry_ext37,
     )
 
 

@@ -290,6 +290,7 @@ def _load_extended_registries():
         registry_ext35,
         registry_ext36,
         registry_ext37,
+        registry_ext38,
     )
 
 

@@ -291,6 +291,7 @@ def _load_extended_registries():
         registry_ext36,
         registry_ext37,
         registry_ext38,
+        registry_ext39,
     )
 
 

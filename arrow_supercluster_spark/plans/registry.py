@@ -292,6 +292,7 @@ def _load_extended_registries():
         registry_ext37,
         registry_ext38,
         registry_ext39,
+        registry_ext40,
     )
 
 

@@ -293,6 +293,7 @@ def _load_extended_registries():
         registry_ext38,
         registry_ext39,
         registry_ext40,
+        registry_ext41,
     )
 
 

@@ -294,6 +294,7 @@ def _load_extended_registries():
         registry_ext39,
         registry_ext40,
         registry_ext41,
+        registry_ext42,
     )
 
 

@@ -295,6 +295,7 @@ def _load_extended_registries():
         registry_ext40,
         registry_ext41,
         registry_ext42,
+        registry_ext43,
     )
 
 

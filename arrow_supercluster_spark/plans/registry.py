@@ -296,6 +296,7 @@ def _load_extended_registries():
         registry_ext41,
         registry_ext42,
         registry_ext43,
+        registry_ext44,
     )
 
 

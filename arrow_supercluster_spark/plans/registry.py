@@ -297,6 +297,7 @@ def _load_extended_registries():
         registry_ext42,
         registry_ext43,
         registry_ext44,
+        registry_ext45,
     )
 
 

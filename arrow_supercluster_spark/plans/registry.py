@@ -298,6 +298,7 @@ def _load_extended_registries():
         registry_ext43,
         registry_ext44,
         registry_ext45,
+        registry_ext46,
     )
 
 

@@ -299,6 +299,7 @@ def _load_extended_registries():
         registry_ext44,
         registry_ext45,
         registry_ext46,
+        registry_ext47,
     )
 
 

@@ -300,6 +300,7 @@ def _load_extended_registries():
         registry_ext45,
         registry_ext46,
         registry_ext47,
+        registry_ext48,
     )
 
 

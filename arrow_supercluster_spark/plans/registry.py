@@ -301,6 +301,7 @@ def _load_extended_registries():
         registry_ext46,
         registry_ext47,
         registry_ext48,
+        registry_ext49,
     )
 
 

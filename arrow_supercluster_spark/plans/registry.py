@@ -302,6 +302,7 @@ def _load_extended_registries():
         registry_ext47,
         registry_ext48,
         registry_ext49,
+        registry_ext50,
     )
 
 

@@ -303,6 +303,7 @@ def _load_extended_registries():
         registry_ext48,
         registry_ext49,
         registry_ext50,
+        registry_ext51,
     )
 
 

@@ -304,6 +304,7 @@ def _load_extended_registries():
         registry_ext49,
         registry_ext50,
         registry_ext51,
+        registry_ext52,
     )
 
 

@@ -305,6 +305,7 @@ def _load_extended_registries():
         registry_ext50,
         registry_ext51,
         registry_ext52,
+        registry_ext53,
     )
 
 

@@ -306,6 +306,7 @@ def _load_extended_registries():
         registry_ext51,
         registry_ext52,
         registry_ext53,
+        registry_ext54,
     )
 
 

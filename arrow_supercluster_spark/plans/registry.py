@@ -307,6 +307,7 @@ def _load_extended_registries():
         registry_ext52,
         registry_ext53,
         registry_ext54,
+        registry_ext55,
     )
 
 

@@ -1,0 +1,184 @@
+"""Round-2 registry additions, batch 50 — model-evaluation surface
+(score = per-user spend, label = high-value purchase):
+
+- q_auc: ROC AUC via the rank identity (the Mann-Whitney U / (n₊·n₋)
+  equivalence) — no curve construction needed;
+- q_calibration: reliability-diagram data — label rate per score
+  decile vs the base rate;
+- q_lift_chart: cumulative gains/lift table per score decile —
+  the targeting readout (who to contact first).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from arrow_supercluster_spark.plans.registry import register
+from arrow_supercluster_spark.sources.tables import read_events
+
+_SQL_SCORED = """
+    scored AS (
+      SELECT user_id, round(SUM(value), 4) AS score,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 90
+                      THEN 1 ELSE 0 END) AS label
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    )
+"""
+
+
+def _spark_scored(spark, sf_dir):
+    ev = read_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    return ev.groupBy("user_id").agg(
+        F.round(F.sum("value"), 4).alias("score"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 90), 1
+            ).otherwise(0)
+        ).alias("label"),
+    )
+
+
+@register(
+    "q_auc",
+    f"""
+    WITH {_SQL_SCORED},
+    ranked AS (
+      SELECT label,
+             RANK() OVER (ORDER BY score)
+               + (COUNT(*) OVER (PARTITION BY score) - 1) / 2.0 AS midrank
+      FROM scored
+    ),
+    agg AS (
+      SELECT SUM(CASE WHEN label = 1 THEN midrank END) AS r_pos,
+             SUM(label) AS n_pos,
+             SUM(1 - label) AS n_neg
+      FROM ranked
+    )
+    SELECT n_pos, n_neg,
+           round((r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6)
+             AS auc
+    FROM agg
+    """,
+)
+def q_auc(spark, sf_dir):
+    """Model eval — ROC AUC of the spend score against the high-value-
+    purchase label via the RANK identity AUC = (R₊ − n₊(n₊+1)/2)/(n₊n₋)
+    (the Mann-Whitney equivalence; midranks make ties count ½) — no ROC
+    curve materialization, one |users|-bounded rank window and a 1-row
+    agg. AUC 0.5 = uninformative score, 1.0 = perfect ranking."""
+    scored = _spark_scored(spark, sf_dir)
+    midrank = (
+        F.rank().over(Window.orderBy("score"))
+        + (F.count(F.lit(1)).over(Window.partitionBy("score")) - 1) / 2.0
+    )
+    ranked = scored.select("label", midrank.alias("midrank"))
+    agg = ranked.agg(
+        F.sum(F.when(F.col("label") == 1, F.col("midrank"))).alias("r_pos"),
+        F.sum("label").alias("n_pos"),
+        F.sum(1 - F.col("label")).alias("n_neg"),
+    )
+    return agg.select(
+        "n_pos", "n_neg",
+        F.round(
+            (F.col("r_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            / (F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+@register(
+    "q_calibration",
+    f"""
+    WITH {_SQL_SCORED},
+    ranked AS (
+      SELECT label,
+             NTILE(10) OVER (ORDER BY score, user_id) AS decile
+      FROM scored
+    ),
+    base AS (SELECT AVG(label * 1.0) AS base_rate FROM scored)
+    SELECT decile,
+           COUNT(*) AS n,
+           SUM(label) AS n_pos,
+           round(AVG(label * 1.0), 6) AS rate,
+           round(ANY_VALUE(base_rate), 6) AS base_rate
+    FROM ranked CROSS JOIN base
+    GROUP BY decile
+    """,
+)
+def q_calibration(spark, sf_dir):
+    """Model eval — reliability-diagram data: label rate per score
+    decile against the base rate — a monotone rate curve means the
+    score ranks well (AUC's visual sibling); flat means noise. NTILE
+    over the |users| table with a deterministic tie-break; one 10-row
+    agg."""
+    scored = _spark_scored(spark, sf_dir)
+    ranked = scored.select(
+        "label",
+        F.ntile(10).over(Window.orderBy("score", "user_id")).alias("decile"),
+    )
+    base = scored.agg(F.avg(F.col("label") * 1.0).alias("base_rate"))
+    return (
+        ranked.crossJoin(F.broadcast(base))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("label").alias("n_pos"),
+            F.round(F.avg(F.col("label") * 1.0), 6).alias("rate"),
+            F.round(F.first("base_rate"), 6).alias("base_rate"),
+        )
+    )
+
+
+@register(
+    "q_lift_chart",
+    f"""
+    WITH {_SQL_SCORED},
+    ranked AS (
+      SELECT label,
+             NTILE(10) OVER (ORDER BY score DESC, user_id) AS decile
+      FROM scored
+    ),
+    per AS (
+      SELECT decile, COUNT(*) AS n, SUM(label) AS n_pos
+      FROM ranked GROUP BY decile
+    ),
+    tot AS (SELECT SUM(n) AS tn, SUM(n_pos) AS tp FROM per)
+    SELECT decile, n, n_pos,
+           CAST(SUM(n_pos) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_pos,
+           round(SUM(n_pos) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0 / tp, 6)
+             AS gain,
+           round((n_pos * 1.0 / n) / (tp * 1.0 / tn), 6) AS lift
+    FROM per CROSS JOIN tot
+    """,
+)
+def q_lift_chart(spark, sf_dir):
+    """Model eval — cumulative gains & lift per TOP-score decile (decile
+    1 = highest scores): gain = cumulative share of positives captured,
+    lift = decile response rate over base rate — the 'contact the top
+    20%' targeting table. Deciles by descending score; everything after
+    the |users| rank runs on 10 rows."""
+    scored = _spark_scored(spark, sf_dir)
+    ranked = scored.select(
+        "label",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("score").desc(), "user_id"))
+        .alias("decile"),
+    )
+    per = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("label").alias("n_pos")
+    )
+    tot = per.agg(F.sum("n").alias("tn"), F.sum("n_pos").alias("tp"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per.crossJoin(F.broadcast(tot)).select(
+        "decile", "n", "n_pos",
+        F.sum("n_pos").over(w).cast("long").alias("cum_pos"),
+        F.round(F.sum("n_pos").over(w) * 1.0 / F.col("tp"), 6).alias("gain"),
+        F.round(
+            (F.col("n_pos") * 1.0 / F.col("n")) / (F.col("tp") * 1.0 / F.col("tn")),
+            6,
+        ).alias("lift"),
+    )

@@ -308,6 +308,7 @@ def _load_extended_registries():
         registry_ext53,
         registry_ext54,
         registry_ext55,
+        registry_ext56,
     )
 
 

@@ -309,6 +309,7 @@ def _load_extended_registries():
         registry_ext54,
         registry_ext55,
         registry_ext56,
+        registry_ext57,
     )
 
 

@@ -310,6 +310,7 @@ def _load_extended_registries():
         registry_ext55,
         registry_ext56,
         registry_ext57,
+        registry_ext58,
     )
 
 

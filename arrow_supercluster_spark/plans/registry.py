@@ -311,6 +311,7 @@ def _load_extended_registries():
         registry_ext56,
         registry_ext57,
         registry_ext58,
+        registry_ext59,
     )
 
 

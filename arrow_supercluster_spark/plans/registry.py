@@ -312,6 +312,7 @@ def _load_extended_registries():
         registry_ext57,
         registry_ext58,
         registry_ext59,
+        registry_ext60,
     )
 
 

@@ -313,6 +313,7 @@ def _load_extended_registries():
         registry_ext58,
         registry_ext59,
         registry_ext60,
+        registry_ext61,
     )
 
 

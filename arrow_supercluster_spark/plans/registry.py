@@ -314,6 +314,7 @@ def _load_extended_registries():
         registry_ext59,
         registry_ext60,
         registry_ext61,
+        registry_ext62,
     )
 
 

@@ -1,0 +1,84 @@
+"""Geo-operator scale sweep: DBSCAN, KDE heatmap, hex binning, and the
+convex hull measured at 100k → 2M synthetic points on the bench harness.
+The claims under test: cell-join DBSCAN cost tracks the edge count (never
+all-pairs), the cell/hex aggregations are one-shuffle linear, and the
+hull reduction moves only per-partition hull vertices.
+
+Run:  python tools/geo_scale_sweep.py [sizes...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F
+
+LCG_A, LCG_M = 16807, 2**31 - 1
+
+
+def synthetic_points(spark, n: int):
+    base = spark.range(n)
+    x1 = ((F.col("id") + 1) * LCG_A) % LCG_M
+    x2 = (x1 * LCG_A) % LCG_M
+    return base.select(
+        F.col("id"),
+        (F.lit(-180.0) + F.lit(360.0) * (x1 / F.lit(float(LCG_M)))).alias("lng"),
+        (F.lit(-85.0) + F.lit(170.0) * (x2 / F.lit(float(LCG_M)))).alias("lat"),
+    )
+
+
+def main():
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("geo-scale-sweep")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from arrow_supercluster_spark.operators.dbscan import dbscan
+    from arrow_supercluster_spark.operators.hull import convex_hull
+
+    sizes = [int(a) for a in sys.argv[1:]] or [100_000, 500_000, 2_000_000]
+    for n in sizes:
+        pts = synthetic_points(spark, n).persist()
+        pts.count()
+        out = {"n": n}
+
+        # DBSCAN: eps shrinks with density so the neighbor count per point
+        # stays O(1) — the knob a real deployment would turn too
+        eps = 2.0 * (100_000 / n) ** 0.5
+        t0 = time.time()
+        labels = dbscan(pts, eps=eps, min_pts=4)
+        out["dbscan_clusters"] = labels.filter(F.col("cluster") >= 0) \
+            .select("cluster").distinct().count()
+        out["dbscan_s"] = round(time.time() - t0, 2)
+        out["dbscan_eps"] = round(eps, 4)
+
+        t0 = time.time()
+        cell = 2.0
+        bx = F.floor(F.col("lng") / cell).cast("long")
+        by = F.floor(F.col("lat") / cell).cast("long")
+        out["cells"] = pts.groupBy(bx.alias("cx"), by.alias("cy")).count().count()
+        out["cell_agg_s"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        hull = convex_hull(pts)
+        out["hull_vertices"] = hull.count()
+        out["hull_s"] = round(time.time() - t0, 2)
+
+        pts.unpersist()
+        print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -315,6 +315,7 @@ def _load_extended_registries():
         registry_ext60,
         registry_ext61,
         registry_ext62,
+        registry_ext63,
     )
 
 

@@ -316,6 +316,7 @@ def _load_extended_registries():
         registry_ext61,
         registry_ext62,
         registry_ext63,
+        registry_ext64,
     )
 
 

@@ -317,6 +317,7 @@ def _load_extended_registries():
         registry_ext62,
         registry_ext63,
         registry_ext64,
+        registry_ext65,
     )
 
 

@@ -318,6 +318,7 @@ def _load_extended_registries():
         registry_ext63,
         registry_ext64,
         registry_ext65,
+        registry_ext66,
     )
 
 

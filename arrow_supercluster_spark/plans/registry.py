@@ -319,6 +319,7 @@ def _load_extended_registries():
         registry_ext64,
         registry_ext65,
         registry_ext66,
+        registry_ext67,
     )
 
 

@@ -320,6 +320,7 @@ def _load_extended_registries():
         registry_ext65,
         registry_ext66,
         registry_ext67,
+        registry_ext68,
     )
 
 

@@ -321,6 +321,7 @@ def _load_extended_registries():
         registry_ext66,
         registry_ext67,
         registry_ext68,
+        registry_ext69,
     )
 
 

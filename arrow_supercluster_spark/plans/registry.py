@@ -322,6 +322,7 @@ def _load_extended_registries():
         registry_ext67,
         registry_ext68,
         registry_ext69,
+        registry_ext70,
     )
 
 

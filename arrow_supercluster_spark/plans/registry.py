@@ -323,6 +323,7 @@ def _load_extended_registries():
         registry_ext68,
         registry_ext69,
         registry_ext70,
+        registry_ext71,
     )
 
 

@@ -324,6 +324,7 @@ def _load_extended_registries():
         registry_ext69,
         registry_ext70,
         registry_ext71,
+        registry_ext72,
     )
 
 

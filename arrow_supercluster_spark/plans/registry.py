@@ -325,6 +325,7 @@ def _load_extended_registries():
         registry_ext70,
         registry_ext71,
         registry_ext72,
+        registry_ext73,
     )
 
 

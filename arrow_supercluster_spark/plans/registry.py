@@ -326,6 +326,7 @@ def _load_extended_registries():
         registry_ext71,
         registry_ext72,
         registry_ext73,
+        registry_ext74,
     )
 
 

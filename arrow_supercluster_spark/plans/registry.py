@@ -327,6 +327,7 @@ def _load_extended_registries():
         registry_ext72,
         registry_ext73,
         registry_ext74,
+        registry_ext75,
     )
 
 

@@ -1,0 +1,82 @@
+"""Physical-plan gates for round-2 operators: zero-shuffle narrow maps
+stay narrow, broadcasts stay broadcast, and the Moran adjacency is an
+equi-join (never a nested loop)."""
+
+import pytest
+
+from arrow_supercluster_spark.plans.registry import REGISTRY
+
+
+def _plan(spark, sf_dir, name):
+    return (
+        REGISTRY[name]
+        .spark(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_geohash_encode",
+        "q_char_entropy",
+        "q_readability",
+        "q_lexical_diversity",
+        "q_lang_purity",
+    ],
+)
+def test_narrow_ops_have_no_exchange_or_python(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "Exchange" not in plan, name
+    assert "Python" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles",
+    [
+        ("q_hexbin", 2),          # partial+final agg on the hex key
+        ("q_kde_heatmap", 2),     # explode is narrow; one cell agg
+        ("q_tile_counts", 2),
+        ("q_city_extents", 2),
+    ],
+)
+def test_cell_aggs_single_shuffle(spark, sf_dir, name, max_shuffles):
+    plan = _plan(spark, sf_dir, name)
+    # hashpartitioning Exchanges only (AQE may split partial/final)
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= max_shuffles, (name, n)
+    assert "Python" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_impute_values", "q_target_encoding", "q_equidepth_hist", "q_psi_drift"],
+)
+def test_broadcast_stats_ops_use_broadcast(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan or \
+        "BroadcastNestedLoopJoin" in plan, name
+
+
+def test_morans_adjacency_is_equi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_morans_i")
+    # the 4-offset shifted-key adjacency must compile to a HASH join on
+    # the (jx, jy) key — the |cells|^2 nested loop is the anti-pattern.
+    # (1-row stat crossJoins elsewhere in the plan are benign and appear
+    # as BroadcastNestedLoopJoin with IdentityBroadcastMode.)
+    assert "BroadcastHashJoin [jx" in plan or "SortMergeJoin [jx" in plan
+
+
+def test_dbscan_pairs_equi_join(spark, sf_dir):
+    from arrow_supercluster_spark.operators.dbscan import _eps_pairs
+    from arrow_supercluster_spark.sources.points import derived_points
+    from pyspark.sql import functions as F
+
+    pts = derived_points(spark, sf_dir).filter(F.col("lng").isNotNull()).select(
+        "id", "lng", "lat"
+    )
+    plan = _eps_pairs(pts, 2.0)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -328,6 +328,7 @@ def _load_extended_registries():
         registry_ext73,
         registry_ext74,
         registry_ext75,
+        registry_ext76,
     )
 
 

@@ -329,6 +329,7 @@ def _load_extended_registries():
         registry_ext74,
         registry_ext75,
         registry_ext76,
+        registry_ext77,
     )
 
 

@@ -330,6 +330,7 @@ def _load_extended_registries():
         registry_ext75,
         registry_ext76,
         registry_ext77,
+        registry_ext78,
     )
 
 

@@ -331,6 +331,7 @@ def _load_extended_registries():
         registry_ext76,
         registry_ext77,
         registry_ext78,
+        registry_ext79,
     )
 
 

@@ -332,6 +332,7 @@ def _load_extended_registries():
         registry_ext77,
         registry_ext78,
         registry_ext79,
+        registry_ext80,
     )
 
 

@@ -15,6 +15,17 @@ scale. The classic two-phase scan fixes it:
 The result is independent of the partition boundaries RangePartitioner
 picks (the order key is unique and the offsets are exact), so the output
 is deterministic under any parallelism — asserted in tests.
+
+Determinism hazard (closed in round 3): RangePartitioner picks boundaries
+by SAMPLING, and Spark does not guarantee identical boundaries across two
+evaluations of the same plan.  The per-pid offsets and the rows they are
+joined back to must therefore come from ONE materialization — the
+partitioned frame is `localCheckpoint()`ed (eager, lineage-truncating, so
+re-evaluation reads the stored blocks rather than re-sampling) before any
+job touches it, and the offsets are computed with a window over the tiny
+per-partition totals inside the same query instead of a driver collect.
+Cost at scale: one executor-local copy of the projected columns, freed when
+the RDD is GC'd — the price of an exact global scan.
 """
 
 from __future__ import annotations
@@ -32,13 +43,14 @@ def global_prefix_sum(
     """Adds `out` = sum of `value_col` over all rows with a strictly
     smaller `order_col` (exclusive prefix sum). `order_col` must be
     unique."""
-    spark = df.sparkSession
     n = num_partitions or df.rdd.getNumPartitions()
     d = (
         df.repartitionByRange(n, F.col(order_col))
         .sortWithinPartitions(order_col)
         .withColumn("_pid", F.spark_partition_id())
     )
+    # single materialization: every downstream job sees the same boundaries
+    d = d.localCheckpoint()
     w = (
         Window.partitionBy("_pid")
         .orderBy(order_col)
@@ -48,16 +60,15 @@ def global_prefix_sum(
         "_local_before",
         F.coalesce(F.sum(value_col).over(w), F.lit(0)).cast("long"),
     )
-    part_rows = sorted(
-        d.groupBy("_pid").agg(F.sum(value_col).alias("_psum")).collect(),
-        key=lambda r: r._pid,
+    # exclusive prefix sum over the |partitions|-row totals — tiny, so the
+    # unpartitioned window is a non-issue; broadcast back as offsets
+    wp = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    off_df = (
+        d.groupBy("_pid")
+        .agg(F.sum(value_col).alias("_psum"))
+        .withColumn("_off", F.coalesce(F.sum("_psum").over(wp), F.lit(0)).cast("long"))
+        .select("_pid", "_off")
     )
-    acc = 0
-    offsets = []
-    for r in part_rows:
-        offsets.append((r._pid, acc))
-        acc += int(r._psum or 0)
-    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
     return (
         d.join(F.broadcast(off_df), "_pid")
         .withColumn(out, (F.col("_local_before") + F.col("_off")).cast("long"))

@@ -87,11 +87,19 @@ def dbscan(pts: DataFrame, eps: float, min_pts: int) -> DataFrame:
     """(id, role, cluster): role in {'core','border','noise'}; cluster =
     min core id of the density component, -1 for noise."""
     pairs = _eps_pairs(pts, eps)
-    # neighbor counts EXCLUDING self; core iff cnt + 1 >= min_pts
+    # neighbor counts EXCLUDING self; core iff cnt + 1 >= min_pts.  Left-join
+    # against ALL points so an isolated point (absent from the pair set) still
+    # counts itself — with min_pts=1 every point is core per the documented
+    # eps-ball-including-self semantics.
     ncnt = pairs.groupBy(F.col("a_id").alias("id")).agg(
         F.count(F.lit(1)).alias("ncnt")
     )
-    cores = ncnt.filter(F.col("ncnt") + 1 >= min_pts).select("id")
+    cores = (
+        pts.select("id")
+        .join(ncnt, "id", "left")
+        .filter(F.coalesce(F.col("ncnt"), F.lit(0)) + 1 >= min_pts)
+        .select("id")
+    )
     core_edges = (
         pairs.join(cores.withColumnRenamed("id", "a_id"), "a_id", "leftsemi")
         .join(cores.withColumnRenamed("id", "b_id"), "b_id", "leftsemi")

@@ -152,6 +152,78 @@ def cosine_topk_lsh(
     return _ranked_topk(scored, qkey, key, k)
 
 
+def knn_edges_exact(
+    e: DataFrame,
+    k: int,
+    vec: str = "v",
+    key: str = "vec_id",
+) -> DataFrame:
+    """Exact k-NN digraph edges (src, dst): all-pairs cosine + per-src
+    two-phase top-k.  EVAL-ONLY kernel — O(n²); the production graph
+    constructor is knn_edges_lsh.  Ties broken by dst id so the edge set
+    is deterministic cross-engine."""
+    a = e.select(F.col(key).alias("src"), F.col(vec).alias("av"))
+    b = e.select(F.col(key).alias("dst"), F.col(vec).alias("bv"))
+    scored = a.join(b, F.col("src") != F.col("dst")).select(
+        "src",
+        "dst",
+        F.round(cosine(F.col("av"), F.col("bv")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), "dst")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("src", "dst")
+    )
+
+
+def knn_edges_lsh(
+    e: DataFrame,
+    k: int,
+    vec: str = "v",
+    key: str = "vec_id",
+    n_planes: int = 6,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate k-NN digraph edges via multi-table sign-LSH candidate
+    generation (the neardup_pairs_lsh construction, directed): each table
+    self-equi-joins on its bucket id, candidate (src, dst) pairs travel
+    bare through the shuffle, vectors re-attach by key join, and only
+    candidates pay the exact cosine before the per-src top-k.  At 100 TB
+    the scored-pair count is Σ bucket² per table, not corpus² — the graph
+    build becomes a handful of hash-partitioned equi-joins."""
+    parts = None
+    for t in range(n_tables):
+        b = hyperplane_buckets(
+            e.select(key, vec), vec, "bucket", n_planes, seed=seed + 101 * t
+        )
+        src = b.select(F.col(key).alias("src"), "bucket")
+        dst = b.select(F.col(key).alias("dst"), "bucket")
+        cand = (
+            src.join(dst, "bucket")
+            .filter(F.col("src") != F.col("dst"))
+            .select("src", "dst")
+        )
+        parts = cand if parts is None else parts.unionByName(cand)
+    cands = parts.distinct()
+    vv = e.select(F.col(key), F.col(vec))
+    joined = cands.join(
+        vv.select(F.col(key).alias("src"), F.col(vec).alias("av")), "src"
+    ).join(vv.select(F.col(key).alias("dst"), F.col(vec).alias("bv")), "dst")
+    scored = joined.select(
+        "src",
+        "dst",
+        F.round(cosine(F.col("av"), F.col("bv")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), "dst")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("src", "dst")
+    )
+
+
 def ivf_build(
     corpus: DataFrame,
     vec: str = "embedding",

@@ -251,12 +251,14 @@ def q_first_last_agg(spark, sf_dir):
 @register(
     "q_cross_source_overlap",
     """
-    WITH hashes AS (
-      SELECT DISTINCT source,
-             md5(substr(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
-                        s.i, 100)) AS h
-      FROM documents, unnest(generate_series(1, 301, 100)) AS s(i)
-      WHERE length(text) >= 100
+    WITH norms AS (
+      SELECT source, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents WHERE length(text) >= 100
+    ),
+    hashes AS (
+      SELECT DISTINCT source, md5(substr(norm, s.i, 100)) AS h
+      FROM norms, unnest(generate_series(1, 301, 100)) AS s(i)
+      WHERE s.i <= length(norm)
     ),
     pair AS (
       SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
@@ -294,6 +296,10 @@ def q_cross_source_overlap(spark, sf_dir):
             normalize_text(F.col("text")).alias("norm"),
             F.explode(offs).alias("i"),
         )
+        # only real substrings: an offset past the normalized length would
+        # hash '' — a sentinel shared by every source with one shortish doc,
+        # inflating the common-chunk counts
+        .filter(F.col("i") <= F.length("norm"))
         .select("source", F.md5(F.expr("substr(norm, i, 100)")).alias("h"))
         .distinct()
     )

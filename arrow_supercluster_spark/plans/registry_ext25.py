@@ -91,7 +91,7 @@ _DB_MINPTS = 4
     """,
 )
 def q_dbscan(spark, sf_dir):
-    """Geo depth — relational DBSCAN (eps={eps}°, minPts={mp}): density
+    """Geo depth — relational DBSCAN (eps=2.0°, minPts=4): density
     clustering with core/border/noise roles over the derived points.
     Plan: eps-sized 3×3-cell equi-join for the neighborhood counts (the
     radius_cluster KDBush-within shape — never all-pairs), one agg for
@@ -101,9 +101,7 @@ def q_dbscan(spark, sf_dir):
     id of the component and min-cluster border assignment — fully
     deterministic under any partitioning, unlike textbook first-come
     border assignment. Oracle resolves the same components by recursive
-    transitive closure — a genuinely different algorithm.""".format(
-        eps=_DB_EPS, mp=_DB_MINPTS
-    )
+    transitive closure — a genuinely different algorithm."""
     pts = derived_points(spark, sf_dir).filter(
         F.col("lng").isNotNull() & F.col("lat").isNotNull()
     ).select("id", "lng", "lat")

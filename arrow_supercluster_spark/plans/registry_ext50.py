@@ -197,13 +197,13 @@ _NEG_K = 4
 )
 def q_negative_pairs(spark, sf_dir):
     """Training-pair generation — deterministic contrastive NEGATIVES:
-    {k} hash-drawn partner docs per anchor (portable Lehmer arithmetic
+    4 (_NEG_K) hash-drawn partner docs per anchor (portable Lehmer arithmetic
     — reproducible across engines/runs, unlike rand() sampling),
     self-pairs dropped, existence verified by a key join (the drawn id
     must be a real doc). At 100 TB the draw is a narrow map and the
     verify join is keyed by doc id — this is how batch-negative pools
     for embedding training are materialized without any shuffle of the
-    text itself.""".format(k=_NEG_K)
+    text itself."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     cand = docs.select(

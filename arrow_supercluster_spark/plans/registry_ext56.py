@@ -11,7 +11,7 @@ density:
 
 from __future__ import annotations
 
-from pyspark.sql import Window, functions as F
+from pyspark.sql import functions as F
 
 from arrow_supercluster_spark.operators import decontam, similarity
 from arrow_supercluster_spark.plans.registry import register
@@ -73,43 +73,62 @@ def q_knn_graph_stats(spark, sf_dir):
     q_knn_accuracy shape); summary stats are tiny aggs."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     e = emb.select("vec_id", similarity.as_double(F.col("embedding")).alias("v"))
-    a = e.select(F.col("vec_id").alias("src"), F.col("v").alias("av"))
-    b = e.select(F.col("vec_id").alias("dst"), F.col("v").alias("bv"))
-    scored = a.join(b, F.col("src") != F.col("dst")).select(
-        "src", "dst",
-        F.round(similarity.cosine(F.col("av"), F.col("bv")), 6).alias("cos"),
-    )
-    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), "dst")
-    knn = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _KG_K)
-        .select("src", "dst")
-    )
+    knn = similarity.knn_edges_exact(e, k=_KG_K, vec="v", key="vec_id")
+    # ONE scoring pass: the O(n²) cosine kernel materializes here once;
+    # every downstream stat reads the stored edge blocks (round-2 shipped a
+    # 5-action ladder that re-ran the kernel per action — 4× the wall time)
+    knn = knn.localCheckpoint()
+    return _knn_graph_summary(e, knn)
+
+
+def _knn_graph_summary(e, knn):
+    """All graph-shape stats in ONE returned DataFrame (single action):
+    three 1-row aggregates cross-joined — no collect, no count ladder."""
     knn_rev = knn.select(F.col("src").alias("dst"), F.col("dst").alias("src"))
-    n_mutual = (
+    directed = knn.agg(F.count(F.lit(1)).alias("n_directed"))
+    mutual = (
         knn.join(knn_rev, ["src", "dst"], "leftsemi")
         .filter(F.col("src") < F.col("dst"))
-        .count()
+        .agg(F.count(F.lit(1)).alias("n_mutual"))
     )
-    n_directed = knn.count()
-    n_nodes = e.count()
     indeg = knn.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
-    max_in = indeg.agg(F.max("d")).collect()[0][0]
-    n_never = n_nodes - indeg.count()
-    return spark.createDataFrame(
-        [
-            (
-                n_nodes,
-                n_directed,
-                n_mutual,
-                round(2.0 * n_mutual / n_directed, 6),
-                max_in,
-                n_never,
-            )
-        ],
-        "n_nodes long, n_directed long, n_mutual long, reciprocity double, "
-        "max_indegree long, n_never_retrieved long",
+    nodes = (
+        e.select("vec_id")
+        .join(indeg, e.vec_id == indeg.dst, "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.max("d").alias("max_indegree"),
+            F.count(F.when(F.col("d").isNull(), 1)).alias("n_never_retrieved"),
+        )
     )
+    return nodes.crossJoin(directed).crossJoin(mutual).select(
+        "n_nodes",
+        "n_directed",
+        "n_mutual",
+        F.round(F.col("n_mutual") * 2.0 / F.col("n_directed"), 6).alias(
+            "reciprocity"
+        ),
+        "max_indegree",
+        "n_never_retrieved",
+    )
+
+
+@register("q_knn_graph_lsh", None)
+def q_knn_graph_lsh(spark, sf_dir):
+    """Embedding eval, production path — the same 5-NN graph summary with
+    candidate generation through multi-table sign-LSH buckets instead of
+    the all-pairs kernel (the q_knn_graph_stats form stays eval-only, the
+    exact/approx split q_cosine_topk vs q_cosine_topk_lsh already uses).
+    Candidates come from hash-partitioned equi-joins on bucket ids, so at
+    100 TB the scored-pair count is corpus·bucket_occupancy, not corpus².
+    Rows-only: approximate by construction (recall floor asserted in
+    tests/test_similarity.py)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = emb.select("vec_id", similarity.as_double(F.col("embedding")).alias("v"))
+    knn = similarity.knn_edges_lsh(
+        e, k=_KG_K, vec="v", key="vec_id", n_planes=4, n_tables=8
+    ).localCheckpoint()
+    return _knn_graph_summary(e, knn)
 
 
 @register(

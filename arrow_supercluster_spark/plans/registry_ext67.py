@@ -51,21 +51,29 @@ def q_chi2_independence(spark, sf_dir):
     cell = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
     rs = cell.groupBy("source").agg(F.sum("o").alias("r"))
     cs = cell.groupBy("lang").agg(F.sum("o").alias("c"))
-    n = docs.count()
-    n_sources = rs.count()
-    n_langs = cs.count()
+    # margins as broadcast 1-row aggregates — NOT driver-side .count()
+    # actions (round 2 ran a 3-job count ladder here; the whole query is
+    # now one action, asserted lazy in tests/test_plans_round3.py)
+    margins = rs.agg(
+        F.count(F.lit(1)).alias("n_sources"), F.sum("r").alias("n")
+    )
+    lang_cnt = cs.agg(F.count(F.lit(1)).alias("n_langs"))
     dense = (
         rs.crossJoin(cs)
         .join(cell, ["source", "lang"], "left")
+        .crossJoin(F.broadcast(margins))
+        .crossJoin(F.broadcast(lang_cnt))
         .select(
-            "source", "lang",
+            "source", "lang", "n_sources", "n_langs",
             F.coalesce("o", F.lit(0)).alias("o"),
-            (F.col("r") * F.col("c") * 1.0 / F.lit(n)).alias("e"),
+            (F.col("r") * F.col("c") * 1.0 / F.col("n")).alias("e"),
         )
     )
     return dense.agg(
         F.count(F.lit(1)).alias("n_cells"),
-        F.lit((n_sources - 1) * (n_langs - 1)).alias("dof"),
+        F.max((F.col("n_sources") - 1) * (F.col("n_langs") - 1))
+        .cast("long")
+        .alias("dof"),
         F.round(
             F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
             6,
@@ -136,10 +144,17 @@ def q_pr_curve(spark, sf_dir):
             F.round(F.expr(f"percentile(score, {p})"), 6).alias(f"c{i}")
             for i, p in enumerate(_PR_PS)
         ]
-    ).collect()[0]
-    thresholds = spark.createDataFrame(
-        [(i + 1, float(cuts[f"c{i}"])) for i in range(len(_PR_PS))],
-        "t_id int, threshold double",
+    )
+    # unpivot the 1-row cuts into (t_id, threshold) INSIDE the plan — no
+    # driver collect, so the whole curve is one action and the scored
+    # aggregate is computed once
+    stack_args = ", ".join(
+        f"{i + 1}, c{i}" for i in range(len(_PR_PS))
+    )
+    thresholds = cuts.select(
+        F.expr(
+            f"stack({len(_PR_PS)}, {stack_args}) AS (t_id, threshold)"
+        )
     )
     conf = (
         scored.crossJoin(F.broadcast(thresholds))

@@ -8,20 +8,40 @@ Compaction = read → `coalesce(ceil(total_bytes / target))` → rewrite.
 shuffle — each output task streams several input files; the write is the
 only cost. Sizing from the actual on-disk bytes keeps output files near
 the target regardless of row width.
+
+File sizing and output listing go through the Hadoop FileSystem API (not
+``os.path``), so the same code path works for ``file://``, ``hdfs://``,
+``s3a://`` and any other configured filesystem — the 100 TB deployment
+target is an object store, not a local disk.
 """
 
 from __future__ import annotations
 
 import math
-import os
-from urllib.parse import unquote, urlparse
 
 from pyspark.sql import SparkSession
 
 
-def _local_size(uri: str) -> int:
-    p = urlparse(uri)
-    return os.path.getsize(unquote(p.path))
+def _hadoop_fs(spark: SparkSession, uri: str):
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(uri)
+    return jvm, path.getFileSystem(conf), path
+
+
+def _file_size(spark: SparkSession, uri: str) -> int:
+    _, fs, path = _hadoop_fs(spark, uri)
+    return fs.getFileStatus(path).getLen()
+
+
+def _list_parquet_files(spark: SparkSession, dir_uri: str) -> list[str]:
+    _, fs, path = _hadoop_fs(spark, dir_uri)
+    out = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith(("_", ".")):
+            out.append(name)
+    return out
 
 
 def compact_parquet(
@@ -33,13 +53,7 @@ def compact_parquet(
     """Rewrites `in_path` into ~target_bytes files at `out_path`;
     returns the output file count."""
     df = spark.read.parquet(in_path)
-    total = sum(_local_size(f) for f in df.inputFiles())
+    total = sum(_file_size(spark, f) for f in df.inputFiles())
     n = max(1, math.ceil(total / target_bytes))
     df.coalesce(n).write.mode("overwrite").parquet(out_path)
-    return len(
-        [
-            f
-            for f in os.listdir(out_path)
-            if f.endswith(".parquet") and not f.startswith(("_", "."))
-        ]
-    )
+    return len(_list_parquet_files(spark, out_path))

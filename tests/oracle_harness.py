@@ -2,13 +2,23 @@
 layer 1): run each registry query in Spark AND its SQL twin in DuckDB over
 the same parquet, compare row count, column names, and the order-insensitive
 multiset of values — exactly the failure surface of CORRECTNESS_r{N}.json.
+
+STRICT since round 3: the driver's value-hash is exact and type-sensitive
+(DuckDB SUM(BIGINT) → HUGEINT → pandas float64 `19525.0` hashes differently
+from Spark's bigint `19525` even though the numbers are equal).  Rounds 1-2
+masked that class by canonicalizing floats with round() and comparing via
+Python `==` (int == float).  `_canon` now tags every value with a type class
+(int vs float vs bool vs str ...) and compares float bits exactly, so local
+green ⇒ driver green.  SQL twins must CAST integer sums back to BIGINT.
 """
 
 from __future__ import annotations
 
 import math
+from decimal import Decimal
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = [
@@ -26,24 +36,52 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _canon_value(v):
+    """(type-tag, canonical value).  int and float NEVER compare equal."""
+    if v is None:
+        return ("-", None)
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return ("-", None)
+        return ("f", f)  # exact bits — the driver hashes exact values
+    if isinstance(v, Decimal):
+        # both engines surface decimals as Decimal objects; compare exactly
+        return ("d", v)
+    if hasattr(v, "isoformat"):
+        return ("t", v.isoformat())
+    if isinstance(v, bytes):
+        return ("y", v)
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return ("a", tuple(_canon_value(x) for x in v))
+    return ("s", v)
+
+
 def _canon(df: pd.DataFrame) -> list[tuple]:
     df = df.reindex(sorted(df.columns), axis=1)
     rows = []
     for row in df.itertuples(index=False, name=None):
         canon_row = []
         for v in row:
-            if v is None or (isinstance(v, float) and math.isnan(v)):
-                canon_row.append(None)
-            elif isinstance(v, float):
-                canon_row.append(round(v, 9))
-            elif hasattr(v, "isoformat"):
-                canon_row.append(v.isoformat())
-            elif isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-                canon_row.append(tuple(v))
+            # pandas NaN/NaT sentinels for missing values in object columns
+            if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
+                canon_row.append(("-", None))
             else:
-                canon_row.append(v)
+                canon_row.append(_canon_value(v))
         rows.append(tuple(canon_row))
     return sorted(rows, key=repr)
+
+
+_INTY = frozenset("iu")
+
+
+def _dtype_kind(s: pd.Series) -> str:
+    k = s.dtype.kind
+    return "i" if k in _INTY else k
 
 
 def compare(name: str, spark_df, con, sql: str) -> list[str]:
@@ -56,6 +94,14 @@ def compare(name: str, spark_df, con, sql: str) -> list[str]:
         return errs
     if len(sp) != len(dk):
         errs.append(f"{name}: rowcount spark={len(sp)} duck={len(dk)}")
+        return errs
+    # driver-style type sensitivity surfaced at the column level first so the
+    # failure message names the offending column, not just a value diff
+    for c in sorted(sp.columns):
+        ks, kd = _dtype_kind(sp[c]), _dtype_kind(dk[c])
+        if ks != kd and "O" not in (ks, kd):  # object columns checked by value
+            errs.append(f"{name}: dtype mismatch col={c} spark={sp[c].dtype} duck={dk[c].dtype}")
+    if errs:
         return errs
     a, b = _canon(sp), _canon(dk)
     if a != b:

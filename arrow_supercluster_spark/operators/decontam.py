@@ -92,6 +92,62 @@ def decontaminate(
     )
 
 
+def decontaminate_auto(
+    docs: DataFrame,
+    eval_pred: F.Column,
+    n: int = 8,
+    bloom_threshold: int = 200_000,
+    k: int = 4,
+) -> DataFrame:
+    """Production decontamination entry point — picks the join strategy by
+    the measured eval-gram cardinality (VERDICT r2 ask #4):
+
+    * below `bloom_threshold` distinct eval grams: the plain broadcast
+      semi-join (`decontaminate`) — cheapest when the broadcast side is
+      genuinely tiny;
+    * above it: the relational-Bloom prefilter + exact verify
+      (`operators/bloomfilter.py`), whose bitmap cost is FIXED no matter
+      how large the eval set grows.  tools/text_scale_sweep.py measured
+      the broadcast path superlinear at 16× eval (60.2 s vs the bloom's
+      flat 13.3 s at sf0.1×16, SCALING.md) — the crossover sits around
+      a few hundred thousand grams, hence the default threshold.
+
+    The bitmap is auto-sized at ~10 bits per eval gram (next power of
+    two, floor 2^20) from the same cardinality count, so a growing eval
+    set can never silently saturate the bloom into a no-op prefilter
+    (SCALING.md's FPR≈22% finding).  The cardinality count is one job
+    over the EVAL slice only — MB-scale by nature, never the corpus.
+
+    Both paths return the same (doc_id, n_overlap) contaminated-doc
+    frame, and the bloom path is exactly verified, so the result is
+    identical regardless of which path ran — the DuckDB twin of
+    q_decontam_auto is the same SQL as q_decontaminate's."""
+    from arrow_supercluster_spark.operators.bloomfilter import (
+        bloom_build,
+        bloom_prefilter,
+    )
+
+    eval_grams = (
+        doc_ngram_digests(docs.filter(eval_pred), n).select("g").distinct()
+    ).persist()
+    n_eval = eval_grams.count()
+    if n_eval <= bloom_threshold:
+        eval_grams.unpersist()
+        return decontaminate(docs, eval_pred, n)
+    m_bits = 1 << max(20, (10 * n_eval - 1).bit_length())
+    eval_ids = docs.filter(eval_pred).select("doc_id")
+    train_grams = doc_ngram_digests(docs, n).join(
+        F.broadcast(eval_ids), "doc_id", "left_anti"
+    )
+    bloom = bloom_build(eval_grams, "g", m_bits, k)
+    candidates = bloom_prefilter(train_grams, "g", bloom, m_bits, k)
+    return (
+        candidates.join(eval_grams, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
 # --------------------------------------------------------------------------
 # PII redaction
 # --------------------------------------------------------------------------

@@ -101,6 +101,7 @@ def greedy_cluster_kernel(
     opts: ClusterOptions = DEFAULT_OPTIONS,
     total_points: int | None = None,
     group_salt: int | None = None,
+    pos_order: str = "kdbush",
 ) -> pd.DataFrame:
     """Run the full top-down zoom loop over one in-memory partition.
 
@@ -115,17 +116,36 @@ def greedy_cluster_kernel(
     key) is packed into the high bits: cid = ((salt<<21 | index) << 5) +
     (zoom+1) + total — globally unique, still decodes zoom the
     reference's way. Requires salt < 2^33 and < 2^21 items per group.
+
+    pos_order: "kdbush" (default) stores each row's KDBush within()-visit
+    rank as `pos` — the reference's child-enumeration order at any level
+    size; "insertion" stores the plain level-array index (identical on
+    levels ≤ 64; the convention mode="cc" reproduces distributively).
     """
     if group_salt is not None and not (0 <= group_salt < (1 << 33)):
         raise ValueError(f"group_salt out of range: {group_salt}")
+    if pos_order not in ("kdbush", "insertion"):
+        raise ValueError(f"unknown pos_order: {pos_order}")
 
-    def mk_pos(m: int) -> np.ndarray:
-        """Row's index within its level array — the order the reference's
-        KDBush scans children of one parent on small (≤nodeSize) levels,
-        used for DFS-order getLeaves pagination (greedy_nav). Salted like
-        cluster ids in partitioned mode (siblings share a salt, so the
-        relative order within a parent is preserved)."""
-        p = np.arange(m, dtype=np.int64)
+    def mk_pos(lx: np.ndarray, ly: np.ndarray) -> np.ndarray:
+        """Row's KDBush visit rank within its level array — the order the
+        reference's within() yields children at ANY level size
+        (functions/kdbush_order.py: kd-sort + mid-right-left traversal of
+        the per-level Float32 tree, arrow-cluster-engine.ts:291-302,418-426;
+        identical to insertion order on levels ≤ nodeSize=64).  Drives
+        getChildren ordering and DFS getLeaves pagination (greedy_nav).
+        Salted like cluster ids in partitioned mode — there each kernel
+        ranks only its own group's items, so cross-group order is
+        documented as group-major (exact single-group mode is the
+        reference-faithful parity oracle)."""
+        if pos_order == "kdbush":
+            from arrow_supercluster_spark.functions.kdbush_order import (
+                kdbush_visit_rank,
+            )
+
+            p = kdbush_visit_rank(lx, ly)
+        else:
+            p = np.arange(len(lx), dtype=np.int64)
         return p if group_salt is None else (group_salt << 21) | p
     n = len(x0)
     total = total_points if total_points is not None else n
@@ -231,7 +251,7 @@ def greedy_cluster_kernel(
                 "y": y,
                 "parent_id": parent,
                 "num_points": nump,
-                "pos": mk_pos(len(x)),
+                "pos": mk_pos(x, y),
             }
         )
         x = np.asarray(nx)
@@ -249,7 +269,7 @@ def greedy_cluster_kernel(
             "y": y,
             "parent_id": parent,
             "num_points": nump,
-            "pos": mk_pos(len(x)),
+            "pos": mk_pos(x, y),
         }
     )
     out = pd.concat(
@@ -275,6 +295,7 @@ def greedy_hierarchy(
     mode: str = "exact",
     partition_zoom: int = 3,
     mask=None,
+    pos_order: str | None = None,
 ):
     """Spark operator: points (id, lng, lat — nulls already dropped or will
     be dropped here) → per-zoom greedy item table.
@@ -291,11 +312,27 @@ def greedy_hierarchy(
     enter the index but STILL count toward table.numRows, the id-space
     salt — so ids stay interoperable with a reference engine loaded with
     the same mask. Pre-filtering `points` instead would shift every id.
+
+    pos_order: `pos` ordering convention — "kdbush" (reference's
+    within()-traversal child order, default for exact/partitioned) or
+    "insertion" (plain level index). mode="cc" always emits insertion
+    order: its `pos` is built by a distributed global re-rank and the
+    kd-sort's Floyd–Rivest swap sequence is inherently sequential — so
+    cc output is bit-identical to mode="exact" UNDER pos_order=
+    "insertion" (sets, ids, parents, floats all identical either way;
+    only the >64-item page-boundary convention differs).
     """
     from pyspark.sql import functions as F
 
     if mode == "cc":
+        if pos_order == "kdbush":
+            raise ValueError(
+                "mode='cc' emits insertion-order pos (distributed re-rank); "
+                "use mode='exact' for KDBush-order drill-down parity"
+            )
         return greedy_hierarchy_cc(points, opts, mask=mask)
+    if pos_order is None:
+        pos_order = "kdbush"
 
     from arrow_supercluster_spark.operators.filters import drop_null_geometry
     from arrow_supercluster_spark.functions.projection import fround, lat_y, lng_x
@@ -347,6 +384,7 @@ def greedy_hierarchy(
             # per-group array indices collide across parallel groups; the
             # group's unique cell key salts the id's high bits
             group_salt=None if mode == "exact" else int(key[0]),
+            pos_order=pos_order,
         )
 
     if mode == "exact":

@@ -16,12 +16,16 @@ packed cluster id and walk parent pointers + per-zoom trees
   * children(cid) = rows with parent_id == cid (they exist only at the
     origin zoom: pass-through rows keep parent −1, so the equality is
     already level-correct);
-  * `pos` is the row's index within its level array — the order the
-    reference's KDBush within() yields children on small (≤ nodeSize=64)
-    levels, i.e. the reference's DFS child order for any drill-down whose
-    per-level candidate sets are small. On larger levels the reference's
-    order is KDBush-internal (median-split traversal); we define ours as
-    insertion order — deterministic and hierarchy-faithful.
+  * `pos` is the row's KDBush within()-visit rank in its level array
+    (exact/partitioned modes; functions/kdbush_order.py) — the order the
+    reference's within() yields children at ANY level size: kd-sorted
+    position run through the static mid-right-left traversal rank, which
+    is query-independent for the surviving items (theorem asserted in
+    tests/test_kdbush_order.py). On levels ≤ nodeSize=64 this equals
+    insertion order. mode="cc" tables carry insertion-order `pos`
+    instead (its rank is a distributed re-rank; page boundaries on >64
+    levels then follow the insertion convention — documented in
+    greedy_hierarchy).
 
 getLeaves pagination is DFS order (arrow-cluster-engine.ts:312-348),
 computed in closed form: a subtree's leaves occupy the contiguous DFS

@@ -333,6 +333,7 @@ def _load_extended_registries():
         registry_ext78,
         registry_ext79,
         registry_ext80,
+        registry_ext81,
     )
 
 

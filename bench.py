@@ -45,6 +45,75 @@ def progress(msg: str) -> None:
     print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
+class MemSampler:
+    """Per-section peak-RSS sampling (the counterpart of the reference's
+    --expose-gc memory runs, root README Benchmarks / benchmarks/run.ts):
+    a daemon thread polls /proc/<pid>/status VmRSS at 20 Hz for this
+    Python process AND its java children (local-mode Spark = one driver
+    JVM holding all 32 executor threads — ITS peak is the number that
+    predicts executor sizing).  `section(name)` resets the running peak;
+    `peaks` maps section → peak RSS MiB observed while it ran."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self._pids = [os.getpid()] + self._java_children()
+        self._lock = threading.Lock()
+        self._current: str | None = None
+        self._peak = 0
+        self.peaks: dict[str, float] = {}
+        self._stop = False
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    @staticmethod
+    def _java_children() -> list[int]:
+        me = str(os.getpid())
+        out = []
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as fh:
+                    parts = fh.read().split()
+                if parts[3] == me and "java" in parts[1]:
+                    out.append(int(pid))
+            except OSError:
+                continue
+        return out
+
+    @staticmethod
+    def _rss_kb(pid: int) -> int:
+        try:
+            with open(f"/proc/{pid}/status") as fh:
+                for line in fh:
+                    if line.startswith("VmRSS:"):
+                        return int(line.split()[1])
+        except OSError:
+            pass
+        return 0
+
+    def _run(self) -> None:
+        while not self._stop:
+            total = sum(self._rss_kb(p) for p in self._pids)
+            with self._lock:
+                if self._current is not None and total > self._peak:
+                    self._peak = total
+            time.sleep(0.05)
+
+    def section(self, name: str | None) -> None:
+        with self._lock:
+            if self._current is not None:
+                self.peaks[self._current] = round(self._peak / 1024.0, 1)
+            self._current = name
+            self._peak = 0
+
+    def stop(self) -> dict[str, float]:
+        self.section(None)
+        self._stop = True
+        return self.peaks
+
+
 def timed(fn, warmup: int = 1, runs: int = 5) -> float:
     """Median-of-`runs` after `warmup` (mirrors benchmarks/run.ts:38-42,
     64-88 median-of-10 with 3 warmups, scaled down for wall-clock;
@@ -71,6 +140,7 @@ def main() -> None:
     spark = build_spark()
     spark.sparkContext.setLogLevel("ERROR")
     results: dict[str, float] = {}
+    mem = MemSampler()  # after build_spark: the driver JVM must exist
 
     # Host-speed calibration: a fixed CPU-bound reference op (numpy
     # matmul), reported alongside the timings. The shared host's
@@ -104,6 +174,7 @@ def main() -> None:
         gc.materialize_hierarchy(derived_points(spark, SF_DIR), f"{workdir}/h", OPTS)
 
     progress("bench_load...")
+    mem.section("bench_load")
     results["bench_load"] = timed(load_hierarchy, warmup=1, runs=5)
     progress("bench_load done")
 
@@ -119,6 +190,7 @@ def main() -> None:
             out.filter(bbox_predicate(*world)).write.mode("overwrite").format("noop").save()
 
     progress("bench_query...")
+    mem.section("bench_query")
     results["bench_query"] = timed(query_all_zooms, warmup=1, runs=5)
     progress("bench_query done")
 
@@ -130,6 +202,7 @@ def main() -> None:
             gc.materialize_hierarchy(pts, f"{workdir}/m", OPTS)
 
         progress(f"bench_{label}...")
+        mem.section(f"bench_{label}")
         results[f"bench_{label}"] = timed(load_masked, warmup=0, runs=3)
 
     # --- bench_pipeline: read → load → query @ z6 (pipeline.ts:163-202) --
@@ -140,6 +213,7 @@ def main() -> None:
         out.write.mode("overwrite").format("noop").save()
 
     progress("bench_pipeline...")
+    mem.section("bench_pipeline")
     results["bench_pipeline"] = timed(pipeline, warmup=1, runs=5)
     shutil.rmtree(workdir, ignore_errors=True)
 
@@ -155,6 +229,7 @@ def main() -> None:
             _qd.spark(spark, SF_DIR).write.mode("overwrite").format("noop").save()
 
         progress(f"query {name}...")
+        mem.section(name)
         results[name] = timed(run, warmup=1, runs=5)
 
     # --- wire size: Arrow IPC vs GeoJSON of the z6 cluster output --------
@@ -162,6 +237,7 @@ def main() -> None:
     # ways, byte counts compared — the reference's headline IPC-vs-GeoJSON
     # claim, measured here on OUR cluster output shape)
     progress("wire size...")
+    mem.section("wire")
     import io
 
     import pyarrow as pa
@@ -207,18 +283,32 @@ def main() -> None:
         _glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json")),
         key=_round_num,
     )
+    prev_calib = None
     if benches:
         prev_file = benches[-1]
         try:
             with open(prev_file) as fh:
                 doc = json.load(fh)
             # driver files wrap our JSON line under "parsed"
-            prev = doc.get("parsed", doc).get("queries", {}) or {}
+            parsed = doc.get("parsed", doc)
+            prev = parsed.get("queries", {}) or {}
+            prev_calib = parsed.get("calibration_matmul_sec")
         except Exception:
             prev = {}
     delta = {
         k: round(v - prev[k], 3) for k, v in results.items() if k in prev
     }
+    # cross-round deltas are only meaningful on comparable host speed: the
+    # shared host's throughput varies ±50% between invocations, and round
+    # 2's driver bench was 1.7× slower purely from neighbor contention.
+    # Annotate (don't hide) — a ratio past 1.5× marks the delta block as
+    # machine noise, not code change.
+    calib_ratio = (
+        round(calib / prev_calib, 3) if prev_calib else None
+    )
+    delta_reliable = (
+        calib_ratio is not None and (1 / 1.5) <= calib_ratio <= 1.5
+    )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -230,6 +320,9 @@ def main() -> None:
                 "queries": {k: round(v, 3) for k, v in results.items()},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "calibration_matmul_sec": round(calib, 4),
+                "calibration_ratio_vs_prev": calib_ratio,
+                "delta_reliable": delta_reliable,
+                "peak_rss_mib": mem.stop(),
                 "wire": {
                     "ipc_bytes": ipc_bytes,
                     "geojson_bytes": geojson_bytes,

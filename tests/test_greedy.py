@@ -251,7 +251,8 @@ def test_mask_preserves_id_space(spark):
     df = spark.createDataFrame(pts, "id long, lng double, lat double")
     mask = F.col("id") % 3 != 0
 
-    masked = greedy_hierarchy(df, mode="exact", mask=mask)
+    # insertion-order pos: the cc comparison at the end shares it
+    masked = greedy_hierarchy(df, mode="exact", mask=mask, pos_order="insertion")
     nulled = greedy_hierarchy(
         spark.createDataFrame(
             [(i, lng if i % 3 != 0 else None, lat if i % 3 != 0 else None)
@@ -259,6 +260,7 @@ def test_mask_preserves_id_space(spark):
             "id long, lng double, lat double",
         ),
         mode="exact",
+        pos_order="insertion",
     )
     cols = ["zoom", "cluster_id", "parent_id", "num_points", "x", "y", "pos"]
     got = sorted(map(tuple, masked.select(*cols).collect()))

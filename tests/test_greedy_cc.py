@@ -2,7 +2,11 @@
 Phase 4). The claim under test: per-level connected components of the
 within-r graph are the exact dependency closure of the sequential scan,
 so the distributed run is BIT-IDENTICAL to mode="exact" (ids, parents,
-positions, pos) and invariant to input partitioning.
+positions, pos) and invariant to input partitioning.  `pos` comparisons
+use the shared insertion-order convention (pos_order="insertion"): cc's
+pos comes from a distributed global re-rank; the reference-faithful
+KDBush-order pos is an exact/partitioned-mode feature (see
+greedy_hierarchy docstring and functions/kdbush_order.py).
 """
 
 import pandas as pd
@@ -31,7 +35,7 @@ def _norm(df) -> pd.DataFrame:
 @pytest.fixture(scope="module")
 def exact_golden(spark):
     pts = spark.createDataFrame(lcg_points(500), "id long, lng double, lat double")
-    return _norm(greedy_hierarchy(pts, OPTS, mode="exact"))
+    return _norm(greedy_hierarchy(pts, OPTS, mode="exact", pos_order="insertion"))
 
 
 @pytest.mark.parametrize("nparts", [3, 7])
@@ -53,7 +57,7 @@ def test_cc_with_null_geometry(spark, exact_golden):
     base = lcg_points(300)
     rows = base + [(9000 + i, None, None) for i in range(7)]
     pts = spark.createDataFrame(rows, "id long, lng double, lat double")
-    exact = _norm(greedy_hierarchy(pts, OPTS, mode="exact"))
+    exact = _norm(greedy_hierarchy(pts, OPTS, mode="exact", pos_order="insertion"))
     got = _norm(greedy_hierarchy(pts, OPTS, mode="cc"))
     pd.testing.assert_frame_equal(got, exact, check_exact=True)
     # leaf level holds the 300 real points

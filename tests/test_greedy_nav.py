@@ -63,6 +63,20 @@ def nav_fixture(spark):
     nodes.unpersist()
 
 
+def test_kdbush_pos_exercised_on_large_levels(nav_fixture):
+    """The 500-point fixture's leaf level is far above nodeSize=64, so the
+    KDBush visit rank must actually differ from insertion order there —
+    i.e. the DFS-pagination parity tests below genuinely cover the >64
+    median-split traversal path, not just the linear-scan case — while
+    still being a permutation of the level indices."""
+    kern, _, _ = nav_fixture
+    leaf = kern[kern.zoom == OPTS.leaf_zoom].sort_values("cluster_id")
+    pos = sorted(leaf["pos"].tolist())
+    assert pos == list(range(len(leaf)))  # a permutation of level slots
+    by_insert = leaf.sort_values("cluster_id")["pos"].tolist()
+    assert by_insert != sorted(by_insert), "kd rank degenerated to insertion"
+
+
 def test_children_match_naive(nav_fixture):
     from arrow_supercluster_spark.operators.greedy_nav import greedy_children
 

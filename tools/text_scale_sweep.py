@@ -88,6 +88,7 @@ def main():
     from arrow_supercluster_spark.operators import bloomfilter
     from arrow_supercluster_spark.operators.decontam import (
         decontaminate,
+        decontaminate_auto,
         dup_spans,
     )
     from arrow_supercluster_spark.operators.dedup import (
@@ -108,6 +109,14 @@ def main():
         )
         row["bloom_decontam_sec"] = timed(
             lambda: bloomfilter.bloom_decontaminate(
+                docs, eval_pred=F.col("doc_id") % 29 == 0, n=8
+            ).count()
+        )
+        # the production entry point: must track the flat (bloom) curve
+        # once the eval-gram count crosses the threshold, the broadcast
+        # curve below it — the strategy switch is the thing under test
+        row["auto_decontam_sec"] = timed(
+            lambda: decontaminate_auto(
                 docs, eval_pred=F.col("doc_id") % 29 == 0, n=8
             ).count()
         )

@@ -838,3 +838,184 @@ def png_features(media: DataFrame) -> DataFrame:
             "mean_r double, mean_g double, mean_b double"
         ),
     )
+
+
+# ===========================================================================
+# REAL AVI video — RIFF container with uncompressed DIB frames, pure
+# struct parsing like WAV (RIFF is WAV's container too).  De-stubs the
+# video path: genuine playable AVI bytes in, genuine per-frame pixels
+# out, real stride-based frame sampling.  Compressed codecs (H.264 etc.)
+# stay honestly out of scope — entropy decoding needs real libraries —
+# but the container walk, frame indexing, and sampling plumbing are the
+# same code a libav-backed decoder would sit under.
+# ===========================================================================
+
+
+def _dib_body(px_rgb: np.ndarray) -> bytes:
+    """Bottom-up, 4-byte-aligned BGR rows — the shared BMP/AVI raster."""
+    h, w = px_rgb.shape[:2]
+    row_size = (w * 3 + 3) & ~3
+    pad = row_size - w * 3
+    return b"".join(
+        px_rgb[row, :, ::-1].tobytes() + b"\0" * pad
+        for row in range(h - 1, -1, -1)
+    )
+
+
+def synthesize_avi(
+    media_id: int,
+    width: int = 32,
+    height: int = 24,
+    n_frames: int = 8,
+    fps: int = 10,
+) -> bytes:
+    """A real AVI file ('vids'/'DIB ' stream, uncompressed 24-bit
+    frames): the BMP gradient with the red channel stepping by 11 per
+    frame. Any player that handles raw-DIB AVI can play it."""
+    import struct
+
+    x = np.arange(width, dtype=np.float64) / max(width - 1, 1)
+    y = np.arange(height, dtype=np.float64) / max(height - 1, 1)
+    g = np.clip(255 * x[None, :] * np.ones((height, 1)), 0, 255)
+    b = np.clip(255 * y[:, None] * np.ones((1, width)), 0, 255)
+
+    def frame(i: int) -> bytes:
+        r = ((media_id * 37 + i * 11) % 256) * np.ones((height, width))
+        px = np.stack([r, g, b], axis=-1).astype(np.uint8)
+        return _dib_body(px)
+
+    frames = [frame(i) for i in range(n_frames)]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        data = body + (b"\0" if len(body) % 2 else b"")
+        return tag + struct.pack("<I", len(body)) + data
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    buf_size = len(frames[0])
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps, buf_size * fps, 0, 0x10,  # HASINDEX-less, interleaved flag
+        n_frames, 0, 1, buf_size, width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n_frames, buf_size,
+        0xFFFFFFFF, 0, 0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, buf_size, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", f) for f in frames))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi(payload: bytes):
+    """REAL decoder: walk the RIFF chunk tree, read the stream format
+    (24-bit DIB only), and return (fps, [(h, w, 3) uint8 RGB frames])
+    from the movi '00db'/'00dc' chunks. Raises ValueError otherwise."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    w = h = None
+    fps = None
+    frames: list[np.ndarray] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal w, h, fps
+        pos = start
+        while pos + 8 <= end:
+            tag = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body_start = pos + 8
+            if tag == b"LIST":
+                walk(body_start + 4, body_start + size)
+            elif tag == b"strh":
+                fcc, _, _, _, _, _, scale, rate = struct.unpack_from(
+                    "<4s4sIHHIII", payload, body_start
+                )
+                if fcc == b"vids" and scale:
+                    fps = rate // scale
+            elif tag == b"strf":
+                _, w0, h0, _, bpp, comp = struct.unpack_from(
+                    "<IiiHHI", payload, body_start
+                )
+                if bpp != 24 or comp != 0:
+                    raise ValueError("only 24-bit uncompressed AVI supported")
+                w, h = w0, h0
+            elif tag in (b"00db", b"00dc"):
+                if w is None:
+                    raise ValueError("AVI frame before stream format")
+                row_size = (w * 3 + 3) & ~3
+                out = np.empty((h, w, 3), dtype=np.uint8)
+                for row in range(h):
+                    off = body_start + (h - 1 - row) * row_size
+                    bgr = np.frombuffer(
+                        payload, dtype=np.uint8, count=w * 3, offset=off
+                    )
+                    out[row] = bgr.reshape(w, 3)[:, ::-1]
+                frames.append(out)
+            pos = body_start + size + (size & 1)
+
+    walk(12, len(payload))
+    if not frames:
+        raise ValueError("AVI contains no video frames")
+    return fps, frames
+
+
+def documents_as_videos(docs: DataFrame, n_frames: int = 8) -> DataFrame:
+    """Media table with REAL AVI payloads synthesized per doc_id."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [synthesize_avi(int(i), n_frames=n_frames) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="media_id long, payload binary, n_bytes long"
+    )
+
+
+def video_frame_features(media: DataFrame, stride: int = 2) -> DataFrame:
+    """REAL frame sampling: decode the AVI, keep every `stride`-th frame,
+    emit per-frame channel means — one input row fans out to
+    ceil(n_frames/stride) rows, the real shape of frame extraction
+    (mapInPandas, payload pruned after decode)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "frame_idx": [], "fps": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                fps, frames = decode_avi(p)
+                for i in range(0, len(frames), stride):
+                    img = frames[i]
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(i)
+                    rows["fps"].append(fps)
+                    for j, c in enumerate(("mean_r", "mean_g", "mean_b")):
+                        rows[c].append(round(float(img[:, :, j].mean()), 4))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        run,
+        schema=(
+            "media_id long, frame_idx int, fps int, "
+            "mean_r double, mean_g double, mean_b double"
+        ),
+    )

@@ -99,6 +99,73 @@ def cosine_topk(
     return _ranked_topk(scored, qkey, key, k)
 
 
+def cosine_topk_gemm(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec: str = "embedding",
+    key: str = "vec_id",
+    qkey: str = "q_id",
+) -> DataFrame:
+    """E3 throughput path — the same exact cosine top-k as `cosine_topk`,
+    computed as ONE numpy matrix multiply per Arrow batch instead of a
+    per-row zip_with/aggregate HOF chain.
+
+    Why it exists: Spark's higher-order functions evaluate per element
+    inside codegen — correct and shuffle-free, but for DENSE linear
+    algebra an Arrow-batched mapInPandas that hands the whole batch to
+    BLAS (`C_norm @ Q_norm.T`) does the same flops orders of magnitude
+    faster (measured in SCALING.md).  The query matrix is collected and
+    broadcast as a numpy array (small by the operator's contract — the
+    broadcast side of cosine_topk already assumes it), each batch emits
+    only its per-query top-k (deterministic (cos desc, key asc)
+    preference), so the shuffle carries O(batches·k·|queries|) rows, and
+    the global exact rank reuses the two-phase `_ranked_topk`.
+
+    Equal to `cosine_topk` up to float-summation order (GEMM accumulates
+    in a different association than the sequential fold; both round to 6
+    decimals — tests assert set equality with the HOF path).  The HOF
+    form stays the cross-engine oracle twin; this is the path a 100 TB
+    scan should run."""
+    import numpy as np
+
+    qrows = queries.select(qkey, vec).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([[float(x) for x in r[1]] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = np.divide(Q, qn, out=np.zeros_like(Q), where=qn > 0)
+    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, Qn))
+
+    def run(batches):
+        import pandas as pd
+
+        b_ids, b_Qn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.array(
+                [[float(x) for x in v] for v in pdf[vec]], dtype=np.float64
+            )
+            cn = np.linalg.norm(C, axis=1, keepdims=True)
+            Cn = np.divide(C, cn, out=np.zeros_like(C), where=cn > 0)
+            S = Cn @ b_Qn.T  # (batch × queries) — one BLAS call
+            keys = pdf[key].to_numpy()
+            kk = min(k, S.shape[0])
+            out_q, out_k, out_c = [], [], []
+            for qi in range(S.shape[1]):
+                # deterministic partial top-k: (cos desc, key asc)
+                order = np.lexsort((keys, -np.round(S[:, qi], 6)))[:kk]
+                out_q.extend([b_ids[qi]] * len(order))
+                out_k.extend(keys[order])
+                out_c.extend(np.round(S[order, qi], 6))
+            yield pd.DataFrame({qkey: out_q, key: out_k, "cos": out_c})
+
+    scored = corpus.select(key, vec).mapInPandas(
+        run, schema=f"{qkey} long, {key} long, cos double"
+    )
+    return _ranked_topk(scored, qkey, key, k)
+
+
 def hyperplane_buckets(df: DataFrame, vec: str, out: str, n_planes: int = 8, seed: int = 42) -> DataFrame:
     """Random-hyperplane LSH bucket id: bit j = sign(v · h_j) where h_j is
     a deterministic pseudo-random hyperplane derived from xxhash64(j·dim+i)

@@ -68,3 +68,47 @@ def q_image_features_png(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return png_features(documents_as_pngs(docs))
+
+
+@register("q_video_frames", None)
+def q_video_frames(spark, sf_dir):
+    """Multimodal — REAL video decode + frame sampling (de-stubs the
+    last media kind): payloads are genuine AVI files (RIFF container,
+    uncompressed 24-bit DIB frames — RIFF is WAV's container, pure
+    struct parsing, no libav) and every 2nd frame is decoded to
+    per-frame channel means — one row fans out to n_frames/stride rows,
+    the true shape of frame extraction. Compressed codecs (H.264) stay
+    honestly out of scope; the container walk + sampling plumbing is
+    what a libav decoder would slot under. Rows-only: numpy can't run
+    in the SQL oracle; tests check the decoded frames against the
+    synthesis closed form (red channel steps by 11 per frame)."""
+    from arrow_supercluster_spark.operators.multimodal import (
+        documents_as_videos,
+        video_frame_features,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return video_frame_features(documents_as_videos(docs))
+
+
+@register("q_cosine_topk_gemm", None)
+def q_cosine_topk_gemm(spark, sf_dir):
+    """E3 throughput path — exact cosine top-k as one BLAS matmul per
+    Arrow batch (similarity.cosine_topk_gemm). Measured 48× faster than
+    the HOF form at 100k corpus × 50 queries (90.6 s → 1.9 s, SCALING.md
+    round 3): HOFs evaluate per element inside codegen; dense linear
+    algebra belongs in a batch-level GEMM. Per-batch deterministic
+    partial top-k bounds the shuffle at O(batches·k·|queries|). Rows-only:
+    GEMM accumulation order differs sub-ulp from the sequential fold the
+    DuckDB twin replicates — the HOF q_cosine_topk stays the oracle twin;
+    tests/test_similarity.py asserts the two paths return identical
+    neighbors."""
+    from pyspark.sql import functions as F
+
+    from arrow_supercluster_spark.operators.similarity import cosine_topk_gemm
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return cosine_topk_gemm(emb, queries, k=5)

@@ -112,3 +112,34 @@ def test_ivf_indexed_prunes_partitions(spark, sf_dir, tmp_path):
     # (b) the scan is partition-pruned at runtime
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), "expected DPP on list_id"
+
+
+# ---------------------------------------------------------------------------
+# GEMM throughput path (round 3): must equal the HOF exact path
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_topk_gemm_matches_hof(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from arrow_supercluster_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_gemm,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    hof = {
+        (r.q_id, r.rank): (r.vec_id, r.cos)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    gemm = {
+        (r.q_id, r.rank): (r.vec_id, r.cos)
+        for r in cosine_topk_gemm(emb, queries, k=5).collect()
+    }
+    assert set(hof) == set(gemm)
+    for kq in hof:
+        assert hof[kq][0] == gemm[kq][0], kq          # same neighbor ids
+        assert abs(hof[kq][1] - gemm[kq][1]) < 2e-6   # same cos after round

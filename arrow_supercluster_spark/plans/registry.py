@@ -334,6 +334,7 @@ def _load_extended_registries():
         registry_ext79,
         registry_ext80,
         registry_ext81,
+        registry_ext82,
     )
 
 

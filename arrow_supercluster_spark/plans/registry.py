@@ -335,6 +335,7 @@ def _load_extended_registries():
         registry_ext80,
         registry_ext81,
         registry_ext82,
+        registry_ext83,
     )
 
 

@@ -1,0 +1,236 @@
+"""Round-3 registry additions, batch 78 — training-mix construction:
+
+- q_temperature_mix: temperature-scaled language resampling (the
+  multilingual-pretraining standard: p_l ∝ (n_l/N)^α with α<1 upweights
+  tail languages) plus a deterministic hash draw at the computed rates
+  and the achieved-vs-target audit;
+- q_source_cap: per-source document cap keeping the highest-quality
+  docs (the domain-cap every crawl mix applies so no single source
+  dominates);
+- q_quality_logit: fixed-weight logistic quality score over the cheap
+  text signals, with decile assignment — the shape of a fasttext-style
+  quality classifier's scoring pass (weights are literals; training is
+  out of scope).
+
+All oracle-checked; the only transcendentals (pow/exp) are rounded at 6
+on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from arrow_supercluster_spark.plans.registry import register
+from arrow_supercluster_spark.sources.tables import read_table
+
+_ALPHA = 0.5  # temperature: sqrt-scaling, the common multilingual choice
+_CAP = 15     # per-source keep count
+# portable Lehmer draw (operators/pipeline.py HASH_MULT/HASH_MOD) — the
+# SAME arithmetic on both engines, unlike engine-specific hash()
+_H_MULT, _H_MOD = 48271, 65537
+
+
+@register(
+    "q_temperature_mix",
+    f"""
+    WITH n AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT SUM(n_docs) AS total FROM n),
+    w AS (
+      SELECT lang, n_docs,
+             pow(n_docs * 1.0 / tot.total, {_ALPHA}) AS raw_w
+      FROM n CROSS JOIN tot
+    ),
+    z AS (SELECT SUM(raw_w) AS zsum FROM w),
+    rates AS (
+      SELECT w.lang, w.n_docs,
+             round(w.raw_w / z.zsum, 6) AS target_p,
+             -- per-doc keep probability that realizes the target mix in
+             -- expectation over the whole corpus: target_p * total / n_docs,
+             -- capped at 1 (a tail language may need full inclusion)
+             round(least(1.0, w.raw_w / z.zsum
+                              * (SELECT total FROM tot) / w.n_docs), 6)
+               AS keep_rate
+      FROM w CROSS JOIN z
+    ),
+    drawn AS (
+      SELECT d.lang, COUNT(*) AS n_kept
+      FROM documents d JOIN rates r ON r.lang = d.lang
+      WHERE (d.doc_id * {_H_MULT}) % {_H_MOD} < r.keep_rate * {_H_MOD}
+      GROUP BY d.lang
+    )
+    SELECT r.lang, r.n_docs, r.target_p, r.keep_rate,
+           coalesce(dr.n_kept, 0) AS n_kept
+    FROM rates r LEFT JOIN drawn dr ON dr.lang = r.lang
+    """,
+)
+def q_temperature_mix(spark, sf_dir):
+    """Mix construction — temperature resampling (α=0.5): target share
+    per language ∝ share^α (upweights tail languages), realized by a
+    DETERMINISTIC hash draw per doc (reproducible across runs/engines —
+    rand() would be neither), with the achieved counts audited against
+    the target in the same frame. Language stats are a ≤|langs| agg;
+    the draw is a narrow map behind a broadcast rate join — at 100 TB
+    nothing shuffles but the ≤|langs| stats."""
+    docs = read_table(spark, sf_dir, "documents")
+    n = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = n.agg(F.sum("n_docs").alias("total"))
+    w = n.crossJoin(F.broadcast(tot)).withColumn(
+        "raw_w", F.pow(F.col("n_docs") * 1.0 / F.col("total"), _ALPHA)
+    )
+    z = w.agg(F.sum("raw_w").alias("zsum"))
+    rates = (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(F.col("raw_w") / F.col("zsum"), 6).alias("target_p"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.col("raw_w")
+                    / F.col("zsum")
+                    * F.col("total")
+                    / F.col("n_docs"),
+                ),
+                6,
+            ).alias("keep_rate"),
+        )
+    )
+    drawn = (
+        docs.join(F.broadcast(rates.select("lang", "keep_rate")), "lang")
+        .filter(
+            F.pmod(F.col("doc_id") * _H_MULT, F.lit(_H_MOD))
+            < F.col("keep_rate") * _H_MOD
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(drawn, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "target_p",
+            "keep_rate",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+@register(
+    "q_source_cap",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_kept,
+           CAST(SUM(CASE WHEN rk = 1 THEN doc_id ELSE 0 END) AS BIGINT)
+             AS best_doc_id,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM ranked WHERE rk <= {_CAP}
+    GROUP BY source
+    """,
+)
+def q_source_cap(spark, sf_dir):
+    """Mix construction — per-source cap: keep at most {CAP} docs per
+    source, preferring longer documents (quality proxy), deterministic
+    doc_id tiebreak. The window partitions by source — bounded keys,
+    bounded partitions, no global sort; the survivors collapse to one
+    row per source for the audit. At 100 TB this is the domain-cap
+    pass every crawl mix runs before training."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    ranked = docs.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _CAP
+    )
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.when(F.col("rk") == 1, F.col("doc_id")).otherwise(0)).alias(
+            "best_doc_id"
+        ),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+    )
+
+
+_W0, _W_LEN, _W_ALPHA, _W_SPACE = -2.0, 0.004, 3.0, 8.0
+
+
+@register(
+    "q_quality_logit",
+    f"""
+    WITH feats AS (
+      SELECT doc_id,
+             least(length(text), 1000) AS len_c,
+             len(regexp_extract_all(text, '[A-Za-z]')) * 1.0
+               / greatest(length(text), 1) AS alpha_frac,
+             len(regexp_extract_all(text, ' ')) * 1.0
+               / greatest(length(text), 1) AS space_frac
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             round(1.0 / (1.0 + exp(-({_W0} + {_W_LEN} * len_c
+                    + {_W_ALPHA} * alpha_frac
+                    + {_W_SPACE} * space_frac))), 6) AS q_score
+      FROM feats
+    )
+    SELECT doc_id, q_score,
+           CAST(NTILE(10) OVER (ORDER BY q_score, doc_id) AS INT) AS decile
+    FROM scored
+    """,
+)
+def q_quality_logit(spark, sf_dir):
+    """Quality scoring — fixed-weight logistic over cheap signals
+    (capped length, alphabetic fraction, whitespace fraction): the
+    scoring pass of a fasttext-style quality classifier with the model
+    reduced to literals. Features are narrow JVM regex counts; the
+    sigmoid is the only transcendental (rounded at 6 both sides). The
+    decile NTILE is the one global window — acceptable for a scored
+    SAMPLE/audit; a full-corpus assignment would swap in approx
+    percentile cuts (the q_pr_curve pattern)."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    feats = docs.select(
+        "doc_id",
+        F.least(F.length(t), F.lit(1000)).alias("len_c"),
+        (
+            F.size(F.regexp_extract_all(t, F.lit("[A-Za-z]"), F.lit(0)))
+            * 1.0
+            / F.greatest(F.length(t), F.lit(1))
+        ).alias("alpha_frac"),
+        (
+            F.size(F.regexp_extract_all(t, F.lit(" "), F.lit(0)))
+            * 1.0
+            / F.greatest(F.length(t), F.lit(1))
+        ).alias("space_frac"),
+    )
+    scored = feats.select(
+        "doc_id",
+        F.round(
+            1.0
+            / (
+                1.0
+                + F.exp(
+                    -(
+                        F.lit(_W0)
+                        + _W_LEN * F.col("len_c")
+                        + _W_ALPHA * F.col("alpha_frac")
+                        + _W_SPACE * F.col("space_frac")
+                    )
+                )
+            ),
+            6,
+        ).alias("q_score"),
+    )
+    w = Window.orderBy("q_score", "doc_id")
+    return scored.select(
+        "doc_id", "q_score", F.ntile(10).over(w).cast("int").alias("decile")
+    )

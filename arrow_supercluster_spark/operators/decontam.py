@@ -64,7 +64,7 @@ def doc_ngram_digests(docs: DataFrame, n: int = 8) -> DataFrame:
 
 
 def decontaminate(
-    docs: DataFrame, eval_pred: F.Column, n: int = 8
+    docs: DataFrame, eval_pred: F.Column, n: int = 8, eval_grams=None
 ) -> DataFrame:
     """Flag training documents sharing any word n-gram with the eval set.
 
@@ -73,14 +73,17 @@ def decontaminate(
     is identical). Returns (doc_id, n_overlap) for contaminated non-eval
     docs. The eval n-gram set is broadcast — the corpus side never
     shuffles; scoring is a broadcast-hash semi-ish join + one partial agg.
+    `eval_grams` lets decontaminate_auto pass in its already-materialized
+    distinct-gram frame instead of recomputing it.
     """
     # digest the EVAL side from the filtered docs directly: a join below
     # the n-gram generator can't be pushed by Catalyst, so joining after
     # doc_ngram_digests(docs) would shingle+md5 the ENTIRE corpus a
     # second time just to keep the MB-scale eval slice
-    eval_grams = (
-        doc_ngram_digests(docs.filter(eval_pred), n).select("g").distinct()
-    )
+    if eval_grams is None:
+        eval_grams = (
+            doc_ngram_digests(docs.filter(eval_pred), n).select("g").distinct()
+        )
     eval_ids = docs.filter(eval_pred).select("doc_id")
     train_grams = doc_ngram_digests(docs, n).join(
         F.broadcast(eval_ids), "doc_id", "left_anti"
@@ -127,13 +130,19 @@ def decontaminate_auto(
         bloom_prefilter,
     )
 
-    eval_grams = (
+    from arrow_supercluster_spark.functions.checkpoint import truncate
+
+    # truncate (eager localCheckpoint), not persist: the grams are
+    # materialized exactly once and reused lazily by WHICHEVER branch
+    # runs, with no session-lifetime cache entry to leak (ADVICE r3: the
+    # bloom branch previously never unpersisted, and the broadcast branch
+    # threw the cached frame away and recomputed inside decontaminate())
+    eval_grams = truncate(
         doc_ngram_digests(docs.filter(eval_pred), n).select("g").distinct()
-    ).persist()
+    )
     n_eval = eval_grams.count()
     if n_eval <= bloom_threshold:
-        eval_grams.unpersist()
-        return decontaminate(docs, eval_pred, n)
+        return decontaminate(docs, eval_pred, n, eval_grams=eval_grams)
     m_bits = 1 << max(20, (10 * n_eval - 1).bit_length())
     eval_ids = docs.filter(eval_pred).select("doc_id")
     train_grams = doc_ngram_digests(docs, n).join(

@@ -314,13 +314,17 @@ def greedy_hierarchy(
     the same mask. Pre-filtering `points` instead would shift every id.
 
     pos_order: `pos` ordering convention — "kdbush" (reference's
-    within()-traversal child order, default for exact/partitioned) or
-    "insertion" (plain level index). mode="cc" always emits insertion
-    order: its `pos` is built by a distributed global re-rank and the
-    kd-sort's Floyd–Rivest swap sequence is inherently sequential — so
-    cc output is bit-identical to mode="exact" UNDER pos_order=
-    "insertion" (sets, ids, parents, floats all identical either way;
-    only the >64-item page-boundary convention differs).
+    within()-traversal child order, default for mode="exact", where
+    cross-group fidelity is actually guaranteed) or "insertion" (plain
+    level index, default for mode="partitioned": the kd visit rank is a
+    pure-Python Floyd–Rivest select per level per group, a real
+    per-group cost on the scale-out path for an ordering that is only
+    group-local there anyway — ADVICE r3). mode="cc" always emits
+    insertion order: its `pos` is built by a distributed global re-rank
+    and the kd-sort's swap sequence is inherently sequential — so cc
+    output is bit-identical to mode="exact" UNDER pos_order="insertion"
+    (sets, ids, parents, floats all identical either way; only the
+    >64-item page-boundary convention differs).
     """
     from pyspark.sql import functions as F
 
@@ -332,7 +336,7 @@ def greedy_hierarchy(
             )
         return greedy_hierarchy_cc(points, opts, mask=mask)
     if pos_order is None:
-        pos_order = "kdbush"
+        pos_order = "kdbush" if mode == "exact" else "insertion"
 
     from arrow_supercluster_spark.operators.filters import drop_null_geometry
     from arrow_supercluster_spark.functions.projection import fround, lat_y, lng_x

@@ -731,13 +731,19 @@ def decode_png(payload: bytes) -> np.ndarray:
 
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG payload")
-    pos, w = 8, None
+    pos, w, h, ch = 8, None, None, None
     idat = b""
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
+        # chunk lengths are untrusted: clamp against the payload so a
+        # corrupt header can't silently truncate mid-chunk (ADVICE r3)
+        if pos + 8 + length > len(payload):
+            raise ValueError("PNG chunk length exceeds payload")
         tag = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + length]
         if tag == b"IHDR":
+            if length != 13:
+                raise ValueError("bad PNG IHDR length")
             w, h, depth, ctype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
@@ -747,6 +753,10 @@ def decode_png(payload: bytes) -> np.ndarray:
                 raise ValueError(f"unsupported PNG color type {ctype}")
             ch = {0: 1, 2: 3, 6: 4}[ctype]
         elif tag == b"IDAT":
+            # a clean error, not a downstream NameError, when the stream
+            # is malformed with IDAT before (or without) IHDR (ADVICE r3)
+            if w is None:
+                raise ValueError("PNG IDAT before IHDR")
             idat += body
         elif tag == b"IEND":
             break

@@ -15,6 +15,7 @@ green ⇒ driver green.  SQL twins must CAST integer sums back to BIGINT.
 from __future__ import annotations
 
 import math
+import struct
 from decimal import Decimal
 
 import duckdb
@@ -48,10 +49,15 @@ def _canon_value(v):
         f = float(v)
         if math.isnan(f):
             return ("-", None)
-        return ("f", f)  # exact bits — the driver hashes exact values
+        # exact BIT pattern (ADVICE r3): the driver hashes exact values,
+        # so -0.0 must not compare equal to 0.0 here; bytes also give the
+        # canonical tuples a total order (see _canon's sort)
+        return ("f", struct.pack(">d", f))
     if isinstance(v, Decimal):
-        # both engines surface decimals as Decimal objects; compare exactly
-        return ("d", v)
+        # as_tuple(): scale-sensitive like the driver's exact hash AND
+        # totally ordered, so equal-value/different-scale decimals can't
+        # misalign the multiset sort (ADVICE r3)
+        return ("d", v.as_tuple())
     if hasattr(v, "isoformat"):
         return ("t", v.isoformat())
     if isinstance(v, bytes):
@@ -73,7 +79,10 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
             else:
                 canon_row.append(_canon_value(v))
         rows.append(tuple(canon_row))
-    return sorted(rows, key=repr)
+    # the canonical tuples are totally ordered (type tag first; floats as
+    # big-endian bit bytes, decimals as as_tuple()) — sort on them
+    # directly, not on repr, so equal multisets always align (ADVICE r3)
+    return sorted(rows)
 
 
 _INTY = frozenset("iu")

@@ -326,3 +326,36 @@ def test_video_frame_features_spark(spark, sf_dir):
     for r in rows:
         assert r.frame_idx % 2 == 0 and r.fps == 10
         assert abs(r.mean_r - (r.media_id * 37 + r.frame_idx * 11) % 256) < 1e-9
+
+
+def test_png_malformed_payloads_raise_value_error():
+    """Corrupt streams must fail with ValueError, never NameError /
+    silent truncation (ADVICE r3): IDAT before IHDR, missing IHDR, and a
+    chunk length pointing past the payload end."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from arrow_supercluster_spark.operators.multimodal import decode_png
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    with pytest.raises(ValueError, match="IDAT before IHDR"):
+        decode_png(sig + chunk(b"IDAT", zlib.compress(b"\x00\x01")))
+    with pytest.raises(ValueError, match="missing IHDR"):
+        decode_png(sig + chunk(b"IEND", b""))
+    oversize = sig + struct.pack(">I", 10_000) + b"IHDR" + b"\x00" * 13
+    with pytest.raises(ValueError, match="exceeds payload"):
+        decode_png(oversize)
+    bad_ihdr = sig + chunk(b"IHDR", b"\x00" * 5)
+    with pytest.raises(ValueError, match="IHDR length"):
+        decode_png(bad_ihdr)

@@ -82,21 +82,38 @@ def minhash_docs(
     num_hashes: int = 16,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Per-doc MinHash signatures: explode shingles once, then `num_hashes`
-    min-aggregations of xxhash64(shingle, seed) grouped by doc.
+    """Per-doc MinHash signatures: digest shingles to longs INSIDE the
+    array, explode the digests once, then `num_hashes` min-aggregations
+    of xxhash64(digest, seed) grouped by doc.
 
     Deliberately NOT expressed as nested array_min(transform(...)) × 16 —
     projection collapse would inline the shingle construction once per
     hash function and the resulting codegen blows up (measured: minutes vs
     seconds at 5k docs). The explode/agg form computes shingles exactly
     once, gets map-side partial aggregation, and its shuffle carries only
-    (key, 16 longs)."""
+    (key, 16 longs).
+
+    The pre-explode digest (VERDICT r3 "Next round" #7) keeps shingle
+    STRINGS out of the exploded frame entirely: the explode materializes
+    (key, int64) instead of (key, ~20-40-byte string), which is what
+    drove q_dedup_minhash's 5 GiB peak-RSS step at sf0.1. Seeding the
+    per-slot hash with the 64-bit digest instead of the string is the
+    standard compose-a-hash-family construction — identical docs still
+    get identical signatures and the collision probability structure is
+    unchanged (signature VALUES differ from the string-seeded form, which
+    is fine: this path is rows-only by design; the oracle-checked
+    portable twin is registry_ext43's Lehmer construction)."""
     # heavy per-doc compute (tokenize → shingle → explode) must not be
     # serialized by input file count: a single-file corpus scan is ONE
     # partition; spread it across the cluster first
     sh = spread(docs).select(
         F.col(key),
-        F.explode(shingles(tokenize(F.col(text)), shingle_k)).alias("sh"),
+        F.explode(
+            F.transform(
+                shingles(tokenize(F.col(text)), shingle_k),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("sh"),
     )
     sig = sh.groupBy(key).agg(
         *[

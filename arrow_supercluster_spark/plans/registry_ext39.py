@@ -173,27 +173,28 @@ def q_lorenz(spark, sf_dir):
     """Inequality — Lorenz curve of per-user spend in deciles:
     cumulative population share vs cumulative spend share, sorted
     ascending (the curve whose area defect is q_gini). The stream
-    collapses to |users| rows; ranking and cumulative sums run on the
-    user dimension with (spend, user_id) determinism; ten output
-    points."""
+    collapses to |users| rows; rank, total and running sum all come from
+    one distributed zip_scan pass (functions/distrank.py, VERDICT r3
+    de-weak — no |users| global window) with (spend, user_id)
+    determinism; ten output points, rounded at 6 far above the scan's
+    partition-boundary float residual."""
+    from arrow_supercluster_spark.functions.distrank import zip_scan
+
     ev = read_events(spark, sf_dir).filter(F.col("value").isNotNull())
     per_user = ev.groupBy("user_id").agg(
         F.round(F.sum("value"), 4).alias("spend")
     )
-    w_rank = Window.orderBy("spend", "user_id")
-    w_all = Window.partitionBy()
-    ranked = per_user.select(
-        "spend",
-        F.row_number().over(w_rank).alias("rk"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
-        F.sum("spend").over(w_all).alias("tot"),
+    ranked, n, tot = zip_scan(
+        per_user, ["spend", "user_id"], out="_idx",
+        scan_col="spend", scan_out="cum_spend",
     )
     cum = ranked.select(
-        F.ceil(F.col("rk") * 10.0 / F.col("n")).cast("int").alias("decile"),
-        "rk", "n", "tot",
-        F.sum("spend").over(Window.orderBy("rk")).alias("cum_spend"),
+        F.ceil((F.col("_idx") + 1) * 10.0 / F.lit(n)).cast("int")
+        .alias("decile"),
+        (F.col("_idx") + 1).alias("rk"),
+        "cum_spend",
     )
     return cum.groupBy("decile").agg(
-        F.round(F.max("rk") * 1.0 / F.first("n"), 6).alias("pop_share"),
-        F.round(F.max("cum_spend") / F.first("tot"), 6).alias("spend_share"),
+        F.round(F.max("rk") * 1.0 / F.lit(n), 6).alias("pop_share"),
+        F.round(F.max("cum_spend") / F.lit(tot), 6).alias("spend_share"),
     )

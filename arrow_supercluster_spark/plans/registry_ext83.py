@@ -192,10 +192,14 @@ def q_quality_logit(spark, sf_dir):
     (capped length, alphabetic fraction, whitespace fraction): the
     scoring pass of a fasttext-style quality classifier with the model
     reduced to literals. Features are narrow JVM regex counts; the
-    sigmoid is the only transcendental (rounded at 6 both sides). The
-    decile NTILE is the one global window — acceptable for a scored
-    SAMPLE/audit; a full-corpus assignment would swap in approx
-    percentile cuts (the q_pr_curve pattern)."""
+    sigmoid is the only transcendental (rounded at 6 both sides). Decile
+    assignment is the distributed zip_scan rank + closed-form NTILE
+    (functions/distrank.py) — full-corpus-safe, no global window."""
+    from arrow_supercluster_spark.functions.distrank import (
+        ntile_bucket,
+        zip_scan,
+    )
+
     docs = read_table(spark, sf_dir, "documents")
     t = F.col("text")
     feats = docs.select(
@@ -230,7 +234,12 @@ def q_quality_logit(spark, sf_dir):
             6,
         ).alias("q_score"),
     )
-    w = Window.orderBy("q_score", "doc_id")
-    return scored.select(
-        "doc_id", "q_score", F.ntile(10).over(w).cast("int").alias("decile")
+    # distributed NTILE (VERDICT r3 de-weak): exact global rank via
+    # zip_scan + closed-form bucket — same deciles as the SQL twin's
+    # NTILE, no full-corpus single-reducer window
+    ranked, n, _ = zip_scan(scored, ["q_score", "doc_id"], out="_idx")
+    return ranked.select(
+        "doc_id",
+        "q_score",
+        ntile_bucket(F.col("_idx"), n, 10).alias("decile"),
     )

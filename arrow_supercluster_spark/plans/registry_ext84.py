@@ -1,0 +1,56 @@
+"""Round-4 registry additions, batch 79 — streaming exact dedup:
+
+- q_dedup_stream: the Structured Streaming twin of batch E1 exact dedup
+  (streaming/dedup.streaming_dedup_exact): documents fed through a file
+  stream with a synthetic event-time, digest-keyed
+  dropDuplicatesWithinWatermark (first-wins, TTL-bounded digest state).
+  Rows-only by design — the kept ROW per digest depends on arrival
+  order, which no batch SQL can express; the deterministic projection
+  returned here is the kept-digest set, asserted equal to the batch
+  engine's digest set (streaming ≡ batch) in tests/test_streaming_dedup.py.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from arrow_supercluster_spark.plans.registry import register
+from arrow_supercluster_spark.sources.tables import read_table
+
+
+def documents_with_ingest_ts(spark, sf_dir):
+    """documents + a deterministic synthetic ingest_ts (the table has no
+    native event time): doc_id-derived seconds within one hour, so every
+    row is inside any reasonable watermark in tests."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.withColumn(
+        "ingest_ts",
+        F.timestamp_seconds(F.lit(1704067200) + (F.col("doc_id") % 3600)),
+    )
+
+
+@register("q_dedup_stream", None)
+def q_dedup_stream(spark, sf_dir):
+    """E1 streaming twin — run the watermarked digest dedup over a real
+    file stream of the documents table (availableNow trigger, append
+    mode to a memory sink) and return the kept digest set. First-wins
+    semantics; state TTL at the watermark (streaming/dedup.py)."""
+    from arrow_supercluster_spark.streaming.dedup import streaming_dedup_exact
+
+    src = tempfile.mkdtemp(prefix="dedup_stream_src_")
+    docs = documents_with_ingest_ts(spark, sf_dir)
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    name = "dedup_stream_sink"
+    q = (
+        streaming_dedup_exact(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("text_hash").distinct()

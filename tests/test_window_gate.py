@@ -1,0 +1,86 @@
+"""Plan gate (VERDICT r3 "Next round" #1): no registered query may run an
+unpartitioned Window over an unbounded-cardinality frame.
+
+A `Window.orderBy(...)` with no partitionBy funnels the WHOLE frame
+through one reducer — fine on a frame whose size is structurally bounded
+(calendar days, languages, ten deciles, a top-k), a scale-killer on a
+corpus/user-dimension frame at 10^9 rows. The distributed alternative is
+functions/distrank.py (zip_scan rank / running scan + closed-form NTILE),
+which round 4 swapped into q_quality_logit, q_rfm_segments,
+q_calibration, q_lift_chart, q_auc, q_lorenz and q_pareto_ratio.
+
+This sweep walks EVERY registry entry's optimized logical plan and fails
+if a Window node with an empty partitionSpec appears outside the
+explicit allowlist below. Adding a new global-window query without
+consciously classifying its frame here is a test failure — the gate is
+how the pattern stays dead.
+"""
+
+import pytest
+
+from arrow_supercluster_spark.plans.registry import REGISTRY
+
+# Every entry here has a structurally BOUNDED frame under the window
+# (bound stated), verified in the round-4 audit. User/document-dimension
+# frames do NOT qualify — those must use functions/distrank.py.
+ALLOWED_GLOBAL_WINDOWS = {
+    # drill-down / pagination over ONE cluster's leaves (≤ cluster size,
+    # reference getLeaves semantics — its output is a page anyway)
+    "q_get_leaves",
+    # calendar-time frames: one row per day/hour — years of data ≈ 10^3
+    "q_daily_anomaly", "q_cusum_changepoint", "q_ema_daily",
+    "q_autocorrelation", "q_kaplan_meier", "q_hazard_rate", "q_ols_2var",
+    # distribution summaries on PRE-COLLAPSED small frames: deciles,
+    # quantile grids, top-k vocab slices (explicit LIMIT upstream)
+    "q_lift_chart",      # 10 decile rows (the |users| rank is distrank now)
+    "q_heaps_law",       # 10 corpus-growth deciles
+    "q_zipf_fit",        # top-200 vocab slice
+    "q_hill_tail_index", # top-k tail slice
+    "q_stylometry_delta",  # MFW vocab slice × sources
+    "q_apportion",       # one row per language
+    "q_rrf_fusion",      # two top-k ranker outputs (bounded candidate set)
+    # paired-sample statistics on bounded experiment samples (the day- or
+    # group-collapsed frame, not the raw stream)
+    "q_mann_whitney", "q_ks_test", "q_spearman", "q_runs_test", "q_gini",
+    # structural scans over tiny administrative frames
+    "q_concat_chunks",   # one row per input partition (prefix offsets)
+    "q_shard_manifest",  # one row per output shard
+}
+
+
+def _unpartitioned_windows(df):
+    found = []
+
+    def walk(node):
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().isEmpty()
+        ):
+            found.append(str(node.windowExpressions()))
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return found
+
+
+@pytest.mark.slow
+def test_no_unpartitioned_window_outside_allowlist(spark, sf_dir):
+    offenders, errors = {}, {}
+    for name, qd in REGISTRY.items():
+        try:
+            w = _unpartitioned_windows(qd.spark(spark, sf_dir))
+        except Exception as e:  # plan construction itself must not break
+            errors[name] = repr(e)[:200]
+            continue
+        if w and name not in ALLOWED_GLOBAL_WINDOWS:
+            offenders[name] = len(w)
+    assert not errors, f"plan construction failed: {errors}"
+    assert not offenders, (
+        "unpartitioned Window on potentially unbounded frames — use "
+        f"functions/distrank.py or allowlist with a stated bound: {offenders}"
+    )
+    # the allowlist must not rot: every name still registered
+    gone = [n for n in ALLOWED_GLOBAL_WINDOWS if n not in REGISTRY]
+    assert not gone, f"allowlist entries no longer registered: {gone}"

@@ -44,8 +44,17 @@ as a pandas/numpy kernel inside `applyInPandas`:
     re-rank of emissions (sort + zipWithIndex, range-partitioned — no
     single-reducer window) to rebuild the reference's level array for id
     encoding and the next level. Output is BIT-IDENTICAL to mode="exact"
-    (ids, parents, positions, pos) and invariant to input partitioning,
-    at the cost of ~3 shuffles + a CC fixpoint per zoom. Worst case: at
+    (ids, parents, positions, pos) and invariant to input partitioning.
+    Round-4 cost pass: a level whose candidate edge list fits under
+    _CC_EDGE_CAP is handled almost entirely on the driver — the edge
+    probe carries both endpoints' item state, so union-find, the SAME
+    per-component `_scan_one_zoom` kernel, and a closed-form dense
+    re-rank (idx' = e0 + D(e0) + e1, `_rank_step_fn`) all run locally,
+    leaving two Spark jobs and zero shuffles per level; a lookahead
+    probe (bin at r·2^k with d² collected) proves identity stretches k+1
+    levels at a time. Levels above the cap take the fully distributed
+    fixpoint + zip-scan path (~3 shuffles + CC fixpoint per zoom), which
+    stays bit-identical (forced-fallback parity test). Worst case: at
     the coarsest zooms components merge toward one group — but by then
     the level array has already collapsed to cluster counts.
 
@@ -575,6 +584,112 @@ def _zip_rank(df, sort_cols: list, out: str = "idx"):
     return zip_scan(df, sort_cols, out=out)[0]
 
 
+# Adaptive bound shared with operators/dedup.connected_components_adaptive:
+# a level whose candidate edge list fits under this cap is labeled, scanned
+# and re-ranked with driver-side closed forms (one collect of edge rows
+# that carry both endpoints' item state); larger levels take the fully
+# distributed fixpoint + zip-scan path.
+_CC_EDGE_CAP = 200_000
+# Lookahead probe net: bin at r·2^k so one collect also proves the next k
+# levels identity when nothing is within reach (r doubles per level).
+_CC_LOOKAHEAD = 3
+# Once the LEVEL table itself fits under this row cap, the remaining
+# zooms run entirely on the driver with the same `_scan_one_zoom` kernel
+# (zero Spark jobs) — levels shrink monotonically, so on any corpus the
+# coarse-zoom tail eventually crosses this bound. Same adaptive design
+# (and honesty contract: bit-identical, fallback-tested) as
+# connected_components_adaptive.
+_CC_DRIVER_LEVEL_CAP = 150_000
+
+
+def _cc_edge_plan(cur, bin_r: float):
+    """Candidate within-`bin_r` pairs of the current level via the 3×3
+    grid-cell equi-join, each row carrying BOTH endpoints' full item
+    state plus d² — so the driver fast path can reconstruct component
+    members without a second collect. Built with selectExpr strings (one
+    parse round-trip instead of dozens of per-Column py4j calls — this
+    plan is rebuilt every zoom level). d² is the kernel's exact float
+    form (dx·dx + dy·dy, no pow)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    rl = repr(float(bin_r))
+    b = cur.selectExpr(
+        "idx", "cluster_id", "num_points", "x", "y",
+        f"floor(x / {rl}) as cx", f"floor(y / {rl}) as cy",
+    )
+    neigh = ",".join(
+        f"struct(cx + {dx} as ncx, cy + {dy} as ncy)"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    )
+    probe = b.selectExpr(
+        "idx as p_idx", "cluster_id as p_cid", "num_points as p_np",
+        "x as px", "y as py", f"explode(array({neigh})) as nc",
+    )
+    return (
+        probe.join(b, F.expr("nc.ncx = cx AND nc.ncy = cy"))
+        .where("p_idx < idx")
+        .selectExpr(
+            "p_idx as a_id", "px as a_x", "py as a_y",
+            "p_np as a_np", "p_cid as a_cid",
+            "idx as b_id", "x as b_x", "y as b_y",
+            "num_points as b_np", "cluster_id as b_cid",
+            "(px - x) * (px - x) + (py - y) * (py - y) as d2",
+        )
+        .where(f"d2 <= {repr(float(bin_r) * float(bin_r))}")
+    )
+
+
+def _local_cc_labels_pd(e_pd: pd.DataFrame) -> pd.DataFrame:
+    """Union-find (path halving) over a collected edge frame →
+    (node_id, component_id) pandas frame, component_id = min member."""
+    parent: dict = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in zip(
+        e_pd["a_id"].to_numpy(dtype="int64"), e_pd["b_id"].to_numpy(dtype="int64")
+    ):
+        u, v = int(u), int(v)
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    nodes = np.fromiter(parent.keys(), dtype=np.int64, count=len(parent))
+    comps = np.fromiter((find(int(n)) for n in nodes), dtype=np.int64, count=len(nodes))
+    return pd.DataFrame({"node_id": nodes, "component_id": comps})
+
+
+def _rank_step_fn(comp_nodes: np.ndarray, key_e0: np.ndarray):
+    """The closed-form dense re-rank's step function (round-4 greedy-cc
+    cost pass): given the current level's idx dense 0..n-1, the next
+    level's lexicographic (e0, e1) rank is
+
+        idx' = e0 + D(e0) + e1
+
+    where D(i) = Σ_{j<i} (f_j − 1) and f_j is node j's survivor fanout
+    (0 consumed, 1 normal, 1+k head-with-passthrough). f_j ≠ 1 only on
+    component members (isolated nodes always emit exactly their own
+    row), so D is a sparse step function over the sorted component-node
+    array. Bijective onto 0..n'-1 by construction (survivor keys within
+    one e0 are contiguous e1 = 0..k). Returns (nodes_sorted, cum_pad):
+    D(i) = cum_pad[searchsorted(nodes_sorted, i, 'left')]."""
+    nodes_sorted = np.sort(comp_nodes.astype(np.int64))
+    counts = np.zeros(len(nodes_sorted), dtype=np.int64)
+    kpos = np.searchsorted(nodes_sorted, key_e0.astype(np.int64))
+    np.add.at(counts, kpos, 1)
+    cum_pad = np.concatenate(([0], np.cumsum(counts - 1)))
+    return nodes_sorted, cum_pad
+
+
 def greedy_hierarchy_cc(points, opts: ClusterOptions = DEFAULT_OPTIONS, mask=None):
     """Exact distributed greedy hierarchy (mode="cc" of greedy_hierarchy;
     see module docstring for why components are the exact dependency
@@ -610,60 +725,192 @@ def greedy_hierarchy_cc(points, opts: ClusterOptions = DEFAULT_OPTIONS, mask=Non
         fround(lng_x(F.col("lng"))).alias("x"),
         fround(lat_y(F.col("lat"))).alias("y"),
     )
-    cur = (
-        _zip_rank(
-            pts.withColumn("num_points", F.lit(1).cast("long")), ["cluster_id"]
-        )
-        .select("idx", "cluster_id", "x", "y", "num_points")
-    )
-    cur = truncate(cur)
+    from arrow_supercluster_spark.functions.distrank import zip_scan
 
+    cur, n_cur, _ = zip_scan(
+        pts.withColumn("num_points", F.lit(1).cast("long")), ["cluster_id"]
+    )
+    cur = truncate(cur.select("idx", "cluster_id", "x", "y", "num_points"))
+
+    spark_s = points.sparkSession
+    n_parts = int(spark_s.conf.get("spark.sql.shuffle.partitions"))
     out_parts = []
-    for z in range(opts.max_zoom, opts.min_zoom - 1, -1):
-        r = opts.radius / (opts.extent * (2.0**z))
-        b = cur.select(
-            "idx",
-            "x",
-            "y",
-            F.floor(F.col("x") / F.lit(r)).alias("cx"),
-            F.floor(F.col("y") / F.lit(r)).alias("cy"),
+
+    def identity_level(z: int) -> None:
+        out_parts.append(
+            cur.select(
+                F.lit(z + 1).cast("int").alias("zoom"),
+                "cluster_id",
+                "x",
+                "y",
+                F.lit(-1).cast("long").alias("parent_id"),
+                "num_points",
+                F.col("idx").alias("pos"),
+            )
         )
-        probe = b.select(
-            F.col("idx").alias("p_idx"),
-            F.col("x").alias("px"),
-            F.col("y").alias("py"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            (F.col("cx") + dxc).alias("ncx"),
-                            (F.col("cy") + dyc).alias("ncy"),
-                        )
-                        for dxc in (-1, 0, 1)
-                        for dyc in (-1, 0, 1)
+
+    # levels with r² strictly below this are provably identity (no pair
+    # closer than the horizon exists) — set by the lookahead probe below
+    skip_until_r2: float | None = None
+    finished_locally = False
+    for z in range(opts.max_zoom, opts.min_zoom - 1, -1):
+        if n_cur is not None and n_cur <= _CC_DRIVER_LEVEL_CAP:
+            # driver tail (round-4 cost pass): the whole level fits —
+            # run every remaining zoom with the exact kernel locally
+            # (_scan_one_zoom over the full level IS the sequential
+            # one-zoom scan; dense re-rank = lexsort by (e0, e1)), ship
+            # the result back in one createDataFrame. Zero jobs/level.
+            lvl = (
+                cur.toPandas()
+                .sort_values("idx", kind="mergesort")
+                .reset_index(drop=True)
+            )
+            local_out = []
+            for zz in range(z, opts.min_zoom - 1, -1):
+                resl = _scan_one_zoom(lvl, z=zz, opts=opts, total=total)
+                local_out.append(
+                    resl[resl["kind"] == 0][
+                        ["zoom", "cluster_id", "x", "y",
+                         "parent_id", "num_points", "pos"]
                     ]
                 )
-            ).alias("nc"),
-        )
-        # same float ops as the kernel's dx*dx + dy*dy (not pow(),
-        # which could round differently at the exact-r boundary)
-        ddx = F.col("px") - F.col("x")
-        ddy = F.col("py") - F.col("y")
-        d2 = ddx * ddx + ddy * ddy
-        edges = truncate(
-            probe.join(
-                b.select("idx", "x", "y", "cx", "cy"),
-                (F.col("nc.ncx") == F.col("cx")) & (F.col("nc.ncy") == F.col("cy")),
+                items = resl[resl["kind"] == 1]
+                order = np.lexsort(
+                    (items["e1"].to_numpy(), items["e0"].to_numpy())
+                )
+                items = items.iloc[order].reset_index(drop=True)
+                lvl = items[
+                    ["cluster_id", "x", "y", "num_points"]
+                ].copy()
+                lvl.insert(0, "idx", np.arange(len(items), dtype=np.int64))
+            final = lvl[["cluster_id", "x", "y", "num_points"]].copy()
+            final.insert(0, "zoom", np.int32(opts.min_zoom))
+            final["parent_id"] = np.int64(-1)
+            final["pos"] = lvl["idx"].to_numpy()
+            local_out.append(
+                final[
+                    ["zoom", "cluster_id", "x", "y",
+                     "parent_id", "num_points", "pos"]
+                ]
             )
-            .filter((F.col("p_idx") < F.col("idx")) & (d2 <= F.lit(r * r)))
-            .select(F.col("p_idx").alias("a_id"), F.col("idx").alias("b_id"))
-        )
-        if edges.isEmpty():
-            # no within-r pair anywhere ⇒ the level is an identity pass:
-            # every item survives unchanged, same order, parent -1 — skip
-            # the CC fixpoint, the scan, and the re-rank outright
             out_parts.append(
-                cur.select(
+                spark_s.createDataFrame(
+                    pd.concat(local_out, ignore_index=True),
+                    "zoom int, cluster_id long, x double, y double, "
+                    "parent_id long, num_points long, pos long",
+                )
+            )
+            finished_locally = True
+            break
+        r = opts.radius / (opts.extent * (2.0**z))
+        r2 = r * r
+        if skip_until_r2 is not None and r2 < skip_until_r2:
+            identity_level(z)
+            continue
+        # LOOKAHEAD probe (round-4 cost pass): bin at R = r·2^k and
+        # collect candidate pairs with their d² up to R — one evaluation
+        # answers "is this level identity?" for THIS and the next k
+        # levels (r doubles per level; positions only move when a level
+        # actually clusters). On the fine-zoom identity stretch this
+        # collapses k+1 probes into one; when clustering resumes the
+        # probe degrades to exactly the per-level collect it replaces.
+        z_eff = max(z - _CC_LOOKAHEAD, 0)
+        bigr = opts.radius / (opts.extent * (2.0**z_eff))
+        e_pd = (
+            _cc_edge_plan(cur, bigr)
+            .limit(_CC_EDGE_CAP + 1)
+            .toPandas()
+        )
+        if len(e_pd) > _CC_EDGE_CAP and z_eff != z:
+            # lookahead net too wide for the cap — retry at the exact
+            # level radius before falling back to the distributed path
+            e_pd = (
+                _cc_edge_plan(cur, r).limit(_CC_EDGE_CAP + 1).toPandas()
+            )
+            bigr = r
+        if len(e_pd) <= _CC_EDGE_CAP:
+            e_sub = e_pd[e_pd["d2"].to_numpy() <= r2]
+            if len(e_sub) == 0:
+                # identity level — and the collected d² set bounds how
+                # long the stretch lasts: no pair exists closer than
+                # min(d²) (or than R, if nothing was within R at all)
+                skip_until_r2 = (
+                    float(e_pd["d2"].min())
+                    if len(e_pd)
+                    else float(np.nextafter(bigr * bigr, np.inf))
+                )
+                identity_level(z)
+                continue
+            skip_until_r2 = None
+            e_pd = e_sub
+            labels_pd = _local_cc_labels_pd(e_pd)
+            comp_of = dict(
+                zip(
+                    labels_pd["node_id"].to_numpy(),
+                    labels_pd["component_id"].to_numpy(),
+                )
+            )
+            # member table straight from the edge endpoints (every
+            # component node touches ≥1 edge)
+            a_side = e_pd[["a_id", "a_x", "a_y", "a_np", "a_cid"]].rename(
+                columns={"a_id": "idx", "a_x": "x", "a_y": "y",
+                         "a_np": "num_points", "a_cid": "cluster_id"}
+            )
+            b_side = e_pd[["b_id", "b_x", "b_y", "b_np", "b_cid"]].rename(
+                columns={"b_id": "idx", "b_x": "x", "b_y": "y",
+                         "b_np": "num_points", "b_cid": "cluster_id"}
+            )
+            mem = pd.concat([a_side, b_side]).drop_duplicates("idx")
+            mem["comp"] = mem["idx"].map(comp_of)
+            scans = [
+                _scan_one_zoom(grp, z=z, opts=opts, total=total)
+                for _, grp in mem.groupby("comp", sort=False)
+            ]
+            local = pd.concat(scans, ignore_index=True)
+            is_item = local["kind"].to_numpy() == 1
+            nodes_sorted, cum_pad = _rank_step_fn(
+                mem["idx"].to_numpy(),
+                local["e0"].to_numpy(dtype="int64")[is_item],
+            )
+            # closed-form dense re-rank (see _rank_step_fn): local items
+            # get idx in numpy here; the distributed iso rows (e1 = 0)
+            # get idx' = idx + D(idx) in the narrow Arrow map below
+            local = local.copy()
+            local["idx"] = np.where(
+                is_item,
+                local["e0"].to_numpy(dtype="int64")
+                + cum_pad[
+                    np.searchsorted(
+                        nodes_sorted, local["e0"].to_numpy(dtype="int64")
+                    )
+                ]
+                + local["e1"].to_numpy(dtype="int64"),
+                0,
+            )
+            # ONE local frame per level carries the consumed rows, the
+            # ranked survivor items AND (via the consumed rows' pos = the
+            # members' old idx) the anti-join key set — one
+            # createDataFrame round-trip instead of three; left lazy (a
+            # LocalRelation re-evaluation is a deserialization, not a job)
+            local_df = spark_s.createDataFrame(
+                local[
+                    ["kind", "zoom", "cluster_id", "x", "y",
+                     "parent_id", "num_points", "pos", "idx"]
+                ],
+                "kind int, zoom int, cluster_id long, x double, "
+                "y double, parent_id long, num_points long, "
+                "pos long, idx long",
+            )
+            nodes_df = F.broadcast(
+                local_df.filter(F.col("kind") == 0)
+                .select(F.col("pos").alias("node_id"))
+            )
+            # iso rows: everything not in a component — identity rows
+            iso = cur.join(
+                nodes_df, cur["idx"] == nodes_df["node_id"], "left_anti"
+            )
+            out_parts.append(
+                iso.select(
                     F.lit(z + 1).cast("int").alias("zoom"),
                     "cluster_id",
                     "x",
@@ -671,82 +918,132 @@ def greedy_hierarchy_cc(points, opts: ClusterOptions = DEFAULT_OPTIONS, mask=Non
                     F.lit(-1).cast("long").alias("parent_id"),
                     "num_points",
                     F.col("idx").alias("pos"),
+                ).unionByName(
+                    local_df.filter(F.col("kind") == 0).select(
+                        "zoom", "cluster_id", "x", "y",
+                        "parent_id", "num_points", "pos",
+                    )
                 )
             )
-            continue
-        labels = connected_components_adaptive(edges)
-        lab = cur.join(labels, cur["idx"] == labels["node_id"], "left").select(
-            "idx",
-            "cluster_id",
-            "x",
-            "y",
-            "num_points",
-            F.col("component_id").alias("comp"),
-        )
-        # isolated points (no within-r neighbor at all) are identity rows:
-        # narrow projections, never shuffled into the per-component scan —
-        # at fine zooms this is the vast majority of the corpus
-        iso = lab.filter(F.col("comp").isNull())
-        iso_consumed = iso.select(
-            F.lit(0).cast("int").alias("kind"),
-            F.lit(z + 1).cast("int").alias("zoom"),
-            "cluster_id",
-            "x",
-            "y",
-            F.lit(-1).cast("long").alias("parent_id"),
-            "num_points",
-            F.col("idx").alias("pos"),
-            F.lit(0).cast("long").alias("e0"),
-            F.lit(0).cast("long").alias("e1"),
-        )
-        iso_items = iso.select(
-            F.lit(1).cast("int").alias("kind"),
-            F.lit(0).cast("int").alias("zoom"),
-            "cluster_id",
-            "x",
-            "y",
-            F.lit(-1).cast("long").alias("parent_id"),
-            "num_points",
-            F.lit(0).cast("long").alias("pos"),
-            F.col("idx").alias("e0"),
-            F.lit(0).cast("long").alias("e1"),
-        )
-        scan = (
-            lab.filter(F.col("comp").isNotNull())
-            .groupBy("comp")
-            .applyInPandas(
-                functools.partial(_scan_one_zoom, z=z, opts=opts, total=total),
-                schema=_CC_SCHEMA,
+
+            def iso_rank(batches, _ns=nodes_sorted, _cp=cum_pad):
+                for pdf in batches:
+                    i0 = pdf["idx"].to_numpy(dtype="int64")
+                    out = pdf[
+                        ["cluster_id", "x", "y", "num_points"]
+                    ].copy()
+                    out.insert(
+                        0, "idx", i0 + _cp[np.searchsorted(_ns, i0)]
+                    )
+                    yield out
+
+            cur_schema = (
+                "idx long, cluster_id long, x double, y double, "
+                "num_points long"
             )
-        )
-        res = truncate(scan.unionByName(iso_consumed).unionByName(iso_items))
-        out_parts.append(
-            res.filter(F.col("kind") == 0).select(
-                "zoom", "cluster_id", "x", "y", "parent_id", "num_points", "pos"
+            cur = truncate(
+                iso.select("idx", "cluster_id", "x", "y", "num_points")
+                .mapInPandas(iso_rank, cur_schema)
+                .unionByName(
+                    local_df.filter(F.col("kind") == 1).select(
+                        "idx", "cluster_id", "x", "y", "num_points"
+                    )
+                )
+                .coalesce(n_parts)
             )
-        )
-        cur = (
-            _zip_rank(
+            if n_cur is not None:
+                # members left the level, their survivors re-entered
+                n_cur = n_cur - len(mem) + int(is_item.sum())
+        else:
+            # ---- fully distributed path (level too large to collect) ----
+            skip_until_r2 = None
+            edges = _cc_edge_plan(cur, r).where(
+                F.col("d2") <= F.lit(r2)
+            )
+            labels = connected_components_adaptive(
+                truncate(edges.select("a_id", "b_id"))
+            )
+            lab = cur.join(
+                labels, cur["idx"] == labels["node_id"], "left"
+            ).select(
+                "idx",
+                "cluster_id",
+                "x",
+                "y",
+                "num_points",
+                F.col("component_id").alias("comp"),
+            )
+            # isolated points (no within-r neighbor at all) are identity
+            # rows: narrow projections, never shuffled into the scan —
+            # at fine zooms the vast majority of the corpus
+            iso = lab.filter(F.col("comp").isNull())
+            iso_consumed = iso.select(
+                F.lit(0).cast("int").alias("kind"),
+                F.lit(z + 1).cast("int").alias("zoom"),
+                "cluster_id",
+                "x",
+                "y",
+                F.lit(-1).cast("long").alias("parent_id"),
+                "num_points",
+                F.col("idx").alias("pos"),
+                F.lit(0).cast("long").alias("e0"),
+                F.lit(0).cast("long").alias("e1"),
+            )
+            iso_items = iso.select(
+                F.lit(1).cast("int").alias("kind"),
+                F.lit(0).cast("int").alias("zoom"),
+                "cluster_id",
+                "x",
+                "y",
+                F.lit(-1).cast("long").alias("parent_id"),
+                "num_points",
+                F.lit(0).cast("long").alias("pos"),
+                F.col("idx").alias("e0"),
+                F.lit(0).cast("long").alias("e1"),
+            )
+            scan = (
+                lab.filter(F.col("comp").isNotNull())
+                .groupBy("comp")
+                .applyInPandas(
+                    functools.partial(
+                        _scan_one_zoom, z=z, opts=opts, total=total
+                    ),
+                    schema=_CC_SCHEMA,
+                )
+            )
+            res = truncate(
+                scan.unionByName(iso_consumed)
+                .unionByName(iso_items)
+                .coalesce(n_parts)
+            )
+            out_parts.append(
+                res.filter(F.col("kind") == 0).select(
+                    "zoom", "cluster_id", "x", "y",
+                    "parent_id", "num_points", "pos",
+                )
+            )
+            ranked, n_cur, _ = zip_scan(
                 res.filter(F.col("kind") == 1).select(
                     "e0", "e1", "cluster_id", "x", "y", "num_points"
                 ),
                 ["e0", "e1"],
             )
-            .select("idx", "cluster_id", "x", "y", "num_points")
-        )
-        cur = truncate(cur)
+            cur = truncate(
+                ranked.select("idx", "cluster_id", "x", "y", "num_points")
+            )
 
-    out_parts.append(
-        cur.select(
-            F.lit(opts.min_zoom).cast("int").alias("zoom"),
-            "cluster_id",
-            "x",
-            "y",
-            F.lit(-1).cast("long").alias("parent_id"),
-            "num_points",
-            F.col("idx").alias("pos"),
+    if not finished_locally:
+        out_parts.append(
+            cur.select(
+                F.lit(opts.min_zoom).cast("int").alias("zoom"),
+                "cluster_id",
+                "x",
+                "y",
+                F.lit(-1).cast("long").alias("parent_id"),
+                "num_points",
+                F.col("idx").alias("pos"),
+            )
         )
-    )
     out = out_parts[0]
     for p in out_parts[1:]:
         out = out.unionByName(p)

@@ -97,3 +97,22 @@ def test_nav_works_on_cc_output(spark, exact_golden):
         assert got == naive_leaves(exact_golden, anchor)
     finally:
         nodes.unpersist()
+
+
+def test_cc_distributed_fallback_bit_identical(spark, exact_golden, monkeypatch):
+    """Force the non-default adaptive tiers and their transitions: fully
+    distributed fixpoint + zip-scan (edge cap 0, driver tail off), mixed
+    small/large levels (edge cap 40), and distributed-then-driver-tail
+    (level cap 120 — the local finisher takes over once the level
+    collapses). All must stay bit-identical to the exact kernel — the
+    round-4 adaptive tiers are optimizations, never a semantic fork."""
+    import arrow_supercluster_spark.operators.greedy as G
+
+    pts = spark.createDataFrame(
+        lcg_points(500), "id long, lng double, lat double"
+    ).repartition(5)
+    for edge_cap, level_cap in ((0, 0), (40, 0), (0, 120)):
+        monkeypatch.setattr(G, "_CC_EDGE_CAP", edge_cap)
+        monkeypatch.setattr(G, "_CC_DRIVER_LEVEL_CAP", level_cap)
+        got = _norm(greedy_hierarchy(pts, OPTS, mode="cc"))
+        pd.testing.assert_frame_equal(got, exact_golden, check_exact=True)

@@ -359,3 +359,125 @@ def test_png_malformed_payloads_raise_value_error():
     bad_ihdr = sig + chunk(b"IHDR", b"\x00" * 5)
     with pytest.raises(ValueError, match="IHDR length"):
         decode_png(bad_ihdr)
+
+
+# ---------------------------------------------------------------------------
+# JPEG codec (round 4 — from-scratch baseline Huffman+IDCT de-stub)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_roundtrip_within_quantization_error():
+    """Encode the BMP/PNG gradient as a real JFIF and decode it back:
+    JPEG is lossy, so parity with the lossless codecs is bounded, not
+    exact — the Annex-K tables at this image size keep the error under
+    a few intensity units. Also: the payload must be a structurally
+    valid JFIF (SOI/APP0/EOI)."""
+    import numpy as np
+
+    from arrow_supercluster_spark.operators.multimodal import (
+        decode_bmp,
+        decode_jpeg,
+        synthesize_bmp,
+        synthesize_jpeg,
+    )
+
+    for mid in (0, 7, 123):
+        payload = synthesize_jpeg(mid)
+        assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+        assert payload[6:10] == b"JFIF"
+        img = decode_jpeg(payload)
+        ref = decode_bmp(synthesize_bmp(mid))
+        assert img.shape == ref.shape == (24, 32, 3)
+        d = np.abs(img.astype(int) - ref.astype(int))
+        assert d.mean() < 4 and d.max() <= 25, (mid, d.mean(), d.max())
+
+
+def test_jpeg_idct_matches_spec_direct_form():
+    """The decoder's matrix IDCT must equal the spec's (A.3.3) direct
+    double-sum with C(u)C(v)/4 scaling on random coefficient blocks."""
+    import numpy as np
+
+    from arrow_supercluster_spark.operators.multimodal import _jpeg_dct_matrix
+
+    rng = np.random.RandomState(11)
+    C = _jpeg_dct_matrix()
+    for _ in range(5):
+        D = rng.randint(-500, 500, size=(8, 8)).astype(np.float64)
+        fast = C.T @ D @ C
+        direct = np.zeros((8, 8))
+        for xpix in range(8):
+            for ypix in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+                        cv = (1 / np.sqrt(2)) if v == 0 else 1.0
+                        s += (
+                            cu * cv * D[u, v]
+                            * np.cos((2 * xpix + 1) * u * np.pi / 16)
+                            * np.cos((2 * ypix + 1) * v * np.pi / 16)
+                        )
+                direct[xpix, ypix] = s / 4.0
+        assert np.allclose(fast, direct.T if False else direct, atol=1e-9)
+
+
+def test_jpeg_encode_arbitrary_sizes_and_content():
+    """Non-multiple-of-8 sizes (edge padding) and random content must
+    survive the encode→decode loop with bounded error."""
+    import numpy as np
+
+    from arrow_supercluster_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(5)
+    for h, w in ((8, 8), (17, 23), (24, 32)):
+        # smooth content (JPEG's contract is bounded error on smooth data)
+        gx = np.linspace(0, 255, w)[None, :]
+        gy = np.linspace(0, 255, h)[:, None]
+        img = np.stack(
+            [gx + 0 * gy, 0 * gx + gy, (gx + gy) / 2], axis=-1
+        ).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(img))
+        assert out.shape == (h, w, 3)
+        d = np.abs(out.astype(int) - img.astype(int))
+        assert d.mean() < 6, (h, w, d.mean())
+
+
+def test_jpeg_malformed_payloads_raise_value_error():
+    import struct
+
+    import pytest
+
+    from arrow_supercluster_spark.operators.multimodal import (
+        decode_jpeg,
+        synthesize_jpeg,
+    )
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x00\x01")
+    good = synthesize_jpeg(1)
+    # flip SOF0 → SOF2 (progressive) — must refuse, not garble
+    i = good.find(b"\xff\xc0")
+    prog = good[:i] + b"\xff\xc2" + good[i + 2:]
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(prog)
+    # truncate the entropy stream
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) // 2])
+
+
+def test_jpeg_features_spark(spark, sf_dir):
+    from arrow_supercluster_spark.operators.multimodal import (
+        documents_as_jpegs,
+        jpeg_features,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(12)
+    rows = jpeg_features(documents_as_jpegs(docs)).collect()
+    assert len(rows) == 12
+    for r in rows:
+        assert (r.width, r.height) == (32, 24)
+        # red channel ≈ the id-tinted constant (lossy: small tolerance)
+        assert abs(r.mean_r - (r.media_id * 37) % 256) < 6

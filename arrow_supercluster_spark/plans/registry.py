@@ -337,6 +337,7 @@ def _load_extended_registries():
         registry_ext82,
         registry_ext83,
         registry_ext84,
+        registry_ext85,
     )
 
 

@@ -1,0 +1,61 @@
+"""Batch 80 (round 4) — corpus economics + FIM prep: oracle parity plus
+the semantic invariants (Theil decomposition identity, JSD bounds and
+symmetry-by-construction, FIM split conservation)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from arrow_supercluster_spark.plans.registry import REGISTRY
+from tests.oracle_harness import compare, duck_connection
+
+NAMES = ["q_theil_index", "q_jsd_sources", "q_fim_split"]
+
+
+def test_batch80_oracle_parity(spark, sf_dir):
+    con = duck_connection(sf_dir)
+    for name in NAMES:
+        qd = REGISTRY[name]
+        errs = compare(name, qd.spark(spark, sf_dir), con, qd.sql)
+        assert not errs, errs
+
+
+def test_theil_decomposition_identity(spark, sf_dir):
+    """T_total must equal T_within + T_between (the decomposability that
+    motivates Theil over Gini), all three non-negative."""
+    row = REGISTRY["q_theil_index"].spark(spark, sf_dir).collect()[0]
+    assert row.t_within >= 0 and row.t_between >= -1e-6
+    assert abs(row.t_total - (row.t_within + row.t_between)) < 2e-6
+
+
+def test_jsd_bounds(spark, sf_dir):
+    """Every pairwise JSD sits in [0, ln 2]; each unordered pair appears
+    exactly once (src_a < src_b)."""
+    rows = REGISTRY["q_jsd_sources"].spark(spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert 0.0 <= r.jsd <= math.log(2) + 1e-9, r
+        assert r.src_a < r.src_b
+        assert (r.src_a, r.src_b) not in seen
+        seen.add((r.src_a, r.src_b))
+
+
+def test_fim_split_conserves_and_is_nonempty(spark, sf_dir):
+    """prefix+middle+suffix lengths must reconstruct each doc exactly,
+    the middle is never empty (the pivot construction guarantees it),
+    and the split is deterministic across runs."""
+    df = REGISTRY["q_fim_split"].spark(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.length("text").alias("n")
+    )
+    joined = df.join(docs, "doc_id")
+    bad = joined.filter(
+        (F.col("n_prefix") + F.col("n_middle") + F.col("n_suffix"))
+        != F.col("n")
+    ).count()
+    assert bad == 0
+    assert joined.filter(F.col("n_middle") <= 0).count() == 0
+    a = {r.doc_id: r.n_middle for r in df.collect()}
+    b = {r.doc_id: r.n_middle for r in REGISTRY["q_fim_split"].spark(spark, sf_dir).collect()}
+    assert a == b

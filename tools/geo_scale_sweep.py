@@ -55,8 +55,13 @@ def main():
         out = {"n": n}
 
         # DBSCAN: eps shrinks with density so the neighbor count per point
-        # stays O(1) — the knob a real deployment would turn too
-        eps = 2.0 * (100_000 / n) ** 0.5
+        # stays O(1) — the knob a real deployment would turn too. Base
+        # eps 1.0 at 100k (expected degree ~1): round 3's base of 2.0
+        # sat right on the percolation threshold at the 100k density
+        # (one giant near-spanning component → worst-case label rounds),
+        # so the sweep's first row measured the artifact the knob exists
+        # to avoid, not the engine (VERDICT r3 "Next round" #8).
+        eps = 1.0 * (100_000 / n) ** 0.5
         t0 = time.time()
         labels = dbscan(pts, eps=eps, min_pts=4)
         out["dbscan_clusters"] = labels.filter(F.col("cluster") >= 0) \
@@ -75,6 +80,21 @@ def main():
         hull = convex_hull(pts)
         out["hull_vertices"] = hull.count()
         out["hull_s"] = round(time.time() - t0, 2)
+
+        # exact greedy hierarchy, both modes (round-4 cc cost curve):
+        # cc must track exact-mode wall through its adaptive tiers
+        from arrow_supercluster_spark.config import ClusterOptions
+        from arrow_supercluster_spark.operators.greedy import greedy_hierarchy
+
+        opts = ClusterOptions()
+        t0 = time.time()
+        out["greedy_exact_rows"] = greedy_hierarchy(
+            pts, opts, mode="exact"
+        ).count()
+        out["greedy_exact_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        out["greedy_cc_rows"] = greedy_hierarchy(pts, opts, mode="cc").count()
+        out["greedy_cc_s"] = round(time.time() - t0, 2)
 
         pts.unpersist()
         print(json.dumps(out), flush=True)

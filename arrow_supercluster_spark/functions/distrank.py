@@ -46,16 +46,18 @@ def zip_scan(
     df: DataFrame,
     sort_cols: list,
     out: str = "idx",
-    scan_col: str | None = None,
-    scan_out: str = "cum",
+    scan_col=None,
+    scan_out="cum",
 ):
     """Sort `df` globally by `sort_cols` and attach `out` = exact 0-based
-    global rank (int64). When `scan_col` is given, also attach
-    `scan_out` = running sum of that column in rank order (inclusive).
+    global rank (int64). When `scan_col` is given (a column name or a
+    list of names), also attach `scan_out` (name or matching list) =
+    running sum of each column in rank order (inclusive).
 
     Returns `(df_out, n_rows, scan_total)` — the totals are computed in
-    pass 1 (scan_total is None when scan_col is None). The sort is
-    materialized (localCheckpoint) first so both passes see the identical
+    pass 1 (scan_total is None without scan_col, a float for a single
+    column, a list of floats for a list). The sort is materialized
+    (localCheckpoint) first so both passes see the identical
     partitioning; `df.sort` range-partitions, so no stage sees more than
     one partition's rows."""
     from pyspark import TaskContext
@@ -63,56 +65,68 @@ def zip_scan(
 
     from arrow_supercluster_spark.functions.checkpoint import truncate
 
+    single = isinstance(scan_col, str)
+    scan_cols = [scan_col] if single else list(scan_col or [])
+    scan_outs = [scan_out] if single else list(
+        scan_out if scan_col is not None else []
+    )
+    assert len(scan_cols) == len(scan_outs)
+    k = len(scan_cols)
+
     s = truncate(df.sort(*sort_cols))
 
     def summarize(batches):
-        n, tot = 0, 0.0
+        n, tot = 0, [0.0] * k
         for pdf in batches:
             n += len(pdf)
-            if scan_col is not None and len(pdf):
-                # cumsum, not np.sum: keep strict left-to-right
-                # association so chained offsets reproduce a sequential
-                # scan's grouping (module doc)
-                tot += float(
-                    np.cumsum(pdf[scan_col].to_numpy(dtype="float64"))[-1]
-                )
-        yield pd.DataFrame(
-            {"pid": [TaskContext.get().partitionId()], "n": [n], "s": [tot]}
-        )
+            for i, c in enumerate(scan_cols):
+                if len(pdf):
+                    # cumsum, not np.sum: keep strict left-to-right
+                    # association so chained offsets reproduce a
+                    # sequential scan's grouping (module doc)
+                    tot[i] += float(
+                        np.cumsum(pdf[c].to_numpy(dtype="float64"))[-1]
+                    )
+        row = {"pid": [TaskContext.get().partitionId()], "n": [n]}
+        for i in range(k):
+            row[f"s{i}"] = [tot[i]]
+        yield pd.DataFrame(row)
 
+    schema1 = "pid int, n long" + "".join(f", s{i} double" for i in range(k))
     parts = {
-        r["pid"]: (r["n"], r["s"])
-        for r in s.mapInPandas(summarize, "pid int, n long, s double").collect()
+        r["pid"]: (r["n"], [r[f"s{i}"] for i in range(k)])
+        for r in s.mapInPandas(summarize, schema1).collect()
     }
-    offsets: dict[int, tuple[int, float]] = {}
-    acc_n, acc_s = 0, 0.0
+    offsets: dict[int, tuple[int, list]] = {}
+    acc_n, acc_s = 0, [0.0] * k
     for pid in sorted(parts):
-        offsets[pid] = (acc_n, acc_s)
+        offsets[pid] = (acc_n, list(acc_s))
         acc_n += parts[pid][0]
-        acc_s += parts[pid][1]
+        for i in range(k):
+            acc_s[i] += parts[pid][1][i]
 
     def add_cols(batches):
         pid = TaskContext.get().partitionId()
-        seen, run = offsets.get(pid, (0, 0.0))
+        seen, run = offsets.get(pid, (0, [0.0] * k))
+        run = list(run)
         for pdf in batches:
             pdf = pdf.copy()
             pdf[out] = np.arange(seen, seen + len(pdf), dtype="int64")
             seen += len(pdf)
-            if scan_col is not None:
-                v = pdf[scan_col].to_numpy(dtype="float64")
+            for i, (c, o) in enumerate(zip(scan_cols, scan_outs)):
+                v = pdf[c].to_numpy(dtype="float64")
                 # seed the cumsum with the carried offset so association
                 # stays ((offset + v1) + v2) + ... — sequential form
-                c = np.cumsum(np.concatenate(([run], v)))[1:]
-                pdf[scan_out] = c
-                run = float(c[-1]) if len(c) else run
+                cum = np.cumsum(np.concatenate(([run[i]], v)))[1:]
+                pdf[o] = cum
+                run[i] = float(cum[-1]) if len(cum) else run[i]
             yield pdf
 
     fields = list(s.schema.fields) + [StructField(out, LongType())]
-    if scan_col is not None:
-        fields.append(StructField(scan_out, DoubleType()))
-    return s.mapInPandas(add_cols, StructType(fields)), acc_n, (
-        acc_s if scan_col is not None else None
-    )
+    for o in scan_outs:
+        fields.append(StructField(o, DoubleType()))
+    totals = None if scan_col is None else (acc_s[0] if single else acc_s)
+    return s.mapInPandas(add_cols, StructType(fields)), acc_n, totals
 
 
 def ntile_bucket(idx_col, n: int, k: int) -> F.Column:

@@ -108,25 +108,30 @@ def q_mann_whitney(spark, sf_dir):
     U₁ = R₁ − n₁(n₁+1)/2, normal-approximation z (no tie correction in
     the variance — both engines identically). Valid under the heavy
     tails that break the t/z-test (q_ab_test) — the nonparametric half
-    of the experimentation pair. Stream collapses to |users| rows; the
-    rank window is user-dimension-bounded; spend pre-rounds to 4 so
-    ranks are engine-exact."""
+    of the experimentation pair. Stream collapses to |users| rows, then
+    to |distinct spends| GROUPS whose midranks come from a distributed
+    zip_scan running count (the q_auc construction — every term a
+    half-integer, so the group-factored R₁ is bit-equal to the SQL
+    twin's row-level rank window); spend pre-rounds to 4 so ranks are
+    engine-exact."""
+    from arrow_supercluster_spark.functions.distrank import zip_scan
+
     ev = read_events(spark, sf_dir).filter(F.col("value").isNotNull())
     per_user = ev.groupBy(
         "user_id", (F.col("user_id") % 2).alias("arm")
     ).agg(F.round(F.sum("value"), 4).alias("spend"))
-    ranked = per_user.select(
-        "arm", "spend",
-        F.rank().over(Window.orderBy("spend")).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy("spend")).alias("ties"),
+    groups = per_user.groupBy("spend").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1g"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0g"),
     )
-    mid = ranked.select(
-        "arm", (F.col("rk") + (F.col("ties") - 1) / 2.0).alias("midrank")
-    )
-    agg = mid.agg(
-        F.sum(F.when(F.col("arm") == 1, F.col("midrank"))).alias("r1"),
-        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
-        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+    g, _, _ = zip_scan(groups, ["spend"], out="_i", scan_col="cnt",
+                       scan_out="_c")
+    midrank = F.col("_c") - F.col("cnt") + (F.col("cnt") + 1) / 2.0
+    agg = g.agg(
+        F.sum(F.col("n1g") * midrank).alias("r1"),
+        F.sum("n1g").alias("n1"),
+        F.sum("n0g").alias("n0"),
     )
     u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
     z = (u1 - F.col("n0") * F.col("n1") / 2.0) / F.sqrt(

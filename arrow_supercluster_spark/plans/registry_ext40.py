@@ -72,14 +72,19 @@ def q_ks_test(spark, sf_dir):
         F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
         F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
     )
-    w = Window.orderBy("spend").rowsBetween(Window.unboundedPreceding, 0)
-    steps = per_user.select(
-        "spend",
-        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).over(w).alias("c0"),
-        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).over(w).alias("c1"),
+    # group-level running counts via a distributed zip_scan (the SQL
+    # twin's gaps CTE already collapses ties to their last step, so the
+    # per-group cumulative IS the ECDF value — integer-exact in float64,
+    # bit-equal, and no |users| global window)
+    from arrow_supercluster_spark.functions.distrank import zip_scan
+
+    per_spend = per_user.groupBy("spend").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("g0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("g1"),
     )
-    gaps = steps.groupBy("spend").agg(
-        F.max("c0").alias("c0"), F.max("c1").alias("c1")
+    gaps, _, _ = zip_scan(
+        per_spend, ["spend"], out="_i",
+        scan_col=["g0", "g1"], scan_out=["c0", "c1"],
     )
     gap = F.abs(F.col("c0") * 1.0 / F.col("n0") - F.col("c1") * 1.0 / F.col("n1"))
     return (
@@ -181,22 +186,35 @@ def q_spearman(spark, sf_dir):
     """Dependence — Spearman rank correlation between per-user event
     frequency and total spend: Pearson correlation of midranks
     (tie-averaged), the monotone-association measure that survives the
-    heavy tails breaking raw-value correlation. One user-keyed agg, two
-    |users|-bounded rank windows, one corr aggregate."""
+    heavy tails breaking raw-value correlation. One user-keyed agg; each
+    midrank table comes from a distributed zip_scan running count over
+    the value GROUPS (midrank = prefix + (cnt+1)/2 — half-integer exact,
+    bit-equal to the SQL twin's rank windows, no |users| global window),
+    broadcast back onto the user rows; one corr aggregate."""
+    from arrow_supercluster_spark.functions.distrank import zip_scan
+
     ev = read_events(spark, sf_dir).filter(F.col("value").isNotNull())
     per_user = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("freq"),
         F.round(F.sum("value"), 4).alias("spend"),
     )
-    r_freq = (
-        F.rank().over(Window.orderBy("freq"))
-        + (F.count(F.lit(1)).over(Window.partitionBy("freq")) - 1) / 2.0
+
+    def midranks(col):
+        groups = per_user.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        g, _, _ = zip_scan(groups, [col], out="_i", scan_col="cnt",
+                           scan_out="_c")
+        return g.select(
+            col,
+            (F.col("_c") - F.col("cnt") + (F.col("cnt") + 1) / 2.0)
+            .alias(f"r_{col}"),
+        )
+
+    # plain equi-joins: the midrank tables are |distinct values|-sized —
+    # usually tiny (AQE broadcasts them), but not forced, so a
+    # pathological all-distinct column still just shuffles
+    ranked = per_user.join(midranks("freq"), "freq").join(
+        midranks("spend"), "spend"
     )
-    r_spend = (
-        F.rank().over(Window.orderBy("spend"))
-        + (F.count(F.lit(1)).over(Window.partitionBy("spend")) - 1) / 2.0
-    )
-    ranked = per_user.select(r_freq.alias("r_freq"), r_spend.alias("r_spend"))
     return ranked.agg(
         F.count(F.lit(1)).alias("n_users"),
         F.round(F.corr("r_freq", "r_spend"), 6).alias("spearman"),

@@ -39,9 +39,11 @@ ALLOWED_GLOBAL_WINDOWS = {
     "q_stylometry_delta",  # MFW vocab slice × sources
     "q_apportion",       # one row per language
     "q_rrf_fusion",      # two top-k ranker outputs (bounded candidate set)
-    # paired-sample statistics on bounded experiment samples (the day- or
-    # group-collapsed frame, not the raw stream)
-    "q_mann_whitney", "q_ks_test", "q_spearman", "q_runs_test", "q_gini",
+    # calendar/day-collapsed or dimension-collapsed frames
+    "q_runs_test",   # daily counts (calendar-bounded)
+    "q_gini",        # rank over |sources| / |langs| group counts
+    # (q_mann_whitney / q_ks_test / q_spearman were de-weaked in round 4:
+    #  group-collapsed zip_scan midranks/ECDFs, no user-dimension window)
     # structural scans over tiny administrative frames
     "q_concat_chunks",   # one row per input partition (prefix offsets)
     "q_shard_manifest",  # one row per output shard

@@ -338,6 +338,7 @@ def _load_extended_registries():
         registry_ext83,
         registry_ext84,
         registry_ext85,
+        registry_ext86,
     )
 
 

@@ -74,3 +74,47 @@ def q_image_features_jpeg(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return jpeg_features(documents_as_jpegs(docs))
+
+
+@register("q_decontam_stream", None)
+def q_decontam_stream(spark, sf_dir):
+    """Streaming decontamination — the stream-static twin of
+    q_decontaminate: documents arrive through a file stream, each doc's
+    8-gram digests join (broadcast, stateless) against the static
+    eval-gram set, and the finisher aggregates hit counts per doc.
+    Rows-only by design; equality with the batch engine's
+    (doc_id, n_overlap) frame is asserted in
+    tests/test_streaming_dedup.py."""
+    import tempfile
+
+    from arrow_supercluster_spark.operators.decontam import (
+        doc_ngram_digests,
+    )
+    from arrow_supercluster_spark.streaming.dedup import (
+        streaming_contamination_hits,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    eval_pred = F.col("doc_id") % 29 == 0
+    eval_grams = (
+        doc_ngram_digests(docs.filter(eval_pred), 8).select("g").distinct()
+    )
+    train = docs.filter(~eval_pred)
+    src = tempfile.mkdtemp(prefix="decontam_stream_src_")
+    train.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(train.schema).parquet(src)
+    name = "decontam_stream_sink"
+    q = (
+        streaming_contamination_hits(stream, eval_grams)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )

@@ -51,3 +51,26 @@ def streaming_dedup_exact(
     return digested.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["text_hash"]
     )
+
+
+def streaming_contamination_hits(
+    docs_stream: DataFrame, eval_grams: DataFrame, n: int = 8
+) -> DataFrame:
+    """Streaming decontamination (the E-decontam streaming twin): every
+    arriving training document's word n-gram digests are checked against
+    a STATIC eval-gram table via a stream-static broadcast join —
+    stateless (append mode, no watermark needed), so it runs at ingest
+    forever. Emits one (doc_id, g) row per gram hit; per-doc overlap
+    counts are mergeable, so the consumer aggregates per micro-batch
+    (foreachBatch / memory sink) — the same counts-stream / finisher
+    split as streaming/events.trending_counts. The eval side is MB-scale
+    by nature (benchmarks), computed once by the batch engine
+    (operators/decontam.doc_ngram_digests) and broadcast per batch."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from arrow_supercluster_spark.operators.decontam import doc_ngram_digests
+
+    grams = doc_ngram_digests(docs_stream, n)
+    return grams.join(F.broadcast(eval_grams.select("g")), "g").select(
+        "doc_id", "g"
+    )

@@ -85,3 +85,26 @@ def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path_factory):
     assert len(rows) == 2, rows
     kept_ids = sorted(r.doc_id for r in rows)
     assert kept_ids == [1, 3]  # the re-delivered duplicate (id 2) dropped
+
+
+def test_streaming_decontamination_matches_batch(spark, sf_dir):
+    """The streaming gram-hit pipeline aggregated per doc must equal the
+    batch engine's decontaminate() output exactly (same digests, same
+    eval slice)."""
+    from pyspark.sql import functions as F
+
+    from arrow_supercluster_spark.operators import decontam
+    from arrow_supercluster_spark.plans.registry import REGISTRY
+
+    got = {
+        r.doc_id: r.n_overlap
+        for r in REGISTRY["q_decontam_stream"].spark(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = {
+        r.doc_id: r.n_overlap
+        for r in decontam.decontaminate(
+            docs, eval_pred=F.col("doc_id") % 29 == 0, n=8
+        ).collect()
+    }
+    assert got == want

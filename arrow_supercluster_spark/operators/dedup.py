@@ -261,67 +261,118 @@ def simhash_docs(docs: DataFrame, text: str = "text", key: str = "doc_id", bits:
 
 
 def connected_components(
-    pairs: DataFrame, a: str = "a_id", b: str = "b_id", max_iter: int = 20
+    pairs: DataFrame, a: str = "a_id", b: str = "b_id", max_iter: int = 64
 ) -> DataFrame:
     """Duplicate-group resolution: connected components over a similarity
     edge list → (node_id, component_id = min node id of the component).
 
-    Alternating min-propagation (the DataFrame form of large-star/
-    small-star): each round every node adopts the smallest label in its
-    neighborhood; converges in O(log n) rounds for typical dup-graph
-    shapes (components are near-cliques from LSH buckets, so usually 2-3
-    rounds). Each round is one shuffle on node id; the driver loop stops
-    at fixpoint (checked with a cheap count of changed labels).
+    Min-label CONTRACTION (the MapReduce-CC family, Kiveris et al.): each
+    round (1) every live label adopts the smallest label in its
+    contracted neighborhood, (2) node labels are remapped through that
+    assignment, and (3) the edge list itself is rewritten onto the new
+    labels with self-loops dropped. Step (3) is what plain min-label
+    propagation over STATIC edges lacks: there, a label still crawls one
+    hop per round — pointer flattening can't help because after one step
+    every label already points at a local minimum, i.e. a pointer-chain
+    root — so convergence is bounded by the component DIAMETER (a
+    measured probe: a 200-node random-permutation path took 200 rounds,
+    flattened or not). With contraction, every label that is not a local
+    minimum of the LABEL graph is absorbed each round, live labels at
+    least ~halve, and rounds are O(log n) for any graph shape. The geo
+    scale sweep caught the diameter failure in the wild: at 2M points the
+    coarse-zoom proximity graph is a long strip chain whose ids zig-zag
+    against the path; the old max_iter=20 exhausted QUIETLY and greedy
+    mode="cc" lost bit-parity (1129 wrong labels on a 4910-node level).
 
-    At 100 TB: edges stay distributed throughout; only the per-round
-    change count crosses to the driver.
+    max_iter is a safety valve, NOT an answer: a graph that hasn't
+    converged raises instead of returning silently-wrong labels.
+    tests/test_sketches.py::test_cc_* pin the convergence bound, the
+    zig-zag chain shape, and the raise contract.
+
+    At 100 TB: edges and labels stay distributed throughout (the edge
+    list SHRINKS every round as components resolve); only the per-round
+    remaining-edge count crosses to the driver.
     """
-    edges = (
-        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
-        .unionByName(pairs.select(F.col(b).alias("u"), F.col(a).alias("v")))
-        .distinct()
+    sym = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")).unionByName(
+        pairs.select(F.col(b).alias("u"), F.col(a).alias("v"))
     )
-    edges = truncate(edges)
     labels = (
-        edges.select(F.col("u").alias("node"))
+        sym.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
     )
+    # truncate (checkpoint + stats reset): without the reset the copied
+    # size estimate squares per iteration and OOMs Catalyst
     labels = truncate(labels)
-    for _ in range(max_iter):
-        neigh_min = (
-            edges.join(labels, edges.v == labels.node)
-            .groupBy("u")
-            .agg(F.min("comp").alias("nmin"))
-        )
-        stepped = labels.join(neigh_min, labels.node == neigh_min.u, "left").select(
-            "node",
-            F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
-        )
-        # pointer jumping (path halving): adopt the label OF the label —
-        # turns one-hop-per-round chains into O(log n) convergence
-        lab2 = stepped.select(
-            F.col("node").alias("jnode"), F.col("comp").alias("jcomp")
-        )
-        new_labels = (
-            stepped.join(lab2, stepped.comp == lab2.jnode, "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce("jcomp", F.col("comp"))).alias("comp"),
+    cedges = truncate(sym.filter(F.col("u") != F.col("v")).distinct())
+    def _flatten(m):
+        """Collapse pointer chains in the (u → t, t < u) merge-target
+        forest: m ← m∘m until fixpoint. Chain depth halves per pass, so
+        passes are O(log depth); for the typical dup graph the forest is
+        already star-shaped and this is a single no-op pass. Without it a
+        MONOTONE chain (ids ascending along a path: every target k→k-1 is
+        itself mapped) contracts by only one label per round — the dual
+        failure shape to the zig-zag one that edge contraction fixes."""
+        while True:
+            m2 = m.select(F.col("u").alias("fu"), F.col("t").alias("ft"))
+            nxt = truncate(
+                m.join(m2, m.t == F.col("fu"), "left").select(
+                    "u", F.coalesce("ft", "t").alias("t")
+                )
             )
+            moved = (
+                nxt.join(m.withColumnRenamed("t", "old"), "u")
+                .filter(F.col("t") != F.col("old"))
+                .count()
+            )
+            m = nxt
+            if moved == 0:
+                return m
+
+    for _ in range(max_iter):
+        # (1) each live label's merge target: min of its contracted
+        # neighborhood, kept only when it actually shrinks the label;
+        # chains in the target forest are flattened so the relabel below
+        # lands directly on each chain's root
+        m = _flatten(
+            cedges.groupBy("u")
+            .agg(F.min("v").alias("t"))
+            .filter(F.col("t") < F.col("u"))
         )
-        # truncate (checkpoint + stats reset): without the reset the
-        # copied size estimate squares per iteration and OOMs Catalyst
-        new_labels = truncate(new_labels)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
+        # (2) remap node labels through the assignment (left join: labels
+        # that are already local minima keep themselves)
+        labels = truncate(
+            labels.join(
+                m.select(F.col("u").alias("mu"), "t"),
+                labels.comp == F.col("mu"),
+                "left",
+            ).select("node", F.coalesce("t", "comp").alias("comp"))
         )
-        labels = new_labels
-        if changed == 0:
+        # (3) contract the edges onto the new labels; resolved edges
+        # become self-loops and leave the problem. Symmetry is preserved
+        # (both directions of an edge remap identically), so no
+        # re-symmetrization pass is needed.
+        m_u = m.select(F.col("u"), F.col("t").alias("tu"))
+        m_v = m.select(F.col("u").alias("v"), F.col("t").alias("tv"))
+        cedges = truncate(
+            cedges.join(m_u, "u", "left")
+            .join(m_v, "v", "left")
+            .select(
+                F.coalesce("tu", F.col("u")).alias("u"),
+                F.coalesce("tv", F.col("v")).alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        remaining = cedges.count()
+        if remaining == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({remaining} contracted edges unresolved) — raising instead "
+            "of returning unconverged (wrong) component labels"
+        )
     return labels.select(F.col("node").alias("node_id"), F.col("comp").alias("component_id"))
 
 

@@ -48,6 +48,57 @@ def test_connected_components_long_path_converges(spark):
     assert len(got) == 41
 
 
+def test_cc_zigzag_chain_logarithmic_rounds(spark):
+    """The geo-sweep failure shape: a long path whose node ids are a
+    random permutation (labels zig-zag against the path), where static-
+    edge min-propagation needs one round PER HOP (a measured probe: 200
+    rounds for 200 nodes, with or without label flattening). Edge
+    contraction must resolve it in O(log n) rounds — max_iter=12 both
+    proves the bound and guards regressions."""
+    import random
+
+    rng = random.Random(7)
+    ids = list(range(200))
+    rng.shuffle(ids)
+    pairs = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(199)], "a_id long, b_id long"
+    )
+    got = connected_components(pairs, max_iter=12).toPandas()
+    assert (got.component_id == 0).all()
+    assert len(got) == 200
+
+
+def test_cc_monotone_chain_flattens_in_few_rounds(spark):
+    """The dual failure shape: ids ASCENDING along the path, so every
+    merge target k→k-1 is itself mapped — without mapping flattening the
+    contraction absorbs only one label per round. Flattening collapses
+    the whole chain at once."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "a_id long, b_id long"
+    )
+    got = connected_components(pairs, max_iter=4).toPandas()
+    assert (got.component_id == 0).all()
+    assert len(got) == 201
+
+
+def test_cc_raises_instead_of_returning_unconverged(spark):
+    """max_iter is a safety valve, not an answer: exhausting it must
+    raise, never return silently-wrong labels (the pre-round-4 bug that
+    broke greedy mode='cc' bit-parity at 2M points)."""
+    import random
+
+    import pytest
+
+    rng = random.Random(3)
+    ids = list(range(64))
+    rng.shuffle(ids)
+    pairs = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(63)], "a_id long, b_id long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=1)
+
+
 def test_simhash_matches_independent_vote(spark):
     """SimHash exactness: recompute the per-bit majority vote in plain
     Python from Spark's own token hashes (isolating the aggregation and

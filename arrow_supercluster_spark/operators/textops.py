@@ -152,3 +152,82 @@ def lang_stats(docs: DataFrame, lang: str = "lang", n_chars: str = "n_chars") ->
         )
         .orderBy(lang)
     )
+
+
+def jaro_winkler_py(s1: str, s2: str) -> float:
+    """Textbook Jaro-Winkler (Winkler 1990): Jaro similarity boosted by
+    l·p·(1−jaro) for a shared prefix of l ≤ 4 chars, p = 0.1, applied
+    only when jaro > 0.7 (the standard boost threshold — verified to
+    match DuckDB's jaro_winkler_similarity on reference pairs, which is
+    the oracle twin). Pure Python on purpose: the metric is inherently
+    per-pair sequential; it runs inside an Arrow-batched pandas UDF so
+    the per-row overhead is a function call, not a serialized Row."""
+    if s1 == s2:
+        return 1.0
+    n1, n2 = len(s1), len(s2)
+    if not n1 or not n2:
+        return 0.0
+    win = max(n1, n2) // 2 - 1
+    if win < 0:
+        win = 0
+    m1 = [False] * n1
+    m2 = [False] * n2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - win), min(n2, i + win + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(n1):
+        if m1[i]:
+            while not m2[j]:
+                j += 1
+            if s1[i] != s2[j]:
+                t += 1
+            j += 1
+    # transpositions = FLOOR(half-transpositions / 2): an odd mismatch
+    # count rounds down, matching DuckDB's (RapidFuzz-style) integer
+    # division — the textbook t/2 differs on e.g. 'raecan'/'aer'
+    jaro = (
+        matches / n1 + matches / n2 + (matches - t // 2) / matches
+    ) / 3.0
+    if jaro > 0.7:
+        l = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            l += 1
+        jaro += l * 0.1 * (1.0 - jaro)
+    return jaro
+
+
+def jaro_winkler_col(a, b):
+    """Vectorized (Arrow-batched) Jaro-Winkler column over two string
+    columns. The only Python-UDF text metric in the repo besides none:
+    Spark has no built-in JW (levenshtein yes, JW no), and the char-
+    window match loop doesn't decompose into HOF expressions. Batches
+    stream through Arrow; at 100 TB this is a narrow map — no shuffle."""
+    # module-global pandas import: `from __future__ import annotations`
+    # stringifies the hints, and the pandas_udf type-hint resolver looks
+    # them up in the module globals
+    global pd
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _jw(sa: "pd.Series", sb: "pd.Series") -> "pd.Series":
+        return pd.Series(
+            [
+                jaro_winkler_py(x or "", y or "")
+                for x, y in zip(sa.tolist(), sb.tolist())
+            ],
+            dtype="float64",
+        )
+
+    return _jw(a, b)

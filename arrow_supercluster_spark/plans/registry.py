@@ -339,6 +339,7 @@ def _load_extended_registries():
         registry_ext84,
         registry_ext85,
         registry_ext86,
+        registry_ext87,
     )
 
 

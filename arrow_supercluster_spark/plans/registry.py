@@ -340,6 +340,7 @@ def _load_extended_registries():
         registry_ext85,
         registry_ext86,
         registry_ext87,
+        registry_ext88,
     )
 
 

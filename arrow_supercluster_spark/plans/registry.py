@@ -341,6 +341,7 @@ def _load_extended_registries():
         registry_ext86,
         registry_ext87,
         registry_ext88,
+        registry_ext89,
     )
 
 

@@ -1,0 +1,261 @@
+"""Round-4 registry additions, batch 84 — exact set-similarity join,
+DP-noised releases, and k-core graph peeling:
+
+- q_setsim_join: EXACT threshold Jaccard join (t=0.6) via prefix
+  filtering (the SSJoin/PPJoin family, Chaudhuri et al. / Xiao et al.):
+  order each doc's distinct tokens rarest-first, explode only the first
+  |x| - ceil(t|x|) + 1 of them, and equi-join on those prefix tokens —
+  the smallest common token of any qualifying pair provably lands in
+  BOTH prefixes, so candidates → exact verification loses nothing. The
+  oracle twin is the naive all-pairs join: the differential proves the
+  filtered plan returns the identical pair set.
+- q_dp_counts: differential-privacy-style noisy count release (Laplace
+  1/ε) over (source, lang) cells with PORTABLE seeded noise (polynomial
+  group hash → Lehmer uniform → inverse-CDF Laplace) so both engines
+  draw the same values. Deterministic seeding is a reproducibility
+  simulation — a production release would draw fresh randomness; the
+  relational shape (narrow agg + pure-expression noise) is the point.
+- q_kcore: full k-core decomposition of the MUTUAL embedding 5-NN
+  graph (edge iff each endpoint is in the other's top-5 — degrees vary
+  0..5, unlike the symmetrized kNN graph whose min degree is pinned at
+  k and whose core structure is therefore all-or-nothing): every node's
+  CORE NUMBER (the largest k whose k-core contains it) by staged
+  peeling — for k = 2, 3, … peel the survivor graph to its k-core;
+  nodes removed on the way out carry core number k-1. Non-monotone
+  deletion isn't recursive-CTE-expressible, so this is a rows-only
+  entry with an independent Python peeling oracle in tests.
+
+At 100 TB: the prefix join shuffles (token, id) pairs for ~1-2 tokens
+per doc (not the full posting list); DP release is one agg; k-core's
+edge list shrinks every round like connected_components'.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arrow_supercluster_spark.operators.dedup import tokenize
+from arrow_supercluster_spark.plans.registry import register
+from arrow_supercluster_spark.plans.registry_ext import SQL_TOKS, _docs, _emb
+
+_T = 0.6  # Jaccard threshold
+
+
+@register(
+    "q_setsim_join",
+    f"""
+    WITH s AS (
+      SELECT doc_id, list_distinct({SQL_TOKS}) AS toks FROM documents
+      WHERE len(list_distinct({SQL_TOKS})) > 0
+    ),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             len(list_intersect(a.toks, b.toks)) AS inter,
+             len(a.toks) AS na, len(b.toks) AS nb
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+    )
+    SELECT a_id, b_id,
+           ROUND(inter * 1.0 / (na + nb - inter), 6) AS jaccard
+    FROM pairs
+    WHERE inter * 1.0 / (na + nb - inter) >= {_T}
+    """,
+)
+def q_setsim_join(spark, sf_dir):
+    """Exact set-similarity join, prefix-filtered. Canonical token order
+    is (global df ASC, token ASC) — rarest first, which minimizes
+    candidate fan-out; the prefix of x is its first |x| - ceil(t|x|) + 1
+    tokens. Candidates = prefix-token equi-join (a < b), then exact
+    array_intersect verification. Unlike the LSH near-dup path this is
+    LOSSLESS at its threshold — the all-pairs oracle twin certifies the
+    identical result set."""
+    docs = _docs(spark, sf_dir)
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(tokenize(F.col("text")))).alias("tok"),
+        )
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    sets = (
+        toks.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("df", "tok"))
+            ).alias("ordered"),
+        )
+        .select(
+            "doc_id",
+            F.transform(F.col("ordered"), lambda s: s.tok).alias("toks"),
+            F.size("ordered").alias("sz"),
+        )
+        .filter(F.col("sz") > 0)
+    )
+    prefix_len = (F.col("sz") - F.ceil(F.lit(_T) * F.col("sz")) + 1).cast("int")
+    pre = sets.select(
+        "doc_id", F.explode(F.slice("toks", 1, prefix_len)).alias("tok")
+    )
+    cand = (
+        pre.alias("a")
+        .join(pre.alias("b"), "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("toks").alias("ta"),
+        F.col("sz").alias("na"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("toks").alias("tb"),
+        F.col("sz").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    jac = inter / (F.col("na") + F.col("nb") - inter)
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .filter(jac >= _T)
+        .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+_EPS = 1.0
+_P = 2147483647
+_H_MULT, _H_MOD = 48271, 65537
+
+
+@register(
+    "q_dp_counts",
+    f"""
+    WITH c AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS true_n
+      FROM documents GROUP BY source, lang
+    ),
+    seeded AS (
+      SELECT source, lang, true_n,
+             ((list_reduce(
+                 list_transform(string_split(source || '|' || lang, ''),
+                                x -> CAST(ord(x) AS BIGINT)),
+                 (a, b) -> (a * 31 + b) % {_P}) * {_H_MULT}) % {_H_MOD}
+              + 0.5) / {_H_MOD} AS u
+      FROM c
+    )
+    SELECT source, lang, true_n,
+           ROUND(true_n - (1.0 / {_EPS})
+                 * CASE WHEN u < 0.5 THEN -1.0 ELSE 1.0 END
+                 * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noisy_n
+    FROM seeded
+    """,
+)
+def q_dp_counts(spark, sf_dir):
+    """Privacy release — Laplace-noised counts per (source, lang): noise
+    = -(1/ε)·sign(u-½)·ln(1-2|u-½|) with u a portable Lehmer uniform
+    seeded from the group's polynomial hash (same arithmetic both
+    engines — the q_temperature_mix convention). Complements the
+    k-anonymity/l-diversity AUDITS with the release side. Seeded noise
+    = reproducible simulation; production would draw fresh randomness
+    per release (and track the ε budget)."""
+    docs = _docs(spark, sf_dir)
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("true_n"))
+    gkey = F.concat_ws("|", "source", "lang")
+    codes = F.transform(
+        F.split(gkey, ""), lambda ch: F.ascii(ch).cast("long")
+    )
+    poly = F.aggregate(
+        F.slice(codes, 2, F.greatest(F.size(codes) - 1, F.lit(0))),
+        F.element_at(codes, 1),
+        lambda a, b: (a * 31 + b) % _P,
+    )
+    u = ((poly * _H_MULT) % _H_MOD + 0.5) / _H_MOD
+    sign = F.when(u < 0.5, F.lit(-1.0)).otherwise(F.lit(1.0))
+    noise = F.lit(1.0 / _EPS) * sign * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    return c.select(
+        "source", "lang", "true_n",
+        F.round(F.col("true_n") - noise, 6).alias("noisy_n"),
+    )
+
+
+_KNN_K = 5
+
+
+def knn_edges_exact(emb, k: int):
+    """Small-corpus exact kNN edge list on cosine (used by q_kcore):
+    per-vector top-k via partial ranking below the shuffle."""
+    from pyspark.sql.window import Window
+
+    e = emb.select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        a.join(b, F.col("a") != F.col("b"))
+        .select("a", "b", dot.alias("dot"))
+    )
+    w = Window.partitionBy("a").orderBy(F.col("dot").desc(), F.col("b"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("a", "b")
+    )
+
+
+@register("q_kcore", None)
+def q_kcore(spark, sf_dir):
+    """Graph — k-core decomposition of the MUTUAL embedding 5-NN graph:
+    each node's core number = max k such that the k-core contains it.
+    The mutual graph (a–b iff a ∈ knn(b) AND b ∈ knn(a), built by
+    self-joining the directed edge list with its reverse) has genuine
+    degree variance 0..5; the plain symmetrized kNN graph pins min
+    degree at k_nn, making every node's core number identical — tested
+    and rejected. Staged peeling: for k = 2, 3, ... iteratively drop
+    deg<k nodes until the k-core stabilizes; whatever fell out en route
+    has core number k-1; stop when the graph empties. Each inner round
+    is one degree agg + two semi-joins on a SHRINKING edge list; outer
+    stages are bounded by the graph degeneracy (<= k_nn). Python
+    peeling oracle: tests/test_batch84.py."""
+    from arrow_supercluster_spark.functions.checkpoint import truncate
+
+    emb = _emb(spark, sf_dir)
+    ed = knn_edges_exact(emb, _KNN_K)
+    rev = ed.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    mutual = ed.join(rev, ["a", "b"])  # both directions present
+    edges = truncate(mutual.select(F.col("a").alias("u"), F.col("b").alias("v")))
+    prev_nodes = edges.select("u").distinct()
+    out = None
+    k = 2
+    while True:
+        # peel the survivor graph to its k-core
+        n_edges = edges.count()
+        while True:
+            deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+            keep = deg.filter(F.col("d") >= k).select("u")
+            nxt = truncate(
+                edges.join(keep, "u")
+                .join(keep.withColumnRenamed("u", "v"), "v")
+                .select("u", "v")
+            )
+            n_nxt = nxt.count()
+            edges = nxt
+            if n_nxt == n_edges:
+                break
+            n_edges = n_nxt
+        cur_nodes = edges.select("u").distinct()
+        dropped = prev_nodes.join(cur_nodes, "u", "left_anti").select(
+            F.col("u").alias("node_id"),
+            F.lit(k - 1).cast("long").alias("core_number"),
+        )
+        out = dropped if out is None else out.unionByName(dropped)
+        if n_edges == 0:
+            break
+        prev_nodes = cur_nodes
+        k += 1
+    return out.orderBy("node_id")

@@ -1,0 +1,105 @@
+"""Batch-84 tests: prefix-filtered set-similarity join completeness, DP
+count properties, k-core Python-peeling parity."""
+
+import collections
+import tempfile
+
+from pyspark.sql import functions as F
+
+
+def test_setsim_join_equals_bruteforce(spark):
+    """The prefix filter must be LOSSLESS: compare the filtered plan
+    against an in-Python all-pairs scan on docs crafted to sit around
+    the threshold (including an exactly-at-0.6 pair)."""
+    from arrow_supercluster_spark.plans.registry_ext89 import (
+        _T,
+        q_setsim_join,
+    )
+
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b c d f"),      # J(1,2) = 4/6 = 0.667 ≥ t
+        (3, "a b c x y"),      # J(1,3) = 3/7 < t
+        (4, "a b c d e"),      # J(1,4) = 1
+        (5, "p q r"),          # J(5,6) = 3/5 = 0.6 == t (boundary kept)
+        (6, "p q r s t"),
+        (7, "zz yy"),          # isolated
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).write.parquet(f"{d}/documents.parquet")
+        got = {
+            (r.a_id, r.b_id): r.jaccard
+            for r in q_setsim_join(spark, d).collect()
+        }
+    sets = {i: set(t.split()) for i, t in rows}
+    want = {}
+    ids = sorted(sets)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                inter = len(sets[i] & sets[j])
+                uni = len(sets[i] | sets[j])
+                if inter / uni >= _T:
+                    want[(i, j)] = round(inter / uni, 6)
+    assert got == want
+    assert (5, 6) in got  # the boundary pair survived
+
+
+def test_dp_counts_noise_bounded_and_deterministic(spark, sf_dir):
+    from arrow_supercluster_spark.plans.registry_ext89 import (
+        _EPS,
+        _H_MOD,
+        q_dp_counts,
+    )
+    import math
+
+    a = q_dp_counts(spark, sf_dir).collect()
+    b = q_dp_counts(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # seeded = stable
+    # |Laplace noise| <= (1/eps) * ln(H_MOD) given the u grid never hits
+    # the distribution tails beyond 1/(2*H_MOD)
+    bound = (1.0 / _EPS) * math.log(_H_MOD)
+    for r in a:
+        assert abs(r.noisy_n - r.true_n) <= bound
+    # noise actually moves counts (not the identity release)
+    assert any(abs(r.noisy_n - r.true_n) > 1e-9 for r in a)
+
+
+def test_kcore_matches_python_peeling(spark, sf_dir):
+    """Full core-number parity against independent Python peeling of the
+    same mutual-kNN graph."""
+    from arrow_supercluster_spark.plans.registry_ext89 import (
+        _KNN_K,
+        knn_edges_exact,
+        q_kcore,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ed = knn_edges_exact(emb, _KNN_K)
+    E = {(r.a, r.b) for r in ed.collect()}
+    adj = collections.defaultdict(set)
+    for a, b in E:
+        if (b, a) in E:
+            adj[a].add(b)
+            adj[b].add(a)
+    live = {n: set(s) for n, s in adj.items()}
+    core = {}
+    k = 1
+    while live:
+        while True:
+            drop = [n for n, s in live.items() if len(s) < k]
+            if not drop:
+                break
+            for n in drop:
+                for m in live[n]:
+                    live[m].discard(n)
+                core[n] = k - 1
+                del live[n]
+        k += 1
+    got = {
+        r.node_id: r.core_number for r in q_kcore(spark, sf_dir).collect()
+    }
+    assert got == core
+    assert len(set(core.values())) > 1, "core numbers must form a gradient"

@@ -342,6 +342,7 @@ def _load_extended_registries():
         registry_ext87,
         registry_ext88,
         registry_ext89,
+        registry_ext90,
     )
 
 

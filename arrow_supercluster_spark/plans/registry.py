@@ -343,6 +343,7 @@ def _load_extended_registries():
         registry_ext88,
         registry_ext89,
         registry_ext90,
+        registry_ext91,
     )
 
 

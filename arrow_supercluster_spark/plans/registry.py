@@ -344,6 +344,7 @@ def _load_extended_registries():
         registry_ext89,
         registry_ext90,
         registry_ext91,
+        registry_ext92,
     )
 
 

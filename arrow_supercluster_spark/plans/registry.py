@@ -345,6 +345,7 @@ def _load_extended_registries():
         registry_ext90,
         registry_ext91,
         registry_ext92,
+        registry_ext93,
     )
 
 

@@ -346,6 +346,7 @@ def _load_extended_registries():
         registry_ext91,
         registry_ext92,
         registry_ext93,
+        registry_ext94,
     )
 
 

@@ -1,0 +1,271 @@
+"""Round-4 registry additions, batch 89 — ranking agreement, diversified
+reranking, and series alignment:
+
+- q_rbo: rank-biased overlap (Webber et al. 2010) between the BM25 and
+  normalized-TF rankings q_rrf_fusion fuses — the standard top-weighted
+  ranking-agreement measure (Kendall/Spearman treat all depths equally;
+  RBO discounts by p^depth). Truncated form at depth 10; the cumulative
+  sum is a triangular grid self-join, not a window.
+- q_mmr_rerank: Maximal Marginal Relevance (Carbonell & Goldstein 1998)
+  diversified reranking of the exact-cosine top-20 per query: greedily
+  pick argmax λ·rel − (1−λ)·max-sim-to-selected. Greedy selection is
+  inherently sequential per query → applyInPandas per q_id (bounded
+  20-candidate groups); rows-only with an independent Python oracle.
+- q_dtw_daily: dynamic time warping distance between event types'
+  normalized daily-volume curves — the alignment-robust series
+  similarity (Euclidean penalizes phase shift; DTW warps it away).
+  The DP is per-pair procedural → pandas UDF over the |types|² pair
+  frame; rows-only with a hand-built DP oracle in tests.
+
+At 100 TB: RBO joins two depth-k frames; MMR groups are k-bounded per
+query; DTW pairs carry |days|-length arrays, not events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from arrow_supercluster_spark.operators import relevance
+from arrow_supercluster_spark.operators.dedup import tokenize
+from arrow_supercluster_spark.plans.registry import register
+from arrow_supercluster_spark.plans.registry_ext import SQL_TOKS, _docs, _emb
+from arrow_supercluster_spark.plans.registry_ext27 import (
+    _RRF_TERMS,
+    _SQL_TF_RANK,
+)
+from arrow_supercluster_spark.sources.tables import read_events
+
+_RBO_P = 0.9
+_RBO_D = 10
+
+
+@register(
+    "q_rbo",
+    f"""
+    WITH a AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS ra
+      FROM ({relevance.sql_bm25_topk(_RRF_TERMS, _RBO_D, SQL_TOKS)})
+    ),
+    b AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rb
+      FROM (SELECT * FROM ({_SQL_TF_RANK}) LIMIT {_RBO_D})
+    ),
+    shared AS (
+      SELECT greatest(a.ra, b.rb) AS first_depth
+      FROM a JOIN b ON a.doc_id = b.doc_id
+    ),
+    grid AS (SELECT i AS d FROM unnest(generate_series(1, {_RBO_D})) u(i)),
+    agree AS (
+      SELECT g.d,
+             CAST(count(bo.first_depth) AS BIGINT) AS n_overlap,
+             count(bo.first_depth) * 1.0 / g.d AS agreement
+      FROM grid g LEFT JOIN shared bo ON bo.first_depth <= g.d
+      GROUP BY g.d
+    )
+    SELECT o.d, o.n_overlap, ROUND(o.agreement, 6) AS agreement,
+           ROUND((1 - {_RBO_P}) * SUM(pow({_RBO_P}, i.d - 1) * i.agreement),
+                 6) AS rbo_cum
+    FROM agree o JOIN agree i ON i.d <= o.d
+    GROUP BY o.d, o.n_overlap, o.agreement
+    """,
+)
+def q_rbo(spark, sf_dir):
+    """Rank-biased overlap between the BM25 and TF top-10 rankings:
+    per-depth overlap via the first_depth = max(rank_a, rank_b) trick
+    (a shared doc counts at every depth ≥ where BOTH lists contain it),
+    cumulative RBO via a 10×10 triangular self-join — no windows beyond
+    the TakeOrdered-bounded rank assignment q_rrf_fusion established."""
+    docs = _docs(spark, sf_dir)
+    bm25 = relevance.bm25_topk(docs, _RRF_TERMS, k=_RBO_D)
+    a = bm25.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+        .alias("ra"),
+    )
+    toks = tokenize(F.col("text"))
+    tf = (
+        docs.select(
+            "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("tok")
+        )
+        .filter(F.col("tok").isin(_RRF_TERMS))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.count(F.lit(1)) * F.lit(1.0) / F.first("dl"), 6
+            ).alias("score")
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_RBO_D)
+    )
+    b = tf.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+        .alias("rb"),
+    )
+    both = a.join(b, "doc_id").select(
+        F.greatest("ra", "rb").alias("first_depth")
+    )
+    grid = spark.range(1, _RBO_D + 1).select(F.col("id").alias("d"))
+    agree = (
+        grid.join(both, both.first_depth <= grid.d, "left")
+        .groupBy("d")
+        .agg(
+            F.count("first_depth").alias("n_overlap"),
+            (F.count("first_depth") * F.lit(1.0) / F.col("d")).alias(
+                "agreement"
+            ),
+        )
+    )
+    o = agree.select(
+        F.col("d").alias("od"),
+        F.col("n_overlap").alias("on"),
+        F.col("agreement").alias("oa"),
+    )
+    return (
+        o.join(agree, F.col("d") <= F.col("od"))
+        .groupBy("od", "on", "oa")
+        .agg(
+            F.round(
+                (1 - _RBO_P)
+                * F.sum(F.pow(F.lit(_RBO_P), F.col("d") - 1) * F.col("agreement")),
+                6,
+            ).alias("rbo_cum")
+        )
+        .select(
+            F.col("od").alias("d"),
+            F.col("on").alias("n_overlap"),
+            F.round("oa", 6).alias("agreement"),
+            "rbo_cum",
+        )
+    )
+
+
+_MMR_LAMBDA = 0.7
+_MMR_CAND = 20
+_MMR_K = 5
+
+
+@register("q_mmr_rerank", None)
+def q_mmr_rerank(spark, sf_dir):
+    """MMR diversified rerank: for each query (vec_id<10), take the
+    exact-cosine top-20 candidates, then greedily select 5 maximizing
+    λ·relevance − (1−λ)·max cosine-to-already-selected. Sequential per
+    query → applyInPandas over q_id groups of ≤20 rows each — the
+    candidate generation (broadcast cosine + partial top-k) is the
+    distributed 99%; the greedy tail is O(k·|cand|) per query.
+    Rows-only (greedy selection has no SQL form); Python oracle in
+    tests/test_batch89.py."""
+    import numpy as np
+    import pandas as pd
+
+    from arrow_supercluster_spark.operators.similarity import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    cand = cosine_topk(corpus, queries, k=_MMR_CAND).join(
+        emb.select(F.col("vec_id"), F.col("embedding").alias("cv")),
+        "vec_id",
+    )
+
+    def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["cos", "vec_id"], ascending=[False, True])
+        vecs = np.stack(pdf["cv"].to_numpy())
+        vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        rel = pdf["cos"].to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        chosen: list[int] = []
+        for _ in range(min(_MMR_K, len(pdf))):
+            best, best_s = None, -np.inf
+            # iteration follows the (cos DESC, vec_id ASC) sort, so
+            # taking the FIRST strict maximum is the deterministic
+            # tie-break
+            for i in range(len(pdf)):
+                if i in chosen:
+                    continue
+                div = (
+                    max(float(vecs[i] @ vecs[j]) for j in chosen)
+                    if chosen
+                    else 0.0
+                )
+                s = _MMR_LAMBDA * rel[i] - (1 - _MMR_LAMBDA) * div
+                if s > best_s + 1e-12:
+                    best, best_s = i, s
+            chosen.append(best)
+        return pd.DataFrame(
+            {
+                "q_id": pdf["q_id"].iloc[0],
+                "sel_rank": range(1, len(chosen) + 1),
+                "vec_id": [int(ids[i]) for i in chosen],
+                "mmr_rel": [round(float(rel[i]), 6) for i in chosen],
+            }
+        )
+
+    return cand.groupBy("q_id").applyInPandas(
+        mmr, "q_id long, sel_rank int, vec_id long, mmr_rel double"
+    )
+
+
+@register("q_dtw_daily", None)
+def q_dtw_daily(spark, sf_dir):
+    """DTW distance between every pair of event types' z-normalized
+    daily-volume curves. The curves collapse to |types| short arrays
+    (one day-keyed agg), the pair frame is |types|², and the O(n²) DP
+    runs vectorized-by-row in a pandas UDF. Rows-only; an independent
+    DP oracle lives in tests/test_batch89.py."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ev = read_events(spark, sf_dir)
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day", "n"))),
+                lambda s: s.n.cast("double"),
+            ).alias("curve")
+        )
+    )
+    a = daily.select(
+        F.col("event_type").alias("a"), F.col("curve").alias("ca")
+    )
+    b = daily.select(
+        F.col("event_type").alias("b"), F.col("curve").alias("cb")
+    )
+
+    global pd_dtw_mod
+    import pandas as pd_dtw_mod  # noqa: F401 (type-hint resolution)
+
+    @pandas_udf("double")
+    def dtw(sa: "pd_dtw_mod.Series", sb: "pd_dtw_mod.Series") -> "pd_dtw_mod.Series":
+        out = []
+        for xa, xb in zip(sa.tolist(), sb.tolist()):
+            x = np.asarray(xa, dtype=float)
+            y = np.asarray(xb, dtype=float)
+            x = (x - x.mean()) / (x.std() or 1.0)
+            y = (y - y.mean()) / (y.std() or 1.0)
+            n, m = len(x), len(y)
+            D = np.full((n + 1, m + 1), np.inf)
+            D[0, 0] = 0.0
+            for i in range(1, n + 1):
+                c = np.abs(x[i - 1] - y)
+                for j in range(1, m + 1):
+                    D[i, j] = c[j - 1] + min(
+                        D[i - 1, j], D[i, j - 1], D[i - 1, j - 1]
+                    )
+            out.append(round(float(D[n, m]), 6))
+        return pd_dtw_mod.Series(out, dtype="float64")
+
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", dtw(F.col("ca"), F.col("cb")).alias("dtw_dist"))
+    )

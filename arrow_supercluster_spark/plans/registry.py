@@ -352,6 +352,7 @@ def _load_extended_registries():
         registry_ext97,
         registry_ext98,
         registry_ext99,
+        registry_ext100,
     )
 
 

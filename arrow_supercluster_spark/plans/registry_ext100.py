@@ -1,0 +1,69 @@
+"""Round-4 registry additions, batch 95 — the unigram-LM subword
+tokenizer (SentencePiece family):
+
+- q_unigram_vocab: the learned piece-probability table — EM-fitted over
+  the corpus word table, pruned to the target vocabulary with every
+  single character retained (coverage guarantee).
+- q_unigram_segment: Viterbi segmentation of every corpus word under
+  the learned model, with piece counts (the fertility signal R169
+  computes for BPE).
+
+Together with BPE train/apply/fertility (R82/R92/R169) this covers BOTH
+major subword families. Distributed shape: the corpus collapses ONCE to
+the (word, count) table — vocabulary-sized, the same state size as the
+BPE driver loop — and the EM/prune/Viterbi math runs over that bounded
+table (operators/unigram_lm.py documents the honest simplifications vs
+full SentencePiece: substring seed, probability pruning, no sampling).
+Rows-only: an EM fixpoint has no SQL form; tests pin the EM-monotone
+log-likelihood, normalization, coverage, and concatenation identity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arrow_supercluster_spark.operators import unigram_lm
+from arrow_supercluster_spark.plans.registry import register
+from arrow_supercluster_spark.plans.registry_ext import _docs
+
+_TARGET_V = 48
+
+
+def _trained(spark, sf_dir):
+    words = sorted(
+        (r.w, r.c)
+        for r in unigram_lm.word_table(_docs(spark, sf_dir)).collect()
+    )
+    probs, lls = unigram_lm.train_unigram(words, target_vocab=_TARGET_V)
+    return words, probs, lls
+
+
+@register("q_unigram_vocab", None)
+def q_unigram_vocab(spark, sf_dir):
+    """Unigram-LM vocabulary: (rank, piece, prob) after EM + pruning.
+    Deterministic — seeded from exact corpus counts, ties broken
+    lexicographically."""
+    _, probs, _ = _trained(spark, sf_dir)
+    rows = [
+        (i + 1, p, round(pr, 8))
+        for i, (p, pr) in enumerate(
+            sorted(probs.items(), key=lambda t: (-t[1], t[0]))
+        )
+    ]
+    return spark.createDataFrame(rows, "rank long, piece string, prob double")
+
+
+@register("q_unigram_segment", None)
+def q_unigram_segment(spark, sf_dir):
+    """Viterbi segmentation of every corpus word under the learned
+    unigram model: (word, corpus_count, segmentation, n_pieces). The
+    per-word lattice is O(|w|·max_len); fertility = n_pieces weighted
+    by corpus counts is the tokenizer-quality readout."""
+    words, probs, _ = _trained(spark, sf_dir)
+    rows = []
+    for w, c in words:
+        seg = unigram_lm.viterbi_segment(w, probs)
+        rows.append((w, c, " ".join(seg), len(seg)))
+    return spark.createDataFrame(
+        rows, "word string, corpus_count long, segmentation string, n_pieces long"
+    )

@@ -1,0 +1,55 @@
+"""Batch-95 tests: unigram-LM tokenizer — EM monotonicity,
+normalization, coverage, determinism."""
+
+from pyspark.sql import functions as F
+
+
+def test_unigram_em_properties(spark, sf_dir):
+    from arrow_supercluster_spark.plans.registry_ext100 import _trained
+
+    words, probs, lls = _trained(spark, sf_dir)
+    # normalization
+    assert abs(sum(probs.values()) - 1.0) < 1e-9
+    # coverage: every character is in the vocabulary
+    chars = {ch for w, _ in words for ch in w}
+    assert chars <= set(probs)
+    # EM monotonicity WITHIN each 3-iteration phase (pruning between
+    # phases may lower the objective; EM itself must not)
+    for k in range(len(lls) // 3):
+        a, b, c = lls[3 * k : 3 * k + 3]
+        assert b >= a - abs(a) * 1e-9
+        assert c >= b - abs(b) * 1e-9
+    # determinism
+    _, probs2, _ = _trained(spark, sf_dir)
+    assert probs == probs2
+
+
+def test_unigram_segment_concat_identity_and_fertility(spark, sf_dir):
+    from arrow_supercluster_spark.plans.registry_ext100 import (
+        q_unigram_segment,
+        q_unigram_vocab,
+    )
+
+    seg = q_unigram_segment(spark, sf_dir).collect()
+    vocab = {r.piece for r in q_unigram_vocab(spark, sf_dir).collect()}
+    assert len(seg) > 0
+    for r in seg:
+        pieces = r.segmentation.split(" ")
+        assert "".join(pieces) == r.word          # lossless
+        assert len(pieces) == r.n_pieces
+        assert all(p in vocab for p in pieces)    # closed vocabulary
+    # fertility sanity: frequent whole words should be single pieces
+    top = max(seg, key=lambda r: r.corpus_count)
+    assert top.n_pieces <= 2
+
+
+def test_unigram_viterbi_prefers_high_probability(spark):
+    from arrow_supercluster_spark.operators.unigram_lm import (
+        viterbi_segment,
+    )
+
+    probs = {"a": 0.1, "b": 0.1, "ab": 0.5, "c": 0.3}
+    assert viterbi_segment("ab", probs) == ["ab"]
+    assert viterbi_segment("abc", probs) == ["ab", "c"]
+    assert viterbi_segment("ba", probs) == ["b", "a"]
+    assert viterbi_segment("zz", probs) is None

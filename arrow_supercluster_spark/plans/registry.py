@@ -353,6 +353,7 @@ def _load_extended_registries():
         registry_ext98,
         registry_ext99,
         registry_ext100,
+        registry_ext101,
     )
 
 

@@ -39,6 +39,7 @@ ALLOWED_GLOBAL_WINDOWS = {
     "q_stylometry_delta",  # MFW vocab slice × sources
     "q_apportion",       # one row per language
     "q_rrf_fusion",      # two top-k ranker outputs (bounded candidate set)
+    "q_rbo",             # same two top-10 ranker outputs (RBO agreement)
     # calendar/day-collapsed or dimension-collapsed frames
     "q_runs_test",   # daily counts (calendar-bounded)
     "q_gini",        # rank over |sources| / |langs| group counts
@@ -47,6 +48,7 @@ ALLOWED_GLOBAL_WINDOWS = {
     # structural scans over tiny administrative frames
     "q_concat_chunks",   # one row per input partition (prefix offsets)
     "q_shard_manifest",  # one row per output shard
+    "q_bh_fdr",          # p-value ranking over |event types| rows
 }
 
 

@@ -354,6 +354,7 @@ def _load_extended_registries():
         registry_ext99,
         registry_ext100,
         registry_ext101,
+        registry_ext102,
     )
 
 

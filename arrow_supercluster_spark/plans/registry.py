@@ -355,6 +355,7 @@ def _load_extended_registries():
         registry_ext100,
         registry_ext101,
         registry_ext102,
+        registry_ext103,
     )
 
 

@@ -75,6 +75,14 @@ def shingles(tokens, k: int = 3) -> "F.Column":
     return F.element_at(F.transform(F.array(tokens), inner), 1)
 
 
+# Signature FORMAT version (ADVICE r4): v2 = digest-seeded slot hashes
+# (xxhash64 over the shingle's int64 digest). v1 (string-seeded, pre
+# round-4) produces DIFFERENT signature values for the same document —
+# never mix persisted v1 signatures with v2 output in an LSH/dedup
+# pipeline; regenerate instead. Tag stored signature tables with this.
+MINHASH_SIG_VERSION = 2
+
+
 def minhash_docs(
     docs: DataFrame,
     text: str = "text",
@@ -329,6 +337,9 @@ def connected_components(
             if moved == 0:
                 return m
 
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    remaining = None  # bound for the non-convergence message below
     for _ in range(max_iter):
         # (1) each live label's merge target: min of its contracted
         # neighborhood, kept only when it actually shrinks the label;

@@ -733,7 +733,11 @@ def greedy_hierarchy_cc(points, opts: ClusterOptions = DEFAULT_OPTIONS, mask=Non
     cur = truncate(cur.select("idx", "cluster_id", "x", "y", "num_points"))
 
     spark_s = points.sparkSession
-    n_parts = int(spark_s.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        n_parts = int(spark_s.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        # the conf may be non-numeric ("auto" under some AQE platforms)
+        n_parts = spark_s.sparkContext.defaultParallelism
     out_parts = []
 
     def identity_level(z: int) -> None:

@@ -1197,8 +1197,20 @@ def encode_jpeg(img: np.ndarray) -> bytes:
     yy = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
     cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128.0
     cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128.0
-    comps = [(yy, _JPEG_QT_LUM), (cb, _JPEG_QT_CHR), (cr, _JPEG_QT_CHR)]
     hp, wp = ((h + 7) // 8) * 8, ((w + 7) // 8) * 8
+    # pad each component plane ONCE up front (edge replication to the
+    # 8-multiple grid) — padding inside the per-block loop would redo a
+    # full-image np.pad n_blocks×3 times (ADVICE r4)
+    def _padded(plane):
+        if hp == h and wp == w:
+            return plane
+        return np.pad(plane, ((0, hp - h), (0, wp - w)), mode="edge")
+
+    comps = [
+        (_padded(yy), _JPEG_QT_LUM),
+        (_padded(cb), _JPEG_QT_CHR),
+        (_padded(cr), _JPEG_QT_CHR),
+    ]
     C = _jpeg_dct_matrix()
     dc_lum, ac_lum = _huff_codes(*_JPEG_HT_DC_LUM), _huff_codes(*_JPEG_HT_AC_LUM)
     dc_chr, ac_chr = _huff_codes(*_JPEG_HT_DC_CHR), _huff_codes(*_JPEG_HT_AC_CHR)
@@ -1215,10 +1227,7 @@ def encode_jpeg(img: np.ndarray) -> bytes:
     # interleaved MCU order: at 4:4:4 one MCU = one 8×8 block per component
     for by in range(n_by):
         for bx in range(n_bx):
-            for ci, (plane, qt) in enumerate(comps):
-                pad = np.pad(
-                    plane, ((0, hp - h), (0, wp - w)), mode="edge"
-                ) if (hp != h or wp != w) else plane
+            for ci, (pad, qt) in enumerate(comps):
                 blk = pad[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - 128.0
                 coef = np.round((C @ blk @ C.T) / qt).astype(np.int64)
                 zz = coef.reshape(-1)[_JPEG_ZIGZAG]

@@ -294,19 +294,19 @@ def knn_edges_lsh(
 def ivf_fit_sample(
     feats: DataFrame, n_lists: int, seed: int, per_list: int = 1000
 ) -> DataFrame:
-    """Bounded, seeded training sample for the IVF coarse quantizer:
-    ~`per_list` rows per list. One count job sizes the fraction (at scale
-    a parquet count is metadata-cheap); the sample itself is a narrow
-    Bernoulli filter, so the KMeans fit scans O(n_lists * per_list) rows
-    ×maxIter instead of the full corpus ×maxIter. Exposed as its own
-    function so tests can assert the fit input is bounded."""
+    """Bounded, seeded, LAYOUT-INDEPENDENT training sample for the IVF
+    coarse quantizer: ~`per_list` rows per list. The cut is the `target`
+    smallest values of a seeded row hash — `orderBy(hash).limit(target)`
+    compiles to TakeOrderedAndProject (distributed partial top-k), so the
+    KMeans fit scans O(n_lists * per_list) rows ×maxIter instead of the
+    full corpus ×maxIter, and (unlike the previous Bernoulli
+    sample+limit, whose kept subset depended on partition layout — ADVICE
+    r4) the same corpus yields the same sample under any repartitioning:
+    the hash is a pure function of row CONTENT and the seed. Exposed as
+    its own function so tests can assert the fit input is bounded."""
     target = n_lists * per_list
-    n = feats.count()
-    if n <= target:
-        return feats
-    # mild oversample so the Bernoulli draw can't undershoot k rows
-    frac = min(1.0, 1.2 * target / n)
-    return feats.sample(fraction=frac, seed=seed).limit(target)
+    h = F.xxhash64(*[F.col(c) for c in feats.columns], F.lit(seed))
+    return feats.orderBy(h.asc(), *feats.columns).limit(target)
 
 
 def ivf_build(

@@ -394,9 +394,14 @@ _load_extended_registries()
 #   r3:    insertion order with 4 swaps (q_dedup_minhash→q_minhash_portable,
 #          q_dedup_simhash→q_simhash_portable, q_cosine_topk_lsh→
 #          q_unpack_wkb, q_doc_stats→q_greedy_children);
-#   r4:    _ROTATION_R4 below — 20 never-checked entries (the round-3
+#   r4:    _ROTATION_R4 — 20 never-checked entries (the round-3
 #          additions the judge listed, the six de-weaked ex-global-window
-#          entries, and the decontamination pair).
+#          entries, and the decontamination pair); all 20 driver-green in
+#          CORRECTNESS_r04.json.
+#   r5:    _ROTATION_R5 below — the judge's r4 slate: 20 never-checked
+#          entries weighted toward the LLM-pipeline core (semantic dedup,
+#          set-similarity join, CDC chunking, winnowing fingerprints,
+#          FIM splits) plus SQL-surface and statistics entries.
 # ---------------------------------------------------------------------------
 
 # §2a core surface — pinned: these stay driver-checked every round.
@@ -431,10 +436,30 @@ _ROTATION_R4 = [
     "q_decontaminate", "q_bloom_decontam", "q_tpch_q5",
 ]
 
+# Round-5 rotation — the judge's suggested slate (VERDICT r4 "Next round"
+# #3): 20 entries that have never appeared in any CORRECTNESS_r{N},
+# prioritizing the LLM-pipeline core so the driver's hard signal lands
+# where the mandate is. Every slot vacated by this rotation (all of
+# _ROTATION_R4) is driver-green in CORRECTNESS_r04.json, so no driver
+# evidence is lost.
+_ROTATION_R5 = [
+    # LLM-pipeline core: dedup / fingerprints / chunking / FIM
+    "q_semantic_dedup", "q_setsim_join", "q_cdc_chunks",
+    "q_winnow_fingerprints", "q_idf_weighted_jaccard", "q_fim_split",
+    "q_jaro_winkler",
+    # CDC / dimension maintenance + sessionization
+    "q_scd2_dim", "q_cdc_apply", "q_session_window",
+    # SQL-surface entries
+    "q_variant_agg", "q_udtf_rle", "q_range_frame", "q_set_operators",
+    "q_unpivot", "q_business_days",
+    # statistics
+    "q_theil_sen", "q_bh_fdr", "q_conformal", "q_entropy_rate",
+]
+
 
 def _order_driver_window() -> None:
     names = list(REGISTRY)
-    window = _WINDOW_CORE + _ROTATION_R4
+    window = _WINDOW_CORE + _ROTATION_R5
     assert len(window) == 50 and len(set(window)) == 50, "window must be 50 unique"
     for n in window:
         assert n in REGISTRY, f"window query {n} not registered"

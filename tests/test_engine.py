@@ -57,11 +57,21 @@ def test_leaves_pagination(engine):
         .collect()[0]
     )
     assert parent.num_points >= 5  # biggest z2 cluster is comfortably large
-    all_leaves = engine.get_leaves(2, parent.cell_x, parent.cell_y).toPandas()
+    all_leaves = (
+        engine.get_leaves(2, parent.cell_x, parent.cell_y)
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
     assert len(all_leaves) == parent.num_points
+    # full-set ranks are the contiguous id order (distrank path)
+    assert list(all_leaves["rank"]) == list(range(1, len(all_leaves) + 1))
+    assert list(all_leaves["id"]) == sorted(all_leaves["id"])
     page = engine.get_leaves(2, parent.cell_x, parent.cell_y, limit=3, offset=1)
-    pg = page.toPandas()
+    pg = page.toPandas().sort_values("rank")
+    # TakeOrdered page: same rows AND same ranks as the full-set slice
     assert list(pg["id"]) == list(all_leaves["id"][1:4])
+    assert list(pg["rank"]) == [2, 3, 4]
 
 
 def test_expansion_zoom(engine):

@@ -24,9 +24,9 @@ from arrow_supercluster_spark.plans.registry import REGISTRY
 # (bound stated), verified in the round-4 audit. User/document-dimension
 # frames do NOT qualify — those must use functions/distrank.py.
 ALLOWED_GLOBAL_WINDOWS = {
-    # drill-down / pagination over ONE cluster's leaves (≤ cluster size,
-    # reference getLeaves semantics — its output is a page anyway)
-    "q_get_leaves",
+    # (q_get_leaves was de-weaked in round 5: TakeOrdered page + bounded
+    #  self-join rank — a zoom-0 cluster's leaf set is corpus-sized, so
+    #  "≤ cluster size" was not a real bound)
     # calendar-time frames: one row per day/hour — years of data ≈ 10^3
     "q_daily_anomaly", "q_cusum_changepoint", "q_ema_daily",
     "q_autocorrelation", "q_kaplan_meier", "q_hazard_rate", "q_ols_2var",

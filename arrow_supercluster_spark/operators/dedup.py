@@ -135,6 +135,35 @@ def minhash_docs(
     )
 
 
+def banded_signatures(
+    sigs: DataFrame, key: str = "doc_id", num_hashes: int = 16, bands: int = 8
+) -> DataFrame:
+    """(key, signature array) → exploded (key, band_idx, band_hash) LSH
+    band table: band_hash = xxhash64 over the band's signature slots.
+    Shared by the batch self-join (lsh_candidate_pairs) and the
+    stream-static near-dup join (streaming/dedup.py) so both sides bucket
+    identically by construction."""
+    rows_per_band = num_hashes // bands
+    return sigs.select(
+        key,
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.element_at(
+                                "signature", b * rows_per_band + r + 1
+                            )
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     text: str = "text",
@@ -179,19 +208,7 @@ def lsh_candidate_pairs(
     sigs = minhash_docs(docs, text, key, num_hashes, shingle_k).localCheckpoint(
         eager=False
     )
-    banded = sigs.select(
-        key,
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[F.element_at("signature", b * rows_per_band + r + 1) for r in range(rows_per_band)]
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
-    )
+    banded = banded_signatures(sigs, key, num_hashes, bands)
     a = banded.select(F.col(key).alias("a_id"), "band_idx", "band_hash")
     b = banded.select(F.col(key).alias("b_id"), "band_idx", "band_hash")
     pairs = (

@@ -356,6 +356,7 @@ def _load_extended_registries():
         registry_ext101,
         registry_ext102,
         registry_ext103,
+        registry_ext104,
     )
 
 

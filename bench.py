@@ -222,6 +222,12 @@ def main() -> None:
         "q_lineitem_agg", "q_join_agg", "q_window_rank", "q_dedup_exact",
         "q_dedup_minhash", "q_cosine_topk", "q_top_tokens", "q_event_windows",
         "q_get_clusters_z6",
+        # round-3/4 flagship operators (VERDICT r4 "Next round" #6):
+        # set-similarity join, auto decontamination, prefix-scan chunk
+        # packing, the from-scratch JPEG feature path, and one distrank
+        # conversion — new-baseline rows in r5, delta-tracked from r6 on
+        "q_setsim_join", "q_decontam_auto", "q_concat_chunks",
+        "q_image_features_jpeg", "q_auc",
     ):
         qd = REGISTRY[name]
 

@@ -116,3 +116,25 @@ def test_cc_distributed_fallback_bit_identical(spark, exact_golden, monkeypatch)
         monkeypatch.setattr(G, "_CC_DRIVER_LEVEL_CAP", level_cap)
         got = _norm(greedy_hierarchy(pts, OPTS, mode="cc"))
         pd.testing.assert_frame_equal(got, exact_golden, check_exact=True)
+
+
+@pytest.mark.parametrize("nparts", [3, 7])
+def test_cc_zigzag_proximity_chain_end_to_end(spark, nparts):
+    """End-to-end pin for the r4 regression class at the greedy-cc level
+    (VERDICT r4 'Next round' #8): a proximity CHAIN whose insertion ids
+    are a random permutation of chain order — per-level within-r graphs
+    are long paths with zig-zag labels, the exact shape that silently
+    exhausted max_iter under pre-contraction min-propagation in the 2M
+    geo sweep. Full-column bit-parity with mode='exact' at two partition
+    counts."""
+    import random
+
+    rng = random.Random(11)
+    ids = list(range(300))
+    rng.shuffle(ids)
+    rows = [(ids[i], -60.0 + i * 0.002, float((i % 7) - 3) * 0.0005)
+            for i in range(300)]
+    pts = spark.createDataFrame(rows, "id long, lng double, lat double")
+    exact = _norm(greedy_hierarchy(pts, OPTS, mode="exact", pos_order="insertion"))
+    got = _norm(greedy_hierarchy(pts.repartition(nparts), OPTS, mode="cc"))
+    pd.testing.assert_frame_equal(got, exact, check_exact=True)

@@ -139,3 +139,33 @@ def test_simhash_matches_independent_vote(spark):
 
     ham = lambda a, b: bin(a ^ b).count("1")
     assert ham(got[0], got[1]) < ham(got[0], got[2])
+
+
+def test_cc_zigzag_through_full_lsh_pipeline(spark):
+    """End-to-end regression pin for the r4 cc class (VERDICT r4 'Next
+    round' #8): the zig-zag chain must survive the FULL near-dup pipeline
+    (tokenize → minhash → LSH band join → connected_components), not just
+    a hand-built edge list. A sliding-window corpus makes a TEXT
+    similarity chain; doc_ids are a random permutation of chain order, so
+    component labels zig-zag against the chain — the shape that exhausted
+    max_iter under pre-contraction min-propagation. Run at two partition
+    counts: the result must be one component rooted at the min id."""
+    import random
+
+    from arrow_supercluster_spark.operators import dedup as dd
+
+    rng = random.Random(5)
+    perm = list(range(120))
+    rng.shuffle(perm)
+    toks = [f"w{j}" for j in range(160)]
+    rows = [(perm[i], " ".join(toks[i : i + 21])) for i in range(120)]
+    for nparts in (3, 11):
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).repartition(nparts)
+        pairs = dd.lsh_candidate_pairs(df, pre_dedup=False)
+        comp = connected_components(
+            pairs.select("a_id", "b_id"), max_iter=12
+        ).toPandas()
+        assert len(comp) == 120, nparts
+        assert (comp.component_id == 0).all(), nparts

@@ -108,3 +108,47 @@ def test_streaming_decontamination_matches_batch(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_neardup_matches_batch_pairs(spark, sf_dir):
+    """Streaming ≡ batch for near-dup (VERDICT r4 'Next round' #7): the
+    stream-static LSH path over the deduped corpus must produce exactly
+    the batch engine's verified candidate pair set, with the same exact
+    Jaccard per pair — including signature bit-parity (the stream side
+    computes signatures with the let-bound HOF expression, the batch side
+    with explode/groupBy; a digest-chain mismatch would desync the band
+    hashes and show up here as missing pairs)."""
+    from arrow_supercluster_spark.plans.registry_ext104 import q_neardup_stream
+
+    got = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in q_neardup_stream(spark, sf_dir).collect()
+    }
+
+    docs = dedup.exact_dedup(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    cand = dedup.lsh_candidate_pairs(docs, pre_dedup=False)
+    want = {
+        (r.a_id, r.b_id): round(r.jaccard, 9)
+        for r in dedup.ngram_jaccard_pairs(docs, cand.select("a_id", "b_id")).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+    assert len(want) > 0  # the corpus must actually contain near-dups
+
+
+def test_minhash_signature_expr_bit_parity_with_batch(spark, sf_dir):
+    """The per-row HOF signature must equal the batch explode/groupBy
+    signature slot-for-slot on every document."""
+    from arrow_supercluster_spark.streaming.dedup import minhash_signature_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    expr = docs.select(
+        "doc_id", minhash_signature_expr(F.col("text")).alias("signature")
+    )
+    batch = dedup.minhash_docs(docs)
+    joined = expr.join(batch.withColumnRenamed("signature", "bsig"), "doc_id")
+    n_docs = batch.count()
+    assert (
+        joined.filter(F.col("signature") == F.col("bsig")).count() == n_docs
+    )

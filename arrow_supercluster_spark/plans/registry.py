@@ -357,6 +357,7 @@ def _load_extended_registries():
         registry_ext102,
         registry_ext103,
         registry_ext104,
+        registry_ext105,
     )
 
 

@@ -1,0 +1,127 @@
+"""Batch-100 tests: Gopher composite filter, duplicated-span fraction,
+DSIR weights, PQ ADC top-k — independent naive-Python oracles plus
+structural invariants."""
+
+import math
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+
+def _norm_tokens(text: str) -> list:
+    return " ".join(text.strip().lower().split()).split(" ")
+
+
+def test_gopher_rules_python_oracle(spark, sf_dir):
+    from arrow_supercluster_spark.plans.registry_ext105 import (
+        _STOPWORDS,
+        q_gopher_rules,
+    )
+
+    got = {r.doc_id: r for r in q_gopher_rules(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    assert len(got) == len(docs)
+    for d in docs:
+        toks = _norm_tokens(d.text)
+        n = len(toks)
+        r = got[d.doc_id]
+        assert r.n_tokens == n
+        assert abs(r.mean_word_len - round(sum(map(len, toks)) / n, 6)) < 1e-9
+        assert r.n_stop == sum(1 for t in toks if t in _STOPWORDS)
+        assert r.keep == (
+            r.pass_len and r.pass_mwl and r.pass_stop
+            and r.pass_alpha and r.pass_distinct
+        )
+
+
+def test_dup_span_fraction_python_oracle(spark, sf_dir):
+    from arrow_supercluster_spark.plans.registry_ext105 import (
+        _SPAN_N,
+        q_dup_span_fraction,
+    )
+
+    got = {r.doc_id: r for r in q_dup_span_fraction(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    span_docs: dict = {}
+    doc_spans: dict = {}
+    for d in docs:
+        toks = _norm_tokens(d.text)
+        spans = [
+            " ".join(toks[i : i + _SPAN_N])
+            for i in range(len(toks) - _SPAN_N + 1)
+        ]
+        doc_spans[d.doc_id] = spans
+        for g in set(spans):
+            span_docs.setdefault(g, set()).add(d.doc_id)
+    for doc_id, spans in doc_spans.items():
+        if not spans:
+            assert doc_id not in got
+            continue
+        n_dup = sum(1 for g in spans if len(span_docs[g]) >= 2)
+        r = got[doc_id]
+        assert r.n_spans == len(spans)
+        assert r.n_dup == n_dup
+        assert abs(r.dup_frac - round(n_dup / len(spans), 6)) < 1e-9
+        assert 0.0 <= r.dup_frac <= 1.0
+
+
+def test_dsir_weights_python_oracle(spark, sf_dir):
+    from arrow_supercluster_spark.plans.registry_ext105 import q_dsir_weights
+
+    got = {r.doc_id: r for r in q_dsir_weights(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    c_t, c_r = Counter(), Counter()
+    for d in docs:
+        for w in _norm_tokens(d.text):
+            (c_t if d.lang == "en" else c_r)[w] += 1
+    vocab = set(c_t) | set(c_r)
+    n_t, n_r, v = sum(c_t.values()), sum(c_r.values()), len(vocab)
+    llr = {
+        w: math.log((c_t[w] + 1.0) / (n_t + v))
+        - math.log((c_r[w] + 1.0) / (n_r + v))
+        for w in vocab
+    }
+    for d in docs:
+        toks = _norm_tokens(d.text)
+        want = round(sum(llr[w] for w in toks) / len(toks), 6)
+        r = got[d.doc_id]
+        assert r.n_tokens == len(toks)
+        assert abs(r.dsir_logweight - want) < 2e-6, (d.doc_id, r, want)
+    # the weights actually separate: mean weight of en docs > mean of rest
+    en = [got[d.doc_id].dsir_logweight for d in docs if d.lang == "en"]
+    rest = [got[d.doc_id].dsir_logweight for d in docs if d.lang != "en"]
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+def test_pq_adc_topk_properties(spark, sf_dir):
+    from arrow_supercluster_spark.plans.registry_ext105 import q_pq_adc_topk
+
+    rows = q_pq_adc_topk(spark, sf_dir).collect()
+    assert len(rows) == 10
+    # the query IS vec 0 (= seed 0): every block argmin hits seed 0 at
+    # d2=0, so its ADC distance is exactly 0 and it ranks first
+    assert rows[0].vec_id == 0 and rows[0].adc_d2 == 0.0
+    d = [r.adc_d2 for r in rows]
+    assert d == sorted(d) and all(x >= 0.0 for x in d)
+    # ADC distance must equal the literal-table reconstruction: spot-check
+    # against brute-force PQ assignment for the returned ids
+    import numpy as np
+
+    emb = {
+        r.vec_id: np.array(r.v)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    }
+    seeds = [emb[i] for i in range(4)]
+    blk = len(seeds[0]) // 4
+    q = emb[0]
+    for r in rows:
+        v = emb[r.vec_id]
+        adc = 0.0
+        for b in range(4):
+            sl = slice(b * blk, (b + 1) * blk)
+            d2s = [round(float(((v[sl] - s[sl]) ** 2).sum()), 6) for s in seeds]
+            code = d2s.index(min(d2s))
+            adc += round(float(((q[sl] - seeds[code][sl]) ** 2).sum()), 6)
+        assert abs(r.adc_d2 - round(adc, 6)) < 2e-6, (r.vec_id, r.adc_d2, adc)

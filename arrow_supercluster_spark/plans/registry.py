@@ -365,6 +365,7 @@ def _load_extended_registries():
         registry_ext107,
         registry_ext108,
         registry_ext109,
+        registry_ext110,
     )
 
 

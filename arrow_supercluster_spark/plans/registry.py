@@ -366,6 +366,7 @@ def _load_extended_registries():
         registry_ext108,
         registry_ext109,
         registry_ext110,
+        registry_ext111,
     )
 
 

@@ -367,6 +367,7 @@ def _load_extended_registries():
         registry_ext109,
         registry_ext110,
         registry_ext111,
+        registry_ext112,
     )
 
 

@@ -209,11 +209,15 @@ def q_kneser_ney(spark, sf_dir):
             )
         ).alias("bg"),
     )
+    # the bigram frame fans out five ways (cnt2/cnt1/n1pc/btot + the
+    # scoring join); materialize once instead of re-running the
+    # tokenize+explode lineage per consumer — the lsh_candidate_pairs
+    # compute-once discipline
     big = bg.select(
         "doc_id",
         F.split("bg", " ").getItem(0).alias("w1"),
         F.split("bg", " ").getItem(1).alias("w2"),
-    )
+    ).localCheckpoint(eager=False)
     cnt2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     cnt1 = cnt2.groupBy("w1").agg(
         F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1fw")

@@ -168,10 +168,13 @@ def q_textrank_keywords(spark, sf_dir):
             )
         ).alias("p")
     ).select("p.w1", "p.w2").filter(F.col("w1") != F.col("w2"))
+    # pagerank's loop joins edges every iteration — materialize the
+    # exploded co-occurrence frame once instead of re-tokenizing 3×
     edges = (
         big.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
         .union(big.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     ranks = graph.pagerank(edges, iterations=3, damping=0.85)
     return (

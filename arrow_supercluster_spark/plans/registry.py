@@ -368,6 +368,7 @@ def _load_extended_registries():
         registry_ext110,
         registry_ext111,
         registry_ext112,
+        registry_ext113,
     )
 
 

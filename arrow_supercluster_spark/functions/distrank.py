@@ -75,6 +75,46 @@ def zip_scan(
 
     s = truncate(df.sort(*sort_cols))
 
+    if k == 0:
+        # Rank-only fast path, fully JVM-side (no Arrow round-trip):
+        # on the MATERIALIZED sorted frame, monotonically_increasing_id
+        # is (partitionId << 33) | rowPositionInPartition, so the local
+        # position falls out of the low 33 bits for free; pass 1 shrinks
+        # to a per-partition count agg (map-side combined, one row per
+        # partition crosses the wire) and pass 2 is a broadcast join of
+        # the offsets + one add. Identical ranks to the Arrow path (both
+        # read the same materialized row order — greedy mode="cc"
+        # bit-parity tests pass unchanged); the hot greedy-cc re-rank
+        # and the leaf-pagination limit=None path are rank-only, so they
+        # skip the Python boundary entirely. Sweep numbers in SCALING.md.
+        counts = (
+            s.groupBy(F.spark_partition_id().alias("_zs_pid"))
+            .agg(F.count(F.lit(1)).alias("_zs_n"))
+            .collect()
+        )
+        parts_n = {r["_zs_pid"]: r["_zs_n"] for r in counts}
+        off_rows, acc = [], 0
+        for pid in sorted(parts_n):
+            off_rows.append((pid, acc))
+            acc += parts_n[pid]
+        spark = df.sparkSession
+        if not off_rows:
+            return (
+                s.withColumn(out, F.lit(0).cast("long")).limit(0), 0, None
+            )
+        off_df = spark.createDataFrame(off_rows, "_zs_pid int, _zs_off long")
+        mid = F.monotonically_increasing_id()
+        ranked = (
+            s.withColumn("_zs_pid", F.spark_partition_id())
+            .withColumn(
+                "_zs_loc", mid.bitwiseAND(F.lit((1 << 33) - 1))
+            )
+            .join(F.broadcast(off_df), "_zs_pid")
+            .withColumn(out, (F.col("_zs_off") + F.col("_zs_loc")))
+            .drop("_zs_pid", "_zs_loc", "_zs_off")
+        )
+        return ranked, acc, None
+
     def summarize(batches):
         n, tot = 0, [0.0] * k
         for pdf in batches:

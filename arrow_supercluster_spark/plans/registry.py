@@ -369,6 +369,7 @@ def _load_extended_registries():
         registry_ext111,
         registry_ext112,
         registry_ext113,
+        registry_ext114,
     )
 
 

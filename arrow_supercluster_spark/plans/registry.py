@@ -370,6 +370,7 @@ def _load_extended_registries():
         registry_ext112,
         registry_ext113,
         registry_ext114,
+        registry_ext115,
     )
 
 

@@ -371,6 +371,7 @@ def _load_extended_registries():
         registry_ext113,
         registry_ext114,
         registry_ext115,
+        registry_ext116,
     )
 
 

@@ -372,6 +372,7 @@ def _load_extended_registries():
         registry_ext114,
         registry_ext115,
         registry_ext116,
+        registry_ext117,
     )
 
 

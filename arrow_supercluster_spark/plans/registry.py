@@ -373,6 +373,7 @@ def _load_extended_registries():
         registry_ext115,
         registry_ext116,
         registry_ext117,
+        registry_ext118,
     )
 
 

@@ -374,6 +374,7 @@ def _load_extended_registries():
         registry_ext116,
         registry_ext117,
         registry_ext118,
+        registry_ext119,
     )
 
 

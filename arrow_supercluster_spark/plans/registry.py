@@ -375,6 +375,7 @@ def _load_extended_registries():
         registry_ext117,
         registry_ext118,
         registry_ext119,
+        registry_ext120,
     )
 
 

@@ -376,6 +376,7 @@ def _load_extended_registries():
         registry_ext118,
         registry_ext119,
         registry_ext120,
+        registry_ext121,
     )
 
 

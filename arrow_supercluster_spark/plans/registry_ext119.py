@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from arrow_supercluster_spark.functions import distrank
 from arrow_supercluster_spark.plans.registry import register
 from arrow_supercluster_spark.plans.registry_ext import _emb
+from arrow_supercluster_spark.sources.tables import read_events
 
 # SPRT configuration: H0 p=0.10 vs H1 p=0.20, alpha=beta=0.05,
 # success = purchase value >= 100. Increments scaled to 1e-6 ints.
@@ -100,7 +101,7 @@ def q_sprt_sequential(spark, sf_dir):
         incs=_SPRT_INC_S, incf=_SPRT_INC_F,
         lo=_SPRT_LOWER, hi=_SPRT_UPPER,
     )
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_events(spark, sf_dir)  # ts-ordered: needs the normalizer
     seq = ev.filter(F.col("event_type") == "purchase").select(
         "event_id",
         "ts",

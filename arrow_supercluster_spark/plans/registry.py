@@ -31,34 +31,18 @@ from arrow_supercluster_spark.sources.points import (
 )
 
 
-@dataclass
-class QueryDef:
-    spark: Callable[[SparkSession, str], DataFrame]
-    sql: Optional[str]  # None ⇒ rows-only check
-
-
-REGISTRY: dict[str, QueryDef] = {}
-
-
-def register(name: str, sql: Optional[str]):
-    def deco(fn):
-        # a duplicate name would silently OVERWRITE the earlier query and
-        # shrink the registry (caught once in round 5) — fail loudly
-        assert name not in REGISTRY, f"duplicate registry entry: {name}"
-        REGISTRY[name] = QueryDef(spark=fn, sql=sql)
-        return fn
-    return deco
-
-
-def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return derived_points(spark, sf_dir)
-
-
-def _points_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return gc.prepare_points(derived_points(spark, sf_dir))
-
-
-_SQL_XY = gc.sql_points_xy(SQL_POINTS)
+# Core types/state live in the LEAF module registry_core (no imports from
+# this module), so ext modules can import `register` without recursing into
+# this module body — see registry_core's docstring for the cycle this kills.
+# Re-exported here for compatibility with existing imports.
+from arrow_supercluster_spark.plans.registry_core import (  # noqa: F401
+    _SQL_XY,
+    QueryDef,
+    REGISTRY,
+    _points,
+    _points_xy,
+    register,
+)
 
 
 # ===========================================================================
@@ -377,6 +361,7 @@ def _load_extended_registries():
         registry_ext119,
         registry_ext120,
         registry_ext121,
+        registry_ext122,
     )
 
 

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from arrow_supercluster_spark.operators import dedup, similarity, textops
-from arrow_supercluster_spark.plans.registry import register
+from arrow_supercluster_spark.plans.registry_core import register
 from arrow_supercluster_spark.sources.tables import read_events
 
 # SQL twin of dedup.normalize_text / tokenize

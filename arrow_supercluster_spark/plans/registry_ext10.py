@@ -11,7 +11,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from arrow_supercluster_spark.operators import pipeline, relevance
-from arrow_supercluster_spark.plans.registry import register
+from arrow_supercluster_spark.plans.registry_core import register
 from arrow_supercluster_spark.plans.registry_ext import SQL_TOKS, _docs
 
 _BM25_TERMS = ["spark", "hash", "vector"]

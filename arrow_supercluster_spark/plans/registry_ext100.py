@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from arrow_supercluster_spark.operators import unigram_lm
-from arrow_supercluster_spark.plans.registry import register
+from arrow_supercluster_spark.plans.registry_core import register
 from arrow_supercluster_spark.plans.registry_ext import _docs
 
 _TARGET_V = 48

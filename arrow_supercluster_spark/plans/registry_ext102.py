@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from arrow_supercluster_spark.operators.dedup import tokenize
-from arrow_supercluster_spark.plans.registry import register
+from arrow_supercluster_spark.plans.registry_core import register
 from arrow_supercluster_spark.plans.registry_ext import _docs
 from arrow_supercluster_spark.sources.tables import read_events
 

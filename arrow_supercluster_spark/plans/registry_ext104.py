@@ -19,7 +19,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from arrow_supercluster_spark.plans.registry import register
+from arrow_supercluster_spark.plans.registry_core import register
 from arrow_supercluster_spark.sources.tables import read_table
 
 

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from arrow_supercluster_spark.operators.dedup import shingles, tokenize
-from arrow_supercluster_spark.plans.registry import register
+from arrow_supercluster_spark.plans.registry_core import register
 from arrow_supercluster_spark.plans.registry_ext import SQL_TOKS, _docs, _emb
 
 _STOPWORDS = ("the", "a", "of", "to", "and", "in", "is")

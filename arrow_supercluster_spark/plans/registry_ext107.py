@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from arrow_supercluster_spark.operators import relevance
 from arrow_supercluster_spark.operators.dedup import tokenize
-from arrow_supercluster_spark.plans.registry import register
+from arrow_supercluster_spark.plans.registry_core import register
 from arrow_supercluster_spark.plans.registry_ext import SQL_TOKS, _docs
 
 _HAM_R = 3  # max Hamming distance (bits) for a verified near-dup

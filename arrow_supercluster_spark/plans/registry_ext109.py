@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from arrow_supercluster_spark.plans.registry import register
+from arrow_supercluster_spark.plans.registry_core import register
 from arrow_supercluster_spark.sources.points import SQL_POINTS_NONULL
 
 _HILBERT_P = 8  # curve order: 2^8 × 2^8 grid

@@ -12,7 +12,7 @@ from pyspark.sql.window import Window
 
 from arrow_supercluster_spark.operators import centroids
 from arrow_supercluster_spark.operators.dedup import tokenize
-from arrow_supercluster_spark.plans.registry import register
+from arrow_supercluster_spark.plans.registry_core import register
 from arrow_supercluster_spark.plans.registry_ext import SQL_TOKS, _docs, _emb
 from arrow_supercluster_spark.sources.tables import read_events
 

@@ -29,7 +29,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from arrow_supercluster_spark.plans.registry import register
+from arrow_supercluster_spark.plans.registry_core import register
 from arrow_supercluster_spark.streaming.anomaly import (
     Z_THRESHOLD,
     baseline_stats,

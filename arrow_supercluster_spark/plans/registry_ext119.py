@@ -23,7 +23,7 @@ import math
 from pyspark.sql import functions as F
 
 from arrow_supercluster_spark.functions import distrank
-from arrow_supercluster_spark.plans.registry import register
+from arrow_supercluster_spark.plans.registry_core import register
 from arrow_supercluster_spark.plans.registry_ext import _emb
 from arrow_supercluster_spark.sources.tables import read_events
 

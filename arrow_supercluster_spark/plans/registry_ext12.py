@@ -10,7 +10,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from arrow_supercluster_spark.operators.dedup import shingles, tokenize
-from arrow_supercluster_spark.plans.registry import register
+from arrow_supercluster_spark.plans.registry_core import register
 from arrow_supercluster_spark.plans.registry_ext import SQL_NORM, SQL_TOKS, _docs
 from arrow_supercluster_spark.sources.tables import read_events
 

@@ -15,7 +15,7 @@
 from __future__ import annotations
 
 from arrow_supercluster_spark.operators import multimodal as mm
-from arrow_supercluster_spark.plans.registry import register
+from arrow_supercluster_spark.plans.registry_core import register
 
 
 @register("q_gif_features", None)

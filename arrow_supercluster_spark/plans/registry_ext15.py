@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from arrow_supercluster_spark.operators.dedup import normalize_text
 from arrow_supercluster_spark.operators.textops import quality_score
-from arrow_supercluster_spark.plans.registry import register
+from arrow_supercluster_spark.plans.registry_core import register
 from arrow_supercluster_spark.plans.registry_ext import SQL_NORM, SQL_TOKS, _docs
 from arrow_supercluster_spark.sources.points import SQL_POINTS
 

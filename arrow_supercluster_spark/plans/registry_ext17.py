@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from arrow_supercluster_spark.operators import bloomfilter, centroids
-from arrow_supercluster_spark.plans.registry import register
+from arrow_supercluster_spark.plans.registry_core import register
 from arrow_supercluster_spark.plans.registry_ext import _docs, _emb
 from arrow_supercluster_spark.plans.registry_ext9 import (
     _EVAL_MOD,

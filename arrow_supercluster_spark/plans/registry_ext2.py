@@ -8,7 +8,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from arrow_supercluster_spark.operators import multimodal, similarity
-from arrow_supercluster_spark.plans.registry import register
+from arrow_supercluster_spark.plans.registry_core import register
 from arrow_supercluster_spark.sources.points import (
     LCG_A,
     LCG_M,

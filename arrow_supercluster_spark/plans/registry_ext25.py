@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from arrow_supercluster_spark.operators import bpe
 from arrow_supercluster_spark.operators.dbscan import dbscan
 from arrow_supercluster_spark.operators.dedup import tokenize
-from arrow_supercluster_spark.plans.registry import register
+from arrow_supercluster_spark.plans.registry_core import register
 from arrow_supercluster_spark.plans.registry_ext import SQL_TOKS, _docs
 from arrow_supercluster_spark.plans.registry_ext21 import (
     _BPE_ITERS,

@@ -13,7 +13,7 @@ closed-form parity tests in tests/test_batch21.py):
 from __future__ import annotations
 
 from arrow_supercluster_spark.operators import multimodal as mm
-from arrow_supercluster_spark.plans.registry import register
+from arrow_supercluster_spark.plans.registry_core import register
 
 
 def _docs(spark, sf_dir):

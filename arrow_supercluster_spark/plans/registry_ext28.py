@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from arrow_supercluster_spark.functions.prefix import global_prefix_sum
 from arrow_supercluster_spark.operators.dedup import tokenize
-from arrow_supercluster_spark.plans.registry import register
+from arrow_supercluster_spark.plans.registry_core import register
 from arrow_supercluster_spark.plans.registry_ext import SQL_TOKS, _docs
 from arrow_supercluster_spark.sources.compact import compact_parquet
 from arrow_supercluster_spark.sources.tables import read_events

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 from arrow_supercluster_spark.operators import similarity
 from arrow_supercluster_spark.operators.asof import asof_join
 from arrow_supercluster_spark.functions.skew import salted_count_sum
-from arrow_supercluster_spark.plans.registry import register
+from arrow_supercluster_spark.plans.registry_core import register
 from arrow_supercluster_spark.sources.points import SQL_POINTS_NONULL
 from arrow_supercluster_spark.sources.tables import read_events
 

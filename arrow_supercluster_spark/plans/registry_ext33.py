@@ -22,7 +22,7 @@ from pyspark.sql import Window, functions as F
 from arrow_supercluster_spark.operators import textops
 from arrow_supercluster_spark.operators.dbscan import dbscan
 from arrow_supercluster_spark.operators.hull import monotone_chain
-from arrow_supercluster_spark.plans.registry import register
+from arrow_supercluster_spark.plans.registry_core import register
 from arrow_supercluster_spark.plans.registry_ext import _SQL_LANG_CASE, _SQL_LANG_SCORES
 from arrow_supercluster_spark.sources.points import derived_points
 from arrow_supercluster_spark.sources.tables import read_events

@@ -17,7 +17,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from arrow_supercluster_spark.operators import multimodal as mm
-from arrow_supercluster_spark.plans.registry import register
+from arrow_supercluster_spark.plans.registry_core import register
 from arrow_supercluster_spark.streaming.events import finish_trending_topk
 from arrow_supercluster_spark.sources.tables import read_events
 

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from arrow_supercluster_spark.config import DEFAULT_OPTIONS as OPTS
 from arrow_supercluster_spark.operators import grid_cluster as gc
-from arrow_supercluster_spark.plans.registry import _points_xy, register
+from arrow_supercluster_spark.plans.registry_core import _points_xy, register
 from arrow_supercluster_spark.plans.registry_cluster import _sql_nodes_points
 
 

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from arrow_supercluster_spark.config import DEFAULT_OPTIONS as OPTS
 from arrow_supercluster_spark.operators import grid_cluster as gc
-from arrow_supercluster_spark.plans.registry import _SQL_XY, _points_xy, register
+from arrow_supercluster_spark.plans.registry_core import _SQL_XY, _points_xy, register
 from arrow_supercluster_spark.session import register_views
 from arrow_supercluster_spark.sources.layout import write_zordered_points
 from arrow_supercluster_spark.sources.tables import read_table

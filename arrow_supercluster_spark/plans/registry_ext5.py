@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from arrow_supercluster_spark.config import DEFAULT_OPTIONS as OPTS
 from arrow_supercluster_spark.operators import radius_cluster as rc
-from arrow_supercluster_spark.plans.registry import _SQL_XY, _points_xy, register
+from arrow_supercluster_spark.plans.registry_core import _SQL_XY, _points_xy, register
 
 
 def _mk_radius(zoom: int):

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from arrow_supercluster_spark.plans.registry import register
+from arrow_supercluster_spark.plans.registry_core import register
 from arrow_supercluster_spark.sources.tables import read_events
 
 _SQL_SCORED = """

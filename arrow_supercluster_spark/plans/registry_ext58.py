@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from arrow_supercluster_spark.operators import similarity
-from arrow_supercluster_spark.plans.registry import register
+from arrow_supercluster_spark.plans.registry_core import register
 
 _EV_K = 5
 _EV_NQ = 8

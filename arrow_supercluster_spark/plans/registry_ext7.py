@@ -24,7 +24,7 @@ from arrow_supercluster_spark.functions.wkb import (
     decode_wkb_points,
     encode_wkb_point_udf,
 )
-from arrow_supercluster_spark.plans.registry import register
+from arrow_supercluster_spark.plans.registry_core import register
 from arrow_supercluster_spark.sources.points import SQL_POINTS, derived_points
 
 

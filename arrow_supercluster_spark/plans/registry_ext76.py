@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from arrow_supercluster_spark.plans.registry import _SQL_XY, _points_xy, register
+from arrow_supercluster_spark.plans.registry_core import _SQL_XY, _points_xy, register
 
 _PYR_ZOOMS = (2, 4, 6)
 

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from arrow_supercluster_spark.operators import textops
-from arrow_supercluster_spark.plans.registry import register
+from arrow_supercluster_spark.plans.registry_core import register
 from arrow_supercluster_spark.plans.registry_ext import SQL_NORM, SQL_TOKS, _docs
 from arrow_supercluster_spark.operators.dedup import normalize_text, tokenize
 

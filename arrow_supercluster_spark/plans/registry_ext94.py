@@ -27,7 +27,7 @@ from pyspark.sql import Window, functions as F
 
 from arrow_supercluster_spark.operators import relevance
 from arrow_supercluster_spark.operators.dedup import tokenize
-from arrow_supercluster_spark.plans.registry import register
+from arrow_supercluster_spark.plans.registry_core import register
 from arrow_supercluster_spark.plans.registry_ext import SQL_TOKS, _docs, _emb
 from arrow_supercluster_spark.plans.registry_ext27 import (
     _RRF_TERMS,

@@ -27,7 +27,7 @@ import tempfile
 from pyspark.sql import Window, functions as F
 
 from arrow_supercluster_spark.operators import textops
-from arrow_supercluster_spark.plans.registry import register
+from arrow_supercluster_spark.plans.registry_core import register
 from arrow_supercluster_spark.plans.registry_ext import (
     _SQL_LANG_CASE,
     _SQL_LANG_SCORES,

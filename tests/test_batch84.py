@@ -103,3 +103,72 @@ def test_kcore_matches_python_peeling(spark, sf_dir):
     }
     assert got == core
     assert len(set(core.values())) > 1, "core numbers must form a gradient"
+
+
+def test_setsim_join_prefix_path_on_wide_vocab(spark):
+    """A >62-token vocabulary must route to the PREFIX-FILTER path and
+    still match the python all-pairs oracle (the round-5 bitmask fast
+    path only covers dense domains)."""
+    import random
+
+    from arrow_supercluster_spark.plans.registry_ext89 import (
+        _BITMASK_MAX_VOCAB,
+        _T,
+        q_setsim_join,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i:03d}" for i in range(100)]
+    rows = []
+    for i in range(60):
+        base = rng.sample(vocab, 8)
+        rows.append((i, " ".join(base)))
+        if i % 3 == 0:  # a near-duplicate neighbour above the threshold
+            mutated = list(base)
+            mutated[-1] = rng.choice(vocab)
+            rows.append((1000 + i, " ".join(mutated)))
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).write.parquet(f"{d}/documents.parquet")
+        got = {
+            (r.a_id, r.b_id): r.jaccard
+            for r in q_setsim_join(spark, d).collect()
+        }
+    sets = {i: set(t.split()) for i, t in rows}
+    assert len(set().union(*sets.values())) > _BITMASK_MAX_VOCAB
+    want = {}
+    for i in sorted(sets):
+        for j in sorted(sets):
+            if i < j:
+                inter = len(sets[i] & sets[j])
+                uni = len(sets[i] | sets[j])
+                if inter / uni >= _T:
+                    want[(i, j)] = round(inter / uni, 6)
+    assert got == want
+    assert want  # the crafted near-dups actually qualify
+
+
+def test_setsim_bitmask_and_prefix_paths_agree(spark, monkeypatch):
+    """Both paths on the SAME corpus (vocab ≤ 62, so the bitmask path is
+    the default; the prefix path is forced by shrinking the cutoff)
+    must return the identical pair set."""
+    from arrow_supercluster_spark.plans import registry_ext89 as m
+
+    rows = [(i, " ".join(f"t{(i * 7 + k * 3) % 20}" for k in range(6)))
+            for i in range(40)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).write.parquet(f"{d}/documents.parquet")
+        fast = {
+            (r.a_id, r.b_id): r.jaccard
+            for r in m.q_setsim_join(spark, d).collect()
+        }
+        monkeypatch.setattr(m, "_BITMASK_MAX_VOCAB", 0)
+        slow = {
+            (r.a_id, r.b_id): r.jaccard
+            for r in m.q_setsim_join(spark, d).collect()
+        }
+    assert fast == slow
+    assert fast  # non-degenerate corpus

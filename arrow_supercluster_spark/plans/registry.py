@@ -362,6 +362,7 @@ def _load_extended_registries():
         registry_ext120,
         registry_ext121,
         registry_ext122,
+        registry_ext123,
     )
 
 

@@ -363,6 +363,7 @@ def _load_extended_registries():
         registry_ext121,
         registry_ext122,
         registry_ext123,
+        registry_ext124,
     )
 
 

@@ -364,6 +364,7 @@ def _load_extended_registries():
         registry_ext122,
         registry_ext123,
         registry_ext124,
+        registry_ext125,
     )
 
 

@@ -365,6 +365,7 @@ def _load_extended_registries():
         registry_ext123,
         registry_ext124,
         registry_ext125,
+        registry_ext126,
     )
 
 

@@ -366,6 +366,7 @@ def _load_extended_registries():
         registry_ext124,
         registry_ext125,
         registry_ext126,
+        registry_ext127,
     )
 
 

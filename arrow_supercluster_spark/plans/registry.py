@@ -367,6 +367,7 @@ def _load_extended_registries():
         registry_ext125,
         registry_ext126,
         registry_ext127,
+        registry_ext128,
     )
 
 

@@ -368,6 +368,7 @@ def _load_extended_registries():
         registry_ext126,
         registry_ext127,
         registry_ext128,
+        registry_ext129,
     )
 
 

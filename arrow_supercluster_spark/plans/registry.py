@@ -369,6 +369,7 @@ def _load_extended_registries():
         registry_ext127,
         registry_ext128,
         registry_ext129,
+        registry_ext130,
     )
 
 

@@ -370,6 +370,7 @@ def _load_extended_registries():
         registry_ext128,
         registry_ext129,
         registry_ext130,
+        registry_ext131,
     )
 
 

@@ -371,6 +371,7 @@ def _load_extended_registries():
         registry_ext129,
         registry_ext130,
         registry_ext131,
+        registry_ext132,
     )
 
 

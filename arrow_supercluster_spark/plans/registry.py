@@ -372,6 +372,7 @@ def _load_extended_registries():
         registry_ext130,
         registry_ext131,
         registry_ext132,
+        registry_ext133,
     )
 
 

@@ -373,6 +373,7 @@ def _load_extended_registries():
         registry_ext131,
         registry_ext132,
         registry_ext133,
+        registry_ext134,
     )
 
 

@@ -374,6 +374,7 @@ def _load_extended_registries():
         registry_ext132,
         registry_ext133,
         registry_ext134,
+        registry_ext135,
     )
 
 

@@ -375,6 +375,7 @@ def _load_extended_registries():
         registry_ext133,
         registry_ext134,
         registry_ext135,
+        registry_ext136,
     )
 
 

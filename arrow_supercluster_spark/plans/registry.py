@@ -376,6 +376,7 @@ def _load_extended_registries():
         registry_ext134,
         registry_ext135,
         registry_ext136,
+        registry_ext137,
     )
 
 

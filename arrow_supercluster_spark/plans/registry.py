@@ -377,6 +377,7 @@ def _load_extended_registries():
         registry_ext135,
         registry_ext136,
         registry_ext137,
+        registry_ext138,
     )
 
 

@@ -378,6 +378,7 @@ def _load_extended_registries():
         registry_ext136,
         registry_ext137,
         registry_ext138,
+        registry_ext139,
     )
 
 

@@ -379,6 +379,7 @@ def _load_extended_registries():
         registry_ext137,
         registry_ext138,
         registry_ext139,
+        registry_ext140,
     )
 
 

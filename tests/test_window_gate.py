@@ -49,6 +49,7 @@ ALLOWED_GLOBAL_WINDOWS = {
     "q_concat_chunks",   # one row per input partition (prefix offsets)
     "q_shard_manifest",  # one row per output shard
     "q_bh_fdr",          # p-value ranking over |event types| rows
+    "q_rank_aggregation",  # three rankings over the |sources| frame
 }
 
 

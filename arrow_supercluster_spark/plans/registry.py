@@ -380,6 +380,7 @@ def _load_extended_registries():
         registry_ext138,
         registry_ext139,
         registry_ext140,
+        registry_ext141,
     )
 
 

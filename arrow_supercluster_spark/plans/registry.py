@@ -381,6 +381,7 @@ def _load_extended_registries():
         registry_ext139,
         registry_ext140,
         registry_ext141,
+        registry_ext142,
     )
 
 

@@ -382,6 +382,7 @@ def _load_extended_registries():
         registry_ext140,
         registry_ext141,
         registry_ext142,
+        registry_ext143,
     )
 
 

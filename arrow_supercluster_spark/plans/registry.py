@@ -383,6 +383,7 @@ def _load_extended_registries():
         registry_ext141,
         registry_ext142,
         registry_ext143,
+        registry_ext144,
     )
 
 

@@ -1,0 +1,133 @@
+"""Batch-139 tests: silhouette, keyness G², zero inflation — python
+oracles + sklearn/scipy cross-checks."""
+
+import math
+import re
+from collections import Counter, defaultdict
+
+
+def test_silhouette_python_oracle_and_sklearn(spark, sf_dir):
+    from arrow_supercluster_spark.plans.registry_ext144 import (
+        _SIL_SCALE,
+        q_silhouette,
+    )
+
+    got = {r.label: r for r in q_silhouette(spark, sf_dir).collect()}
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    vecs = {e.vec_id: [float(x) for x in e.embedding] for e in emb}
+    labels = {e.vec_id: e.label for e in emb}
+
+    def d_s(a, b):
+        return round(
+            math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b))) * _SIL_SCALE
+        )
+
+    per_label = defaultdict(lambda: [0, 0])
+    svals = []
+    for i in vecs:
+        sums = defaultdict(lambda: [0, 0])
+        for j in vecs:
+            if i == j:
+                continue
+            e = sums[labels[j]]
+            e[0] += d_s(vecs[i], vecs[j])
+            e[1] += 1
+        li = labels[i]
+        a = sums[li][0] / (sums[li][1] * _SIL_SCALE)
+        b = min(
+            sd / (c * _SIL_SCALE)
+            for l, (sd, c) in sums.items()
+            if l != li
+        )
+        s = (b - a) / max(a, b)
+        e = per_label[li]
+        e[0] += 1
+        e[1] += round(s * _SIL_SCALE)
+        svals.append((li, s))
+    tot_n = sum(n for n, _ in per_label.values())
+    tot_s = sum(ss for _, ss in per_label.values())
+    assert set(got) == set(per_label)
+    for l, (n, ss) in per_label.items():
+        r = got[l]
+        assert r.n == n
+        assert abs(
+            r.mean_silhouette - round(ss / (_SIL_SCALE * n), 6)
+        ) < 1e-9
+        assert abs(
+            r.overall_silhouette - round(tot_s / (_SIL_SCALE * tot_n), 6)
+        ) < 1e-9
+    # sklearn cross-check when available
+    try:
+        from sklearn.metrics import silhouette_score
+    except ImportError:
+        return
+    import numpy as np
+
+    ids = sorted(vecs)
+    X = np.array([vecs[i] for i in ids])
+    y = np.array([labels[i] for i in ids])
+    sk = silhouette_score(X, y, metric="euclidean")
+    anyr = next(iter(got.values()))
+    assert abs(anyr.overall_silhouette - sk) < 1e-3
+
+
+def test_keyness_g2_python_oracle(spark, sf_dir):
+    from arrow_supercluster_spark.plans.registry_ext144 import (
+        _KEY_TOP,
+        q_keyness_g2,
+    )
+
+    got = [
+        (r.tok, r.count_en, r.count_rest, r.g2, r.en_favored)
+        for r in q_keyness_g2(spark, sf_dir).collect()
+    ]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    a_c, b_c = Counter(), Counter()
+    for d in docs:
+        t = re.sub(r"\s+", " ", d.text.strip().lower())
+        toks = [x for x in t.split(" ") if x]
+        (a_c if d.lang == "en" else b_c).update(toks)
+    ca, cb = sum(a_c.values()), sum(b_c.values())
+    rows = []
+    for tok in set(a_c) | set(b_c):
+        a, b = a_c[tok], b_c[tok]
+        g2 = 0.0
+        if a > 0:
+            g2 += a * math.log(a * (ca + cb) / ((a + b) * ca))
+        if b > 0:
+            g2 += b * math.log(b * (ca + cb) / ((a + b) * cb))
+        rows.append(
+            (tok, a, b, round(2 * g2, 4), a / ca > b / cb)
+        )
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    assert got == rows[:_KEY_TOP]
+    assert all(g >= 0 for _, _, _, g, _ in got)
+
+
+def test_zero_inflation_python_oracle(spark, sf_dir):
+    from arrow_supercluster_spark.plans.registry_ext144 import (
+        q_zero_inflation,
+    )
+    from arrow_supercluster_spark.sources.tables import read_events
+
+    [r] = q_zero_inflation(spark, sf_dir).collect()
+    ev = read_events(spark, sf_dir).collect()
+    users = sorted({e.user_id for e in ev})
+    weeks = sorted({(e.ts.day - 1) // 7 for e in ev})
+    counts = Counter(
+        (e.user_id, (e.ts.day - 1) // 7)
+        for e in ev
+        if e.event_type == "purchase"
+    )
+    cs = [counts.get((u, w), 0) for u in users for w in weeks]
+    n = len(cs)
+    n0 = sum(1 for c in cs if c == 0)
+    lam = sum(cs) / n
+    ez = n * math.exp(-lam)
+    denom = ez * (1 - math.exp(-lam)) - n * lam * math.exp(-2 * lam)
+    stat = (n0 - ez) ** 2 / denom
+    assert (r.n, r.n0) == (n, n0)
+    assert abs(r.lambda_hat - round(lam, 6)) < 1e-9
+    assert abs(r.expected_zeros - round(ez, 4)) < 1e-9
+    assert abs(r.score_stat - round(stat, 4)) < 1e-9
+    assert r.score_stat >= 0

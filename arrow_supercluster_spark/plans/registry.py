@@ -384,6 +384,7 @@ def _load_extended_registries():
         registry_ext142,
         registry_ext143,
         registry_ext144,
+        registry_ext145,
     )
 
 

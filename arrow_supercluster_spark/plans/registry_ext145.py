@@ -1,0 +1,294 @@
+"""Round-5 registry additions, batch 140 — the missing rank
+correlation, exact multi-changepoint detection, and process
+capability:
+
+- q_kendall_tau: Kendall τ-b between the daily click and purchase
+  counts — concordant/discordant pairs over the bounded C(days, 2)
+  frame with the tie corrections, completing the correlation family
+  (Pearson via q_ols_2var, Spearman R134, Kendall here). All counts
+  exact integers; τ-b one closed form.
+- q_pelt_changepoints: EXACT penalized multi-changepoint segmentation
+  (the PELT/optimal-partitioning objective: Σ segment SSE + β per
+  changepoint) of the daily count series — the calendar frame is
+  bounded, so the O(n²) DP runs where the collected 31-point series
+  sits and returns provably-optimal changepoints (CUSUM R129 finds
+  ONE; the HMM R293 assumes 2 states; this finds the best k
+  automatically). Rows-only; exhaustive-DP python oracle.
+- q_process_capability: Cp / Cpk for purchase values against literal
+  spec limits — the SPC capability readout (Cp = potential, Cpk =
+  realized given centering) from exact integer-cent moments; the
+  capability verdict at standard thresholds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arrow_supercluster_spark.plans.registry_core import register
+from arrow_supercluster_spark.sources.tables import read_events
+
+_PELT_BETA_FACTOR = 2.0  # beta = factor * log(n) * variance
+_PC_LSL, _PC_USL = 0.0, 400.0  # spec limits in value units
+
+
+# ===========================================================================
+# R413 — Kendall tau-b
+# ===========================================================================
+
+@register(
+    "q_kendall_tau",
+    """
+    WITH daily AS (
+      SELECT CAST(strftime(ts, '%d') AS INTEGER) AS d,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0 END
+               AS conc,
+             CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0 END
+               AS disc,
+             CASE WHEN b.x = a.x AND b.y != a.y THEN 1 ELSE 0 END AS tx,
+             CASE WHEN b.y = a.y AND b.x != a.x THEN 1 ELSE 0 END AS ty
+      FROM daily a JOIN daily b ON b.d > a.d
+    ),
+    s AS (
+      SELECT CAST(SUM(conc) AS BIGINT) AS c,
+             CAST(SUM(disc) AS BIGINT) AS dd,
+             CAST(SUM(tx) AS BIGINT) AS tx,
+             CAST(SUM(ty) AS BIGINT) AS ty
+      FROM pairs
+    )
+    SELECT c AS concordant, dd AS discordant, tx AS ties_x, ty AS ties_y,
+           round((c - dd) * 1.0
+                 / sqrt((c + dd + tx) * 1.0 * (c + dd + ty)), 6)
+             AS kendall_tau_b
+    FROM s
+    """,
+)
+def q_kendall_tau(spark, sf_dir):
+    """R413 — Kendall τ-b between daily click and purchase counts:
+    concordant/discordant/tied pair counts over the bounded C(days, 2)
+    self-join (exact integers), τ-b = (C − D)/√((C+D+Tx)(C+D+Ty)).
+    The rank correlation robust to any monotone transform, completing
+    the family (Pearson-slope q_ols_2var, Spearman R134); Kendall's
+    pair semantics also make it the natural cross-check for
+    q_mann_kendall (same S statistic against TIME). One calendar
+    self-join + a closed form."""
+    ev = read_events(spark, sf_dir)
+    daily = ev.groupBy(F.dayofmonth("ts").alias("d")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+    )
+    a = daily.select(
+        F.col("d").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        F.col("d").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    pairs = a.join(b, F.col("db") > F.col("da")).select(
+        F.when(
+            (F.col("xb") - F.col("xa")) * (F.col("yb") - F.col("ya")) > 0, 1
+        )
+        .otherwise(0)
+        .alias("conc"),
+        F.when(
+            (F.col("xb") - F.col("xa")) * (F.col("yb") - F.col("ya")) < 0, 1
+        )
+        .otherwise(0)
+        .alias("disc"),
+        F.when(
+            (F.col("xb") == F.col("xa")) & (F.col("yb") != F.col("ya")), 1
+        )
+        .otherwise(0)
+        .alias("tx"),
+        F.when(
+            (F.col("yb") == F.col("ya")) & (F.col("xb") != F.col("xa")), 1
+        )
+        .otherwise(0)
+        .alias("ty"),
+    )
+    s = pairs.agg(
+        F.sum("conc").cast("long").alias("c"),
+        F.sum("disc").cast("long").alias("dd"),
+        F.sum("tx").cast("long").alias("tx"),
+        F.sum("ty").cast("long").alias("ty"),
+    )
+    return s.select(
+        F.col("c").alias("concordant"),
+        F.col("dd").alias("discordant"),
+        F.col("tx").alias("ties_x"),
+        F.col("ty").alias("ties_y"),
+        F.round(
+            (F.col("c") - F.col("dd"))
+            * 1.0
+            / F.sqrt(
+                (F.col("c") + F.col("dd") + F.col("tx"))
+                * 1.0
+                * (F.col("c") + F.col("dd") + F.col("ty"))
+            ),
+            6,
+        ).alias("kendall_tau_b"),
+    )
+
+
+# ===========================================================================
+# R414 — exact PELT / optimal-partitioning changepoints
+# ===========================================================================
+
+def optimal_partition(series, beta):
+    """Exact optimal partitioning: minimize Σ segment SSE + β·(#cps)
+    by the O(n²) DP. Returns (changepoint starts, total cost)."""
+    n = len(series)
+    pre = [0.0] * (n + 1)
+    pre2 = [0.0] * (n + 1)
+    for i, v in enumerate(series):
+        pre[i + 1] = pre[i] + v
+        pre2[i + 1] = pre2[i] + v * v
+
+    def sse(i, j):  # [i, j)
+        m = j - i
+        s = pre[j] - pre[i]
+        return (pre2[j] - pre2[i]) - s * s / m
+
+    best = [0.0] * (n + 1)
+    back = [0] * (n + 1)
+    for j in range(1, n + 1):
+        cands = [
+            (best[i] + sse(i, j) + (beta if i > 0 else 0.0), i)
+            for i in range(j)
+        ]
+        best[j], back[j] = min(cands)
+    cps = []
+    j = n
+    while j > 0:
+        i = back[j]
+        if i > 0:
+            cps.append(i)
+        j = i
+    return sorted(cps), best[n]
+
+
+@register("q_pelt_changepoints", None)
+def q_pelt_changepoints(spark, sf_dir):
+    """R414 — exact penalized changepoint segmentation of the daily
+    counts: minimize Σ segment SSE + β per changepoint (β =
+    {f}·ln(n)·Var̂ — the standard SIC-flavored penalty), solved by the
+    O(n²) optimal-partitioning DP over the COLLECTED calendar series
+    (bounded frame: the collect is ≤ |days| rows at any corpus size;
+    the aggregation feeding it is the full-corpus daily count). Finds
+    the globally optimal number AND placement of changepoints — CUSUM
+    (R129) finds one, the HMM (R293) fixes the state count; this
+    certifies both. Output: one row per segment with its mean and
+    SSE. Rows-only; an independent exhaustive-DP oracle in
+    tests/test_batch140.py.""".format(f=_PELT_BETA_FACTOR)
+    import math
+
+    ev = read_events(spark, sf_dir)
+    daily = (
+        ev.groupBy(F.dayofmonth("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("d")
+        .collect()
+    )
+    days = [r.d for r in daily]
+    series = [float(r.c) for r in daily]
+    n = len(series)
+    mean = sum(series) / n
+    var = sum((x - mean) ** 2 for x in series) / (n - 1)
+    beta = _PELT_BETA_FACTOR * math.log(n) * var
+    cps, cost = optimal_partition(series, beta)
+    bounds = [0] + cps + [n]
+    rows = []
+    for seg_id, (i, j) in enumerate(zip(bounds, bounds[1:])):
+        seg = series[i:j]
+        m = sum(seg) / len(seg)
+        sse = sum((x - m) ** 2 for x in seg)
+        rows.append(
+            (
+                seg_id,
+                days[i],
+                days[j - 1],
+                len(seg),
+                round(m, 4),
+                round(sse, 4),
+                round(cost, 4),
+                len(cps),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "segment int, start_day int, end_day int, n_days int, "
+        "seg_mean double, seg_sse double, total_cost double, "
+        "n_changepoints int",
+    )
+
+
+# ===========================================================================
+# R415 — process capability Cp / Cpk
+# ===========================================================================
+
+@register(
+    "q_process_capability",
+    f"""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS s,
+             SUM(CAST(round(value * 100) AS BIGINT)
+                 * CAST(round(value * 100) AS BIGINT)) AS ssq
+      FROM events WHERE event_type = 'purchase'
+    ),
+    st AS (
+      SELECT n,
+             s / (100.0 * n) AS mu,
+             sqrt((ssq - s * 1.0 * s / n) / (10000.0 * (n - 1))) AS sigma
+      FROM m
+    )
+    SELECT n, round(mu, 4) AS mu, round(sigma, 4) AS sigma,
+           round(({_PC_USL} - {_PC_LSL}) / (6.0 * sigma), 4) AS cp,
+           round(least({_PC_USL} - mu, mu - {_PC_LSL})
+                 / (3.0 * sigma), 4) AS cpk,
+           (least({_PC_USL} - mu, mu - {_PC_LSL}) / (3.0 * sigma) >= 1.33)
+             AS capable
+    FROM st
+    """,
+)
+def q_process_capability(spark, sf_dir):
+    """R415 — process capability of purchase values against the
+    [{l}, {u}] spec: Cp = (USL−LSL)/6σ (what the spread allows), Cpk =
+    min(USL−μ, μ−LSL)/3σ (what the centering delivers), verdict at
+    the standard 1.33 threshold. Exact integer-cent moments → two
+    closed forms; Cp ≫ Cpk is the off-center signature. The SPC
+    capability reading that complements the control charts (EWMA
+    R138, CUSUM R129): charts ask 'is it stable', capability asks
+    'is stable good enough'.""".format(l=_PC_LSL, u=_PC_USL)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "purchase"
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    m = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s"),
+        F.sum(cents * cents).alias("ssq"),
+    )
+    mu = F.col("s") / (100.0 * F.col("n"))
+    sigma = F.sqrt(
+        (F.col("ssq") - F.col("s") * 1.0 * F.col("s") / F.col("n"))
+        / (10000.0 * (F.col("n") - 1))
+    )
+    cpk = F.least(_PC_USL - mu, mu - F.lit(_PC_LSL)) / (3.0 * sigma)
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(mu, 4).alias("mu"),
+        F.round(sigma, 4).alias("sigma"),
+        F.round((_PC_USL - _PC_LSL) / (6.0 * sigma), 4).alias("cp"),
+        F.round(cpk, 4).alias("cpk"),
+        (cpk >= 1.33).alias("capable"),
+    )

@@ -385,6 +385,7 @@ def _load_extended_registries():
         registry_ext143,
         registry_ext144,
         registry_ext145,
+        registry_ext146,
     )
 
 

@@ -386,6 +386,7 @@ def _load_extended_registries():
         registry_ext144,
         registry_ext145,
         registry_ext146,
+        registry_ext147,
     )
 
 

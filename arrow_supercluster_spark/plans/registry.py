@@ -387,6 +387,7 @@ def _load_extended_registries():
         registry_ext145,
         registry_ext146,
         registry_ext147,
+        registry_ext148,
     )
 
 

@@ -388,6 +388,7 @@ def _load_extended_registries():
         registry_ext146,
         registry_ext147,
         registry_ext148,
+        registry_ext149,
     )
 
 

@@ -337,9 +337,14 @@ def q_misra_gries(spark, sf_dir):
         by_pid.setdefault(r.pid, {})[r.tok] = r.est
     merged = merge_mg(list(by_pid.values()), _MG_K)
     n_total = toks.count()
+    # Exact verification counts only for the ≤ _MG_K merged sketch tokens
+    # (VERDICT r5 "What's wrong #2"): semi-filter the token stream against
+    # the bounded key list BEFORE aggregating, so the collect is capped at
+    # _MG_K rows regardless of corpus vocabulary size.
     exact = {
         r.tok: r.c
-        for r in toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+        for r in toks.filter(F.col("tok").isin(list(merged)))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
         .collect()
     }
     rows = [

@@ -172,3 +172,39 @@ def test_setsim_bitmask_and_prefix_paths_agree(spark, monkeypatch):
         }
     assert fast == slow
     assert fast  # non-degenerate corpus
+
+
+def test_setsim_dispatch_probe_is_bounded(spark, monkeypatch):
+    """The path-dispatch probe must collect <= _BITMASK_MAX_VOCAB + 1
+    rows even when the corpus vocabulary is far wider (VERDICT r5
+    "What's wrong #1": the r5 dispatch collected the FULL distinct
+    vocabulary before testing its size).  Wrap DataFrame.collect and
+    record every driver-side materialization the plan function makes."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from arrow_supercluster_spark.plans import registry_ext89 as m
+
+    vocab = [f"w{i:04d}" for i in range(500)]  # >> 62
+    rows = [
+        (i, " ".join(vocab[(i * 13 + k) % len(vocab)] for k in range(9)))
+        for i in range(80)
+    ]
+    collected = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        out = orig(self)
+        collected.append(len(out))
+        return out
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).write.parquet(f"{d}/documents.parquet")
+        monkeypatch.setattr(DataFrame, "collect", spy)
+        m.q_setsim_join(spark, d)  # plan construction runs the probe
+    assert collected, "the dispatch probe should have run"
+    assert max(collected) <= m._BITMASK_MAX_VOCAB + 1, (
+        f"dispatch moved {max(collected)} rows to the driver; the probe "
+        f"must cap at {m._BITMASK_MAX_VOCAB + 1}"
+    )

@@ -2,10 +2,17 @@
 opaque binary columns with typed metadata, processed by Arrow-batched
 Pandas kernels via mapInPandas.
 
-The decode step is STUBBED (no image/audio libraries in this container):
-`decode_image` raises NotImplementedError unless `fake=True`, in which
-case a deterministic fake decoder (byte-histogram features) exercises the
-REAL Spark plumbing — schema, batching, partition sizing — end-to-end.
+Decode is REAL for the six from-scratch numpy codecs in this module
+(BMP, PNG zlib/inflate, JPEG baseline, GIF87a/LZW, WAV PCM, PPM) —
+no external media library is used; each codec is cross-parity tested
+against its matching from-scratch encoder. The only remaining stub is
+the LEGACY `decode_image(fake=False)` entry point, kept as a guard for
+formats none of the in-repo codecs cover: it raises NotImplementedError,
+while `fake=True` runs the original deterministic byte-histogram decoder
+that `q_multimodal_features` still uses as its cross-engine-reproducible
+feature source (the SQL oracle can reproduce byte histograms; it cannot
+run an inflate/DCT pipeline — that parity is covered by the codec tests
+and the q_image_features_* rows-only entries instead).
 
 Scale design: mapInPandas streams Arrow batches through Python once (no
 shuffle); batch size is bounded by spark.sql.execution.arrow.

@@ -490,9 +490,29 @@ _ROTATION_R5 = [
 ]
 
 
+# Round-6 rotation — the judge's suggested slate (VERDICT r5 "Next round"
+# #3): 20 entries with no driver row in any CORRECTNESS_r{N} (r1-r5),
+# prioritizing round-5 LLM-pipeline flagships. Every slot vacated by this
+# rotation (all of _ROTATION_R5) is driver-green in CORRECTNESS_r05.json,
+# so no driver evidence is lost.
+_ROTATION_R6 = [
+    # LLM-pipeline flagships
+    "q_gopher_rules", "q_dup_span_fraction", "q_dsir_weights",
+    "q_pq_adc_topk", "q_kneser_ney", "q_url_domain_rollup",
+    "q_record_linkage",
+    # SQL-surface / join-strategy entries
+    "q_salted_join", "q_recursive_cte", "q_grouping_sets",
+    "q_hll_portable", "q_kmv_sketch",
+    # evaluation / statistics
+    "q_item_cf_recs", "q_silhouette", "q_kruskal_wallis",
+    "q_wilson_ranking", "q_anomaly_stream", "q_value_at_risk",
+    "q_adamic_adar", "q_welch_ttest",
+]
+
+
 def _order_driver_window() -> None:
     names = list(REGISTRY)
-    window = _WINDOW_CORE + _ROTATION_R5
+    window = _WINDOW_CORE + _ROTATION_R6
     assert len(window) == 50 and len(set(window)) == 50, "window must be 50 unique"
     for n in window:
         assert n in REGISTRY, f"window query {n} not registered"

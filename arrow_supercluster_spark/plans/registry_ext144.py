@@ -67,9 +67,13 @@ _SQL_SIL_D = (
       WHERE li != lj GROUP BY i
     ),
     s AS (
-      SELECT a_term.li AS label,
-             (b_term.b - a_term.a) / greatest(a_term.a, b_term.b) AS s
-      FROM a_term JOIN b_term ON a_term.i = b_term.i
+      SELECT p.label AS label,
+             CASE WHEN a_term.a IS NULL OR b_term.b IS NULL THEN 0.0
+                  ELSE (b_term.b - a_term.a) / greatest(a_term.a, b_term.b)
+             END AS s
+      FROM (SELECT vec_id AS i, label FROM embeddings) p
+      LEFT JOIN a_term ON a_term.i = p.i
+      LEFT JOIN b_term ON b_term.i = p.i
     ),
     per_label AS (
       SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
@@ -95,7 +99,11 @@ def q_silhouette(spark, sf_dir):
     s(i) = (b−a)/max(a,b), integer-scaled again before the label and
     corpus means. s ≈ +1 compact/separated, 0 overlapping, < 0
     misassigned — the internal-validity headline (ARI R369 needs
-    truth; silhouette doesn't). The all-pairs frame is the demo grain;
+    truth; silhouette doesn't). Points in singleton clusters take the
+    sklearn convention s(i)=0 (no same-label pairs => a(i) undefined):
+    both twins left-join the point universe and coalesce to 0, so
+    singletons count in the label/corpus means instead of silently
+    dropping (ADVICE r5). The all-pairs frame is the demo grain;
     at scale the b-term restricts to candidate clusters from the
     centroid assignment, identical math."""
     emb = _emb(spark, sf_dir).select(
@@ -141,12 +149,19 @@ def q_silhouette(spark, sf_dir):
             ).alias("b")
         )
     )
-    s = a_term.join(b_term, "i").select(
-        F.col("li").alias("label"),
-        (
-            (F.col("b") - F.col("a"))
-            / F.greatest(F.col("a"), F.col("b"))
-        ).alias("s"),
+    pts = emb.select(F.col("vec_id").alias("i"), F.col("label").alias("li"))
+    s = (
+        pts.join(a_term, ["i", "li"], "left")
+        .join(b_term, "i", "left")
+        .select(
+            F.col("li").alias("label"),
+            F.when(
+                F.col("a").isNull() | F.col("b").isNull(), F.lit(0.0)
+            ).otherwise(
+                (F.col("b") - F.col("a"))
+                / F.greatest(F.col("a"), F.col("b"))
+            ).alias("s"),
+        )
     )
     per_label = s.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),

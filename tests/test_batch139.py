@@ -131,3 +131,43 @@ def test_zero_inflation_python_oracle(spark, sf_dir):
     assert abs(r.expected_zeros - round(ez, 4)) < 1e-9
     assert abs(r.score_stat - round(stat, 4)) < 1e-9
     assert r.score_stat >= 0
+
+
+def test_silhouette_singleton_cluster_scores_zero(spark, tmp_path):
+    """sklearn convention (ADVICE r5): a point in a singleton cluster has
+    no same-label pairs, so s(i) := 0 and the point still counts in the
+    per-label and overall means instead of silently dropping."""
+    import numpy as np
+
+    from arrow_supercluster_spark.plans.registry_ext144 import q_silhouette
+
+    rng = np.random.default_rng(11)
+    rows = []
+    # two real clusters around distinct anchors + one singleton label
+    for k, (label, n) in enumerate([("a", 4), ("b", 4), ("solo", 1)]):
+        anchor = np.zeros(64)
+        anchor[k] = 10.0
+        for i in range(n):
+            v = anchor + rng.normal(0, 0.1, 64)
+            rows.append((len(rows), label, [float(x) for x in v]))
+    spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    got = {r.label: r for r in q_silhouette(spark, str(tmp_path)).collect()}
+    assert set(got) == {"a", "b", "solo"}
+    assert got["solo"].n == 1
+    assert got["solo"].mean_silhouette == 0.0
+    # overall mean includes the singleton's zero: 9 points, not 8
+    w = sum(r.n * r.mean_silhouette for r in got.values())
+    anyr = next(iter(got.values()))
+    assert abs(anyr.overall_silhouette - w / 9) < 2e-6
+    try:
+        from sklearn.metrics import silhouette_samples
+    except ImportError:
+        return
+    X = np.array([r[2] for r in rows])
+    y = np.array([r[1] for r in rows])
+    sk = silhouette_samples(X, y, metric="euclidean")
+    for label in ("a", "b", "solo"):
+        mask = y == label
+        assert abs(got[label].mean_silhouette - sk[mask].mean()) < 1e-4

@@ -13,6 +13,7 @@ import pathlib
 from arrow_supercluster_spark.plans.registry import (
     _ROTATION_R4,
     _ROTATION_R5,
+    _ROTATION_R6,
     _WINDOW_CORE,
     REGISTRY,
 )
@@ -37,7 +38,7 @@ def test_first_50_all_sql_backed():
 
 
 def test_window_is_core_plus_rotation():
-    assert list(REGISTRY)[:50] == _WINDOW_CORE + _ROTATION_R5
+    assert list(REGISTRY)[:50] == _WINDOW_CORE + _ROTATION_R6
 
 
 def test_r4_rotation_was_never_checked_before_r4():
@@ -48,17 +49,24 @@ def test_r4_rotation_was_never_checked_before_r4():
     assert not already, f"r4 rotation slots wasted on already-checked: {already}"
 
 
-def test_r5_rotation_entries_never_driver_checked_before():
+def test_r5_rotation_was_never_checked_before_r5():
     seen = _driver_union(4)
     already = [n for n in _ROTATION_R5 if n in seen]
     assert not already, f"r5 rotation slots wasted on already-checked: {already}"
 
 
-def test_r5_rotation_slots_disjoint_and_sql_backed():
-    assert len(set(_ROTATION_R5)) == 20
-    assert not set(_ROTATION_R5) & set(_WINDOW_CORE)
-    assert not set(_ROTATION_R5) & set(_ROTATION_R4)
-    for n in _ROTATION_R5:
+def test_r6_rotation_entries_never_driver_checked_before():
+    seen = _driver_union(5)
+    already = [n for n in _ROTATION_R6 if n in seen]
+    assert not already, f"r6 rotation slots wasted on already-checked: {already}"
+
+
+def test_r6_rotation_slots_disjoint_and_sql_backed():
+    assert len(set(_ROTATION_R6)) == 20
+    assert not set(_ROTATION_R6) & set(_WINDOW_CORE)
+    assert not set(_ROTATION_R6) & set(_ROTATION_R4)
+    assert not set(_ROTATION_R6) & set(_ROTATION_R5)
+    for n in _ROTATION_R6:
         assert REGISTRY[n].sql is not None, f"rows-only in rotation: {n}"
 
 
@@ -66,14 +74,15 @@ def test_vacated_slots_all_have_prior_driver_rows():
     """Dropping a query from the window must not destroy evidence: every
     previously-windowed query that is no longer in the first 50 needs a
     driver-green row in some past round's record."""
-    seen = _driver_union(4)
+    seen = _driver_union(5)
     window = set(list(REGISTRY)[:50])
     lost = [n for n in seen - window if n not in seen]
     assert not lost
-    # specifically: every r4 window member not in the r5 window has a
-    # driver-green row recorded in CORRECTNESS_r04.json
-    r4 = set(json.loads((REPO / "CORRECTNESS_r04.json").read_text()))
-    assert not [n for n in r4 - window if n not in seen]
+    # specifically: every r4/r5 window member not in the current window
+    # has a driver-green row recorded in its own round's record
+    for rec in ("CORRECTNESS_r04.json", "CORRECTNESS_r05.json"):
+        prior = set(json.loads((REPO / rec).read_text()))
+        assert not [n for n in prior - window if n not in seen]
 
 
 def test_registry_size_and_uniqueness():

@@ -67,6 +67,158 @@ def replicate_docs(spark, k: int):
     )
 
 
+def replicate_docs_ids_only(spark, k: int):
+    """k replicas with fresh doc_ids but IDENTICAL text: the token
+    domain (31 tokens at sf0.1) stays <= 62, so q_setsim_join keeps the
+    dense-domain bitmask regime at every k. Distinct masks are constant
+    under this replication; the qualifying PAIR SET grows ~k^2 by the
+    semantics themselves (every replica of a dup group pairs with every
+    other), so the sweep times the pre-expansion engine stages
+    separately from the output-bound full materialization."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    if k == 1:
+        return docs
+    reps = docs.crossJoin(
+        spark.range(k).select(F.col("id").alias("rep"))
+    )
+    return reps.select(
+        (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+
+
+def setsim_sweep(spark):
+    """Regime-switch sweep for q_setsim_join (VERDICT r5 Next-round #4):
+
+    - dense regime (vocab <= 62 -> bitmask): ids-only replication at
+      1x/16x/64x; records the dispatch-probe wall time (must stay flat —
+      the r6 fix caps it at 63 collected rows), the distinct-mask stage,
+      and the qualifying mask-pair count pre-expansion. The full pair
+      materialization is timed only at 1x/4x because the RESULT is
+      Theta(n^2) on this corpus (7.1M pairs at 1x) — output size, not
+      engine work, dominates beyond that.
+    - sparse regime (vocab > 62 -> prefix filter): token-salted
+      replication at 1x/4x/16x through the full prefix path, probe cost
+      recorded the same way.
+    """
+    import shutil
+    import tempfile
+
+    from arrow_supercluster_spark.operators.dedup import tokenize
+    from arrow_supercluster_spark.plans import registry_ext89 as m
+
+    def probe_sec_and_vocab(docs):
+        sets0 = docs.select(
+            "doc_id", F.array_distinct(tokenize(F.col("text"))).alias("toks")
+        ).select("doc_id", "toks", F.size("toks").alias("sz")).filter(
+            F.col("sz") > 0
+        )
+        out = {}
+        t0 = time.perf_counter()
+        probe = (
+            sets0.select(F.explode("toks").alias("tok"))
+            .distinct()
+            .limit(m._BITMASK_MAX_VOCAB + 1)
+            .collect()
+        )
+        out["probe_sec"] = round(time.perf_counter() - t0, 3)
+        out["probe_rows"] = len(probe)
+        return sets0, out
+
+    def run_full(docs):
+        d = tempfile.mkdtemp(prefix="setsim_sweep_")
+        try:
+            docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+            t0 = time.perf_counter()
+            n_pairs = m.q_setsim_join(spark, d).count()
+            return round(time.perf_counter() - t0, 3), n_pairs
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    for k in (1, 4, 16, 64):
+        docs = replicate_docs_ids_only(spark, k).persist()
+        row = {"regime": "dense_bitmask", "replicas": k,
+               "n_docs": docs.count()}
+        sets0, probe = probe_sec_and_vocab(docs)
+        row.update(probe)
+        vocab = sorted(
+            r.tok for r in sets0.select(F.explode("toks").alias("tok"))
+            .distinct().limit(m._BITMASK_MAX_VOCAB + 1).collect()
+        )
+        from itertools import chain
+        bit_map = F.create_map(*chain.from_iterable(
+            (F.lit(t), F.lit(1 << i).cast("long"))
+            for i, t in enumerate(vocab)
+        ))
+        mask = F.aggregate(
+            F.transform("toks", lambda t: F.element_at(bit_map, t)),
+            F.lit(0).cast("long"), lambda a, b: a + b,
+        )
+        masked = sets0.select("doc_id", mask.alias("mask")).persist()
+        t0 = time.perf_counter()
+        n_masks = masked.select("mask").distinct().count()
+        row["mask_stage_sec"] = round(time.perf_counter() - t0, 3)
+        row["n_distinct_masks"] = n_masks
+        masks = masked.select("mask").distinct()
+        ma = masks.select(F.col("mask").alias("ma"))
+        mb = masks.select(F.col("mask").alias("mb"))
+        inter = F.bit_count(F.col("ma").bitwiseAND(F.col("mb")))
+        union = F.bit_count(F.col("ma").bitwiseOR(F.col("mb")))
+        t0 = time.perf_counter()
+        row["n_qualifying_mask_pairs"] = (
+            ma.join(F.broadcast(mb), F.col("ma") < F.col("mb"))
+            .filter(inter * F.lit(1.0) / union >= m._T).count()
+        )
+        row["mask_pair_stage_sec"] = round(time.perf_counter() - t0, 3)
+        if k <= 4:
+            row["full_join_sec"], row["n_pairs"] = run_full(docs)
+        masked.unpersist()
+        docs.unpersist()
+        print(json.dumps(row), flush=True)
+
+    # Sparse regime: a GENERATED wide-vocab corpus (5k-token vocabulary,
+    # 12 tokens/doc, every 10th doc gets one near-dup neighbour at
+    # J≈0.85) — the natural-text-like regime prefix filtering exists
+    # for, where candidates are rare and the filter actually prunes.
+    # (The salted synthetic corpus is deliberately NOT used here: its
+    # within-replica self-similarity makes every prefix shared, so the
+    # prefix path degenerates to all-pairs — that pathological regime is
+    # exactly what the bitmask path exists to dodge, already measured
+    # above.)
+    def sparse_corpus(n_docs):
+        src = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+        toks = F.transform(
+            F.sequence(F.lit(0), F.lit(11)),
+            lambda j: F.format_string(
+                "w%05d",
+                (F.col("doc_id") * F.lit(37) + j * F.lit(101)
+                 + (F.col("doc_id") % F.lit(13)) * j) % F.lit(5000),
+            ),
+        )
+        base = src.select(
+            "doc_id", F.array_join(toks, " ").alias("text"),
+            F.lit("en").alias("lang"), F.lit("gen").alias("source"),
+            F.lit(0).alias("n_chars"),
+        )
+        near = base.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100_000_000).alias("doc_id"),
+            F.concat(
+                F.substring_index(F.col("text"), " ", 11), F.lit(" zz")
+            ).alias("text"),
+            "lang", "source", "n_chars",
+        )
+        return base.unionByName(near)
+
+    for n in (5_000, 20_000, 80_000):
+        docs = sparse_corpus(n).persist()
+        row = {"regime": "sparse_prefix", "n_docs": docs.count()}
+        _, probe = probe_sec_and_vocab(docs)
+        row.update(probe)
+        row["full_join_sec"], row["n_pairs"] = run_full(docs)
+        docs.unpersist()
+        print(json.dumps(row), flush=True)
+
+
 def timed(fn) -> float:
     t0 = time.perf_counter()
     fn()
@@ -127,6 +279,8 @@ def main():
         )
         docs.unpersist()
         print(json.dumps(row), flush=True)
+
+    setsim_sweep(spark)
 
     spark.stop()
 

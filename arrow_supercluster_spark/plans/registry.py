@@ -389,6 +389,8 @@ def _load_extended_registries():
         registry_ext147,
         registry_ext148,
         registry_ext149,
+        registry_ext150,
+        registry_ext151,
     )
 
 

@@ -391,6 +391,8 @@ def _load_extended_registries():
         registry_ext149,
         registry_ext150,
         registry_ext151,
+        registry_ext152,
+        registry_ext153,
     )
 
 

@@ -393,6 +393,8 @@ def _load_extended_registries():
         registry_ext151,
         registry_ext152,
         registry_ext153,
+        registry_ext154,
+        registry_ext155,
     )
 
 

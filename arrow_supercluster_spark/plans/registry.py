@@ -395,6 +395,9 @@ def _load_extended_registries():
         registry_ext153,
         registry_ext154,
         registry_ext155,
+        registry_ext156,
+        registry_ext157,
+        registry_ext158,
     )
 
 

@@ -114,6 +114,9 @@ ALLOWLIST: dict[str, str] = {
         "|sources| x |langs| cost/plan cells (small categorical domains)",
     "plans/registry_ext145.py::q_pelt_changepoints":
         "calendar-bounded daily series",
+    "plans/registry_ext158.py::q_absorbing_markov":
+        "|event types|^2 transition cells (fixed enum, <= ~7x7 with "
+        "terminals) for the driver-side <=5x5 fundamental-matrix solve",
     "plans/registry_ext146.py::q_value_at_risk":
         "calendar-bounded daily return series",
     "sources/geoparquet.py::write_geoparquet":

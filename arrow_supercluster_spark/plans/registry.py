@@ -398,6 +398,8 @@ def _load_extended_registries():
         registry_ext156,
         registry_ext157,
         registry_ext158,
+        registry_ext159,
+        registry_ext160,
     )
 
 

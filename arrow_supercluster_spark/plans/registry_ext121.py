@@ -330,7 +330,24 @@ def q_hurst_rs(spark, sf_dir):
 # R344 — binary media payload dedup
 # ===========================================================================
 
-@register("q_media_dedup", None)
+@register(
+    "q_media_dedup",
+    f"""
+    WITH groups AS (
+      SELECT doc_id % {_MEDIA_DEDUP_MOD} AS src_key,
+             CAST(COUNT(*) AS BIGINT) AS n_copies,
+             MIN(doc_id) AS keeper_id
+      FROM documents GROUP BY 1
+    )
+    SELECT CAST(SUM(n_copies) AS BIGINT) AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_unique,
+           CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_groups,
+           CAST(MAX(n_copies) AS BIGINT) AS max_group,
+           CAST(SUM(keeper_id) AS BIGINT) AS keeper_id_sum
+    FROM groups
+    """,
+)
 def q_media_dedup(spark, sf_dir):
     """R344 — exact dedup over BINARY media payloads: the corpus
     synthesizes each doc's GIF from doc_id mod {m}, so every payload
@@ -338,8 +355,12 @@ def q_media_dedup(spark, sf_dir):
     the bytes sit (no payload shuffle — only the 16-byte digest moves),
     groups key on the digest, the canonical keeper is the min media_id.
     Rollup: file/unique/group counts + largest group + canonical-id
-    checksum. Rows-only (payload synthesis has no SQL form); the
-    closed-form ground truth is asserted in tests/test_batch116.py.
+    checksum. The SQL twin (added round 6, VERDICT r5 Next-round #8)
+    derives the SAME rollup from the construction's ground truth —
+    doc_id mod {m} groups — WITHOUT running the codec or md5, so the
+    differential genuinely checks the digest/grouping plumbing: a codec
+    collision or dedup bug breaks the match. GIF encoder injectivity in
+    src_key is separately asserted in tests/test_batch116.py.
     The media twin of E1 exact text dedup — at 100 TB this is how you
     dedup an image/audio corpus before feature extraction.""".format(
         m=_MEDIA_DEDUP_MOD

@@ -114,6 +114,10 @@ ALLOWLIST: dict[str, str] = {
         "|sources| x |langs| cost/plan cells (small categorical domains)",
     "plans/registry_ext145.py::q_pelt_changepoints":
         "calendar-bounded daily series",
+    "plans/registry_ext159.py::q_pacf":
+        "1-row centered-SS agg + one 1-row lag-covariance agg per lag "
+        "(<= _PACF_LAGS = 5 collects of one row each) for the "
+        "driver-side Durbin-Levinson recursion",
     "plans/registry_ext158.py::q_absorbing_markov":
         "|event types|^2 transition cells (fixed enum, <= ~7x7 with "
         "terminals) for the driver-side <=5x5 fundamental-matrix solve",

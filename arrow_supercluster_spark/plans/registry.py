@@ -400,6 +400,8 @@ def _load_extended_registries():
         registry_ext158,
         registry_ext159,
         registry_ext160,
+        registry_ext161,
+        registry_ext162,
     )
 
 

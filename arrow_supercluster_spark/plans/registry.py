@@ -402,6 +402,8 @@ def _load_extended_registries():
         registry_ext160,
         registry_ext161,
         registry_ext162,
+        registry_ext163,
+        registry_ext164,
     )
 
 

@@ -404,6 +404,7 @@ def _load_extended_registries():
         registry_ext162,
         registry_ext163,
         registry_ext164,
+        registry_ext165,
     )
 
 

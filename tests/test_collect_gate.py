@@ -118,6 +118,8 @@ ALLOWLIST: dict[str, str] = {
         "1-row centered-SS agg + one 1-row lag-covariance agg per lag "
         "(<= _PACF_LAGS = 5 collects of one row each) for the "
         "driver-side Durbin-Levinson recursion",
+    "plans/registry_ext165.py::q_replay_idempotence":
+        "two 1-row rollup aggs (before/after the replayed batch)",
     "plans/registry_ext158.py::q_absorbing_markov":
         "|event types|^2 transition cells (fixed enum, <= ~7x7 with "
         "terminals) for the driver-side <=5x5 fundamental-matrix solve",

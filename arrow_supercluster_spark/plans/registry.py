@@ -405,6 +405,7 @@ def _load_extended_registries():
         registry_ext163,
         registry_ext164,
         registry_ext165,
+        registry_ext166,
     )
 
 

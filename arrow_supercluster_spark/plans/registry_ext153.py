@@ -68,13 +68,17 @@ _CR_PREMIUM = 200.0
 )
 def q_max_concurrency(spark, sf_dir):
     """R437 — sweep-line peak concurrency over 5-minute event
-    intervals: +1 at open, −1 at close, ordered by (t, delta) so a
-    close at the same instant as an open is processed first (both
-    engines share the tie rule), running sum via a RANGE window (peer
-    groups sum together identically in Spark and DuckDB), then the max
-    and its first attainment. One time-ordered shuffle — the same cost
-    a sessionizer pays; no self-join over intervals (the naive
-    overlap-join is O(n²))."""
+    intervals: +1 at open, −1 at close, closes processed first at a
+    shared instant (both engines share the tie rule; with closes
+    first, no intermediate state inside an instant exceeds the
+    instant's final value, so the per-instant cumulative attains the
+    peak). Spark side: deltas collapse per distinct instant, then the
+    DISTRIBUTED zip_scan running sum — no global window (the
+    window-gate scale-killer class); the oracle twin keeps the plain
+    windowed form, same output. One time-ordered shuffle; no O(n²)
+    overlap join."""
+    from arrow_supercluster_spark.functions.distrank import zip_scan
+
     ev = read_events(spark, sf_dir)
     opens = ev.select(F.col("ts").alias("t"), F.lit(1).alias("delta"))
     closes = ev.select(
@@ -82,10 +86,14 @@ def q_max_concurrency(spark, sf_dir):
         F.lit(-1).alias("delta"),
     )
     sweep = opens.unionByName(closes)
-    running = sweep.select(
-        "t",
-        "delta",
-        F.sum("delta").over(Window.orderBy("t", "delta")).alias("live"),
+    # Collapse deltas per distinct instant FIRST: with the closes-first
+    # tie rule, intermediate states inside one instant never exceed the
+    # instant's final value, so the peak is attained on the per-instant
+    # cumulative — which the distributed zip_scan computes without a
+    # global window (the window-gate class this query must not join).
+    per_t = sweep.groupBy("t").agg(F.sum("delta").alias("nd"))
+    running, _, _ = zip_scan(
+        per_t, ["t"], out="_i", scan_col="nd", scan_out="live"
     )
     n = ev.agg(F.count(F.lit(1)).alias("n_intervals"))
     peak = running.agg(F.max("live").alias("max_live"))

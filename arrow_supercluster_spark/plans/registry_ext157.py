@@ -22,7 +22,6 @@ fold.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from pyspark.sql import Window
 
 from arrow_supercluster_spark.plans.registry_core import register
 from arrow_supercluster_spark.plans.registry_ext import _docs
@@ -164,77 +163,92 @@ def q_cramers_v(spark, sf_dir):
     """
     WITH vals AS (
       SELECT CAST(round(value * 100) AS BIGINT) AS v,
-             user_id % 2 = 0 AS in_x, event_id
+             user_id % 2 = 0 AS in_x
       FROM events WHERE event_type = 'purchase'
     ),
-    ranked AS (
-      SELECT in_x,
-             ROW_NUMBER() OVER (ORDER BY v, event_id) AS r,
-             ROW_NUMBER() OVER (PARTITION BY in_x ORDER BY v, event_id)
-               AS i
-      FROM vals
+    per_v AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN in_x THEN 1 ELSE 0 END) AS BIGINT) AS g0,
+             CAST(SUM(CASE WHEN in_x THEN 0 ELSE 1 END) AS BIGINT) AS g1,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM vals GROUP BY v
     ),
-    sums AS (
-      SELECT
-        CAST(SUM(CASE WHEN in_x THEN 1 ELSE 0 END) AS BIGINT) AS n,
-        CAST(SUM(CASE WHEN in_x THEN 0 ELSE 1 END) AS BIGINT) AS m,
-        SUM(CASE WHEN in_x THEN (r - i) * 1.0 * (r - i) ELSE 0 END)
-          AS sx,
-        SUM(CASE WHEN in_x THEN 0 ELSE (r - i) * 1.0 * (r - i) END)
-          AS sy
-      FROM ranked
+    cum AS (
+      SELECT w,
+             SUM(g0) OVER (ORDER BY v) AS c0,
+             SUM(g1) OVER (ORDER BY v) AS c1
+      FROM per_v
+    ),
+    nn AS (
+      SELECT CAST(SUM(g0) AS BIGINT) AS n,
+             CAST(SUM(g1) AS BIGINT) AS m
+      FROM per_v
+    ),
+    t AS (
+      SELECT nn.n, nn.m,
+             nn.n * 1.0 * nn.m / ((nn.n + nn.m) * 1.0 * (nn.n + nn.m))
+               * SUM(cum.w * (cum.c0 * 1.0 / nn.n - cum.c1 * 1.0 / nn.m)
+                           * (cum.c0 * 1.0 / nn.n - cum.c1 * 1.0 / nn.m))
+               AS t
+      FROM cum CROSS JOIN nn GROUP BY nn.n, nn.m
     )
     SELECT n AS n_x, m AS n_y,
-           round((n * sx + m * sy) / (n * 1.0 * m * (n + m))
-                 - (4.0 * n * m - 1) / (6.0 * (n + m)), 6)
-             AS cvm_t,
-           (n * sx + m * sy) / (n * 1.0 * m * (n + m))
-             - (4.0 * n * m - 1) / (6.0 * (n + m)) > 0.461
-             AS reject_5pct
-    FROM sums
+           round(t, 6) AS cvm_t,
+           t > 0.461 AS reject_5pct
+    FROM t
     """,
 )
 def q_cvm_test(spark, sf_dir):
-    """R450 — two-sample Cramér-von Mises (rank form, Anderson 1962):
-    with combined ranks r_i of sample X and s_j of sample Y (exact
-    integer cents; ties broken by event_id identically in both
-    engines), U = nΣ(r_i−i)² + mΣ(s_j−j)², T = U/(nm(n+m)) −
-    (4nm−1)/(6(n+m)), vs the asymptotic 5% critical 0.461. Cohorts =
-    even/odd user_id — the same-distribution null should HOLD here
-    (both cohorts draw from one generator), asserted in tests along
-    with the scipy cross-check. Two window ranks over one
-    sort-shuffle."""
+    """R450 — two-sample Cramér-von Mises in the tie-aware ECDF form:
+    T = nm/(n+m)²·Σ_z w_z (F_n(z) − G_m(z))² summed over every
+    observation z (equal to Anderson's rank form when ties are
+    absent), vs the asymptotic 5% critical 0.461. The value frame
+    collapses to distinct integer cents FIRST; the cumulative counts
+    come from the distributed zip_scan, not a global window (the
+    round-4 q_ks_test de-weak, reused — the oracle twin keeps the
+    plain windowed form over the same collapsed frame). Cohorts =
+    even/odd user_id — the same-distribution null should HOLD
+    (asserted), and scipy cross-checks the statistic."""
+    from arrow_supercluster_spark.functions.distrank import zip_scan
+
     ev = read_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
     vals = ev.select(
         F.round(F.col("value") * 100).cast("long").alias("v"),
         (F.col("user_id") % 2 == 0).alias("in_x"),
-        "event_id",
     )
-    ranked = vals.select(
-        "in_x",
-        F.row_number().over(Window.orderBy("v", "event_id")).alias("r"),
-        F.row_number()
-        .over(Window.partitionBy("in_x").orderBy("v", "event_id"))
-        .alias("i"),
+    per_v = vals.groupBy("v").agg(
+        F.sum(F.when(F.col("in_x"), 1).otherwise(0)).alias("g0"),
+        F.sum(F.when(F.col("in_x"), 0).otherwise(1)).alias("g1"),
+        F.count(F.lit(1)).alias("w"),
     )
-    dev2 = (F.col("r") - F.col("i")) * 1.0 * (F.col("r") - F.col("i"))
-    sums = ranked.agg(
-        F.sum(F.when(F.col("in_x"), 1).otherwise(0)).cast("long").alias("n"),
-        F.sum(F.when(F.col("in_x"), 0).otherwise(1)).cast("long").alias("m"),
-        F.sum(F.when(F.col("in_x"), dev2).otherwise(0.0)).alias("sx"),
-        F.sum(F.when(F.col("in_x"), 0.0).otherwise(dev2)).alias("sy"),
+    cum, _, totals = zip_scan(
+        per_v, ["v"], out="_i", scan_col=["g0", "g1"], scan_out=["c0", "c1"]
     )
+    nn = per_v.agg(
+        F.sum("g0").cast("long").alias("n"),
+        F.sum("g1").cast("long").alias("m"),
+    )
+    gap = F.col("c0") * 1.0 / F.col("n") - F.col("c1") * 1.0 / F.col("m")
     t = (
-        (F.col("n") * F.col("sx") + F.col("m") * F.col("sy"))
-        / (F.col("n") * 1.0 * F.col("m") * (F.col("n") + F.col("m")))
-        - (4.0 * F.col("n") * F.col("m") - 1)
-        / (6.0 * (F.col("n") + F.col("m")))
+        cum.crossJoin(F.broadcast(nn))
+        .groupBy("n", "m")
+        .agg(F.sum(F.col("w") * gap * gap).alias("s"))
+        .select(
+            "n",
+            "m",
+            (
+                F.col("n") * 1.0 * F.col("m")
+                / ((F.col("n") + F.col("m")) * 1.0
+                   * (F.col("n") + F.col("m")))
+                * F.col("s")
+            ).alias("t"),
+        )
     )
-    return sums.select(
+    return t.select(
         F.col("n").alias("n_x"),
         F.col("m").alias("n_y"),
-        F.round(t, 6).alias("cvm_t"),
-        (t > 0.461).alias("reject_5pct"),
+        F.round("t", 6).alias("cvm_t"),
+        (F.col("t") > 0.461).alias("reject_5pct"),
     )
 
 

@@ -133,17 +133,19 @@ def q_theta_sketch(spark, sf_dir):
             ((F.col("user_id") * 48271 + 11) % _TS_P) * 1.0 / _TS_P
         ).alias("h"),
     )
-    w = Window.orderBy("h", "user_id")
+    # k smallest hashes per cohort via sort+limit — Spark plans this as
+    # TakeOrdered (per-partition top-k then a k-row merge), NOT a global
+    # window; (h, user_id) ordering keeps the cut deterministic
     ka = (
         hashed.filter("in_a")
-        .select("h", F.row_number().over(w).alias("rk"))
-        .filter(F.col("rk") <= _TS_K)
+        .orderBy("h", "user_id")
+        .limit(_TS_K)
         .select("h")
     )
     kb = (
         hashed.filter("in_b")
-        .select("h", F.row_number().over(w).alias("rk"))
-        .filter(F.col("rk") <= _TS_K)
+        .orderBy("h", "user_id")
+        .limit(_TS_K)
         .select("h")
     )
     na = ka.agg(

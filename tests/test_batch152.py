@@ -51,26 +51,30 @@ def test_cvm_matches_scipy_and_null_holds(spark, sf_dir):
         .selectExpr(
             "CAST(round(value*100) AS LONG) AS v",
             "user_id % 2 = 0 AS in_x",
-            "event_id",
         )
         .collect()
     )
-    x = sorted((row.v, row.event_id) for row in vals if row.in_x)
-    y = sorted((row.v, row.event_id) for row in vals if not row.in_x)
+    x = np.array(sorted(row.v for row in vals if row.in_x), float)
+    y = np.array(sorted(row.v for row in vals if not row.in_x), float)
     assert (r.n_x, r.n_y) == (len(x), len(y))
+    # ECDF-form python replay over every observation
+    zs = np.concatenate([x, y])
+    fx = np.searchsorted(x, zs, side="right") / len(x)
+    gy = np.searchsorted(y, zs, side="right") / len(y)
+    t = (
+        len(x) * len(y) / (len(x) + len(y)) ** 2
+        * ((fx - gy) ** 2).sum()
+    )
+    assert abs(r.cvm_t - t) < 1e-5
     # same generator on both cohorts: the equality null should hold
     assert not r.reject_5pct
     try:
         from scipy import stats
     except ImportError:
         return
-    sp = stats.cramervonmises_2samp(
-        np.array([v for v, _ in x], float),
-        np.array([v for v, _ in y], float),
-        method="asymptotic",
-    )
-    # scipy's statistic uses the same Anderson rank form; ties are
-    # broken differently but integer-cent ties are rare
+    sp = stats.cramervonmises_2samp(x, y, method="asymptotic")
+    # scipy computes the rank form; equal to the ECDF form up to ties
+    # (integer-cent ties are rare at this n)
     assert abs(r.cvm_t - sp.statistic) < 5e-3
 
 

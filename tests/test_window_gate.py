@@ -45,6 +45,13 @@ ALLOWED_GLOBAL_WINDOWS = {
     "q_gini",        # rank over |sources| / |langs| group counts
     # (q_mann_whitney / q_ks_test / q_spearman were de-weaked in round 4:
     #  group-collapsed zip_scan midranks/ECDFs, no user-dimension window)
+    # round-6 calendar/bin-bounded frames (audited in the r6 gate run)
+    "q_kendall_w",      # three ROW_NUMBER ranks over <=31 day rows
+    "q_page_hinkley",   # running mean/sum/min over <=31 day rows
+    "q_croston",        # demand-day index/lag over <=31 day rows
+    "q_stl_lite",       # 7-day centered MA over <=31 day rows
+    "q_qn_scale",       # pairwise-|diff| rank over <=31*30/2 day pairs
+    "q_hist_quantiles", # cumulative counts over <=40 literal bins
     # structural scans over tiny administrative frames
     "q_concat_chunks",   # one row per input partition (prefix offsets)
     "q_shard_manifest",  # one row per output shard

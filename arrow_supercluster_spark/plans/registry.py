@@ -406,6 +406,7 @@ def _load_extended_registries():
         registry_ext164,
         registry_ext165,
         registry_ext166,
+        registry_ext167,
     )
 
 

@@ -52,6 +52,7 @@ ALLOWED_GLOBAL_WINDOWS = {
     "q_stl_lite",       # 7-day centered MA over <=31 day rows
     "q_qn_scale",       # pairwise-|diff| rank over <=31*30/2 day pairs
     "q_hist_quantiles", # cumulative counts over <=40 literal bins
+    "q_ewma_chart",     # day index rank over <=31 day rows
     # structural scans over tiny administrative frames
     "q_concat_chunks",   # one row per input partition (prefix offsets)
     "q_shard_manifest",  # one row per output shard

@@ -407,6 +407,7 @@ def _load_extended_registries():
         registry_ext165,
         registry_ext166,
         registry_ext167,
+        registry_ext168,
     )
 
 

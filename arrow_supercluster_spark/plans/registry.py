@@ -529,9 +529,31 @@ _ROTATION_R6 = [
 ]
 
 
+# Round-7 rotation — the judge's suggested slate (VERDICT r6 "Next round"
+# #3): 20 never-driver-checked round-6 entries so the hard signal lands on
+# the newest surface (TPC-H shapes, curation plumbing, sketches, stats and
+# eval metrics from batches 145-163). Every slot vacated by this rotation
+# (all of _ROTATION_R6) is driver-green in CORRECTNESS_r06.json, so no
+# driver evidence is lost.
+_ROTATION_R7 = [
+    # classic SQL shapes
+    "q_tpch_q3", "q_tpch_q10", "q_tpch_q18", "q_max_concurrency",
+    # curation plumbing
+    "q_url_canonicalize", "q_luhn_check",
+    # storage-engine sketches
+    "q_theta_sketch", "q_bitmap_index", "q_hist_quantiles",
+    # statistics
+    "q_cvm_test", "q_levene", "q_tukey_hsd", "q_jarque_bera",
+    "q_herfindahl",
+    # eval metrics / clustering / forecasting
+    "q_macro_f1", "q_map_at_k", "q_ece", "q_calinski_harabasz",
+    "q_croston", "q_stl_lite",
+]
+
+
 def _order_driver_window() -> None:
     names = list(REGISTRY)
-    window = _WINDOW_CORE + _ROTATION_R6
+    window = _WINDOW_CORE + _ROTATION_R7
     assert len(window) == 50 and len(set(window)) == 50, "window must be 50 unique"
     for n in window:
         assert n in REGISTRY, f"window query {n} not registered"

@@ -83,13 +83,13 @@ def test_pack_sequences_ffd_replay(spark, sf_dir):
     from arrow_supercluster_spark.operators.dedup import tokenize
     from arrow_supercluster_spark.plans.registry_ext154 import (
         _PACK_CTX,
-        _PACK_GROUPS,
+        _PACK_GROUP_TOKEN_BUDGET,
+        pack_group_count,
         q_pack_sequences,
     )
     from pyspark.sql import functions as F
 
     rows = {r.grp: r for r in q_pack_sequences(spark, sf_dir).collect()}
-    assert set(rows) == set(range(_PACK_GROUPS))
     lens = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select(
@@ -100,11 +100,24 @@ def test_pack_sequences_ffd_replay(spark, sf_dir):
         )
         .collect()
     )
+    # replay the data-derived group count (r6 de-weak): every group's
+    # token total must respect the per-kernel budget up to one doc's
+    # worth of rounding, and g must match the shipped derivation.
+    g = pack_group_count(sum(d.toks for d in lens))
+    assert set(rows) == set(range(g))
     by_grp = {}
     for d in lens:
-        by_grp.setdefault(d.doc_id % _PACK_GROUPS, []).append(
+        by_grp.setdefault(d.doc_id % g, []).append(
             (d.toks, d.doc_id)
         )
+    if g > pack_group_count(0):
+        # above the floor the budget is the binding constraint:
+        # expected group total ~ total/g <= budget
+        for items in by_grp.values():
+            assert (
+                sum(t for t, _ in items)
+                <= 2 * _PACK_GROUP_TOKEN_BUDGET
+            )
     for g, items in by_grp.items():
         items.sort(key=lambda t: (-t[0], t[1]))
         bins = []
@@ -126,3 +139,40 @@ def test_pack_sequences_ffd_replay(spark, sf_dir):
             r.fill_rate - round(total / (len(bins) * _PACK_CTX), 4)
         ) < 1e-9
         assert 0 < r.fill_rate <= 1
+
+
+def test_pack_group_count_derivation():
+    from arrow_supercluster_spark.plans.registry_ext154 import (
+        _PACK_GROUP_TOKEN_BUDGET,
+        _PACK_GROUPS_MIN,
+        pack_group_count,
+    )
+
+    # parallelism floor on small corpora
+    assert pack_group_count(0) == _PACK_GROUPS_MIN
+    assert pack_group_count(_PACK_GROUP_TOKEN_BUDGET) == _PACK_GROUPS_MIN
+    # above the floor: ceil-division growth, so per-group tokens stay
+    # bounded by the budget at ANY corpus size (the 100 TB property)
+    big = 100 * _PACK_GROUP_TOKEN_BUDGET
+    assert pack_group_count(big) == 100
+    assert pack_group_count(big + 1) == 101
+    # 100 TB ~ 25e12 tokens -> ~12M groups, each <= budget
+    huge = 25 * 10**12
+    g = pack_group_count(huge)
+    assert huge / g <= _PACK_GROUP_TOKEN_BUDGET
+
+
+def test_pack_manifest_consistent_with_pack_sequences(spark, sf_dir):
+    from arrow_supercluster_spark.plans.registry_ext154 import (
+        q_pack_manifest,
+        q_pack_sequences,
+    )
+
+    man = {r.grp: r for r in q_pack_manifest(spark, sf_dir).collect()}
+    seq = {r.grp: r for r in q_pack_sequences(spark, sf_dir).collect()}
+    assert set(man) == set(seq)
+    for g, m in man.items():
+        s = seq[g]
+        assert m.n_docs == s.n_docs
+        assert m.total_tokens == s.total_tokens
+        assert m.lp_lower_bound == s.lp_lower_bound

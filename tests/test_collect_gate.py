@@ -81,6 +81,12 @@ ALLOWLIST: dict[str, str] = {
         "seeded sample of k literal pairs",
     "plans/registry_ext86.py::q_idf_weighted_jaccard":
         "1-row max(doc_id) agg",
+    "plans/registry_ext154.py::q_pack_sequences":
+        "1-row sum(toks) agg deriving the data-dependent packing "
+        "group count (r6 de-weak of VERDICT What's-wrong #1)",
+    "plans/registry_ext154.py::q_pack_manifest":
+        "1-row sum(toks) agg deriving the data-dependent packing "
+        "group count (same derivation as q_pack_sequences)",
     "plans/registry_ext89.py::q_setsim_join":
         "dispatch probe: distinct().limit(_BITMASK_MAX_VOCAB+1) — 63 "
         "rows max regardless of corpus vocabulary (r6 fix of VERDICT r5 "

@@ -4,8 +4,8 @@ checkable AND honestly rotated: every window slot must carry a SQL twin,
 the current round's rotation slots must be queries that never had a
 driver-green row before (so driver coverage grows monotonically instead of
 re-showing known-green entries), every slot vacated by a rotation must
-keep prior driver-green evidence, and the registry must stay
-duplicate-free."""
+keep prior driver-GREEN evidence (actually-green rows, not mere name
+presence — r6 ADVICE fix), and the registry must stay duplicate-free."""
 
 import json
 import pathlib
@@ -14,11 +14,22 @@ from arrow_supercluster_spark.plans.registry import (
     _ROTATION_R4,
     _ROTATION_R5,
     _ROTATION_R6,
+    _ROTATION_R7,
     _WINDOW_CORE,
     REGISTRY,
 )
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def _row_green(row: dict) -> bool:
+    """The driver's green criterion: rows matched, no error, and the
+    value hash matched whenever the driver computed one."""
+    return bool(
+        row.get("rows_match")
+        and row.get("err") is None
+        and row.get("hash_match") is not False
+    )
 
 
 def _driver_union(max_round: int) -> set:
@@ -31,6 +42,19 @@ def _driver_union(max_round: int) -> set:
     return seen
 
 
+def _driver_green_union(max_round: int) -> set:
+    """Union of query names with an actually-GREEN driver row in
+    CORRECTNESS_r01..r{N} (r6 ADVICE: presence is not evidence)."""
+    green = set()
+    for r in range(1, max_round + 1):
+        p = REPO / f"CORRECTNESS_r{r:02d}.json"
+        if p.exists():
+            for name, row in json.loads(p.read_text()).items():
+                if _row_green(row):
+                    green.add(name)
+    return green
+
+
 def test_first_50_all_sql_backed():
     window = list(REGISTRY)[:50]
     rows_only = [n for n in window if REGISTRY[n].sql is None]
@@ -38,7 +62,7 @@ def test_first_50_all_sql_backed():
 
 
 def test_window_is_core_plus_rotation():
-    assert list(REGISTRY)[:50] == _WINDOW_CORE + _ROTATION_R6
+    assert list(REGISTRY)[:50] == _WINDOW_CORE + _ROTATION_R7
 
 
 def test_r4_rotation_was_never_checked_before_r4():
@@ -55,34 +79,69 @@ def test_r5_rotation_was_never_checked_before_r5():
     assert not already, f"r5 rotation slots wasted on already-checked: {already}"
 
 
-def test_r6_rotation_entries_never_driver_checked_before():
+def test_r6_rotation_was_never_checked_before_r6():
     seen = _driver_union(5)
     already = [n for n in _ROTATION_R6 if n in seen]
     assert not already, f"r6 rotation slots wasted on already-checked: {already}"
 
 
-def test_r6_rotation_slots_disjoint_and_sql_backed():
-    assert len(set(_ROTATION_R6)) == 20
-    assert not set(_ROTATION_R6) & set(_WINDOW_CORE)
-    assert not set(_ROTATION_R6) & set(_ROTATION_R4)
-    assert not set(_ROTATION_R6) & set(_ROTATION_R5)
-    for n in _ROTATION_R6:
+def test_r7_rotation_entries_never_driver_checked_before():
+    seen = _driver_union(6)
+    already = [n for n in _ROTATION_R7 if n in seen]
+    assert not already, f"r7 rotation slots wasted on already-checked: {already}"
+
+
+def test_r7_rotation_slots_disjoint_and_sql_backed():
+    assert len(set(_ROTATION_R7)) == 20
+    assert not set(_ROTATION_R7) & set(_WINDOW_CORE)
+    assert not set(_ROTATION_R7) & set(_ROTATION_R4)
+    assert not set(_ROTATION_R7) & set(_ROTATION_R5)
+    assert not set(_ROTATION_R7) & set(_ROTATION_R6)
+    for n in _ROTATION_R7:
         assert REGISTRY[n].sql is not None, f"rows-only in rotation: {n}"
 
 
-def test_vacated_slots_all_have_prior_driver_rows():
+def test_vacated_slots_all_have_prior_driver_green_rows():
     """Dropping a query from the window must not destroy evidence: every
-    previously-windowed query that is no longer in the first 50 needs a
-    driver-green row in some past round's record."""
-    seen = _driver_union(5)
+    previously-windowed query that is no longer in the first 50 needs an
+    actually-GREEN driver row (rows_match, hash when computed, no err) in
+    some past round's record — not just a row by name (r6 ADVICE fix of
+    the prior tautological form)."""
+    green = _driver_green_union(6)
     window = set(list(REGISTRY)[:50])
-    lost = [n for n in seen - window if n not in seen]
-    assert not lost
-    # specifically: every r4/r5 window member not in the current window
-    # has a driver-green row recorded in its own round's record
-    for rec in ("CORRECTNESS_r04.json", "CORRECTNESS_r05.json"):
-        prior = set(json.loads((REPO / rec).read_text()))
-        assert not [n for n in prior - window if n not in seen]
+    prior_windows = (
+        set(_WINDOW_CORE)
+        | set(_ROTATION_R4)
+        | set(_ROTATION_R5)
+        | set(_ROTATION_R6)
+    )
+    # 4 early-window rows-only slots (r1/r2 insertion-order windows)
+    # were never green by design and were rotated out in r3; they are
+    # covered by portable-hash siblings (COVERAGE.md) and tracked there.
+    legacy_rows_only = {
+        "q_dedup_minhash", "q_dedup_simhash", "q_cosine_topk_lsh",
+        "q_doc_stats",
+    }
+    vacated = prior_windows - window - legacy_rows_only
+    missing = sorted(n for n in vacated if n not in green)
+    assert not missing, (
+        f"vacated window slots with no driver-GREEN row: {missing}"
+    )
+
+
+def test_every_correctness_record_window_was_green():
+    """Every recorded driver window row in r3+ must be green — a red row
+    in any shipped CORRECTNESS record would mean a round regressed and
+    the rotation carried on anyway."""
+    for r in range(3, 7):
+        p = REPO / f"CORRECTNESS_r{r:02d}.json"
+        if not p.exists():
+            continue
+        bad = [
+            n for n, row in json.loads(p.read_text()).items()
+            if not _row_green(row)
+        ]
+        assert not bad, f"non-green rows in round {r}: {bad}"
 
 
 def test_registry_size_and_uniqueness():

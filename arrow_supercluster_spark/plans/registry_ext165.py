@@ -92,36 +92,66 @@ def hll_estimate(registers):
 
 @register("q_hll_stream", None)
 def q_hll_stream(spark, sf_dir):
-    """R473 — HLL over the event stream: availableNow file stream,
-    foreachBatch writes each micro-batch's 64-register partial under
+    """R473 — HLL over the event stream: availableNow file stream over
+    the EXISTING events parquet bytes (r6 ADVICE: the previous
+    write-then-re-stream source duplicated the full corpus into /tmp
+    and never removed it — at 100 TB the copy IS the dominant cost).
+    FileStreamSource needs a directory, and the testdata table is a
+    single file, so the source dir holds one O(1) SYMLINK to it — zero
+    bytes copied (on a cluster the table is already a directory and
+    streams directly). foreachBatch writes each micro-batch's
+    64-register partial under
     batch_id=N (idempotent under replay — a batch overwrites only its
     own path), merged registers = MAX per bucket, estimate with the
     small-range linear-counting correction. Because MAX-merge is
     exactly the batch build's aggregation tree, the streamed registers
     equal the batch registers bit-for-bit (asserted in tests, with the
-    exact distinct and relative error in the output)."""
+    exact distinct and relative error in the output). The ≤64 merged
+    registers are materialized before the try/finally removes the
+    sink, so no scratch outlives the call."""
+    import os
+    import shutil
+
     ev = read_events(spark, sf_dir)
-    src = tempfile.mkdtemp(prefix="hll_stream_src_")
+    # stream the raw files with their on-disk schema; the fold only
+    # touches user_id, so timestamp normalization is irrelevant here
+    src = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(src).schema
+    srcdir = tempfile.mkdtemp(prefix="hll_stream_src_")
     sink = tempfile.mkdtemp(prefix="hll_stream_sink_")
-    ev.write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(ev.schema).parquet(src)
+    try:
+        if os.path.isdir(src):
+            # table is already a directory of files: stream it directly
+            stream_path = src
+        else:
+            # single-file table: one symlink, zero bytes copied
+            os.symlink(src, f"{srcdir}/events.parquet")
+            stream_path = srcdir
+        stream = spark.readStream.schema(raw_schema).parquet(stream_path)
 
-    def fold(batch_df, batch_id: int) -> None:
-        hll_user_registers(batch_df).write.mode("overwrite").parquet(
-            f"{sink}/batch_id={batch_id}"
+        def fold(batch_df, batch_id: int) -> None:
+            hll_user_registers(batch_df).write.mode("overwrite").parquet(
+                f"{sink}/batch_id={batch_id}"
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .trigger(availableNow=True)
+            .start()
         )
-
-    q = (
-        stream.writeStream.foreachBatch(fold)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    merged = (
-        spark.read.parquet(f"{sink}/batch_id=*")
-        .groupBy("bucket")
-        .agg(F.max("rho").alias("rho"))
-    )
+        q.awaitTermination(300)
+        merged_df = (
+            spark.read.parquet(f"{sink}/batch_id=*")
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("rho"))
+        )
+        # bounded collect: at most _HS_M = 64 register rows
+        regs = merged_df.collect()
+        schema = merged_df.schema
+    finally:
+        shutil.rmtree(sink, ignore_errors=True)
+        shutil.rmtree(srcdir, ignore_errors=True)
+    merged = spark.createDataFrame(regs, schema)
     est = hll_estimate(merged)
     exact = ev.agg(F.countDistinct("user_id").alias("exact"))
     return est.crossJoin(F.broadcast(exact)).select(
@@ -162,27 +192,33 @@ def q_hll_stream(spark, sf_dir):
              (SELECT MIN(b) FROM cum WHERE cn >= q * tot) AS qb
       FROM (SELECT UNNEST([0.5, 0.9, 0.99]) AS q)
     ),
+    ordv AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS n FROM vals GROUP BY x
+    ),
+    cumv AS (
+      SELECT x, SUM(n) OVER (ORDER BY x) AS cn,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM vals) AS tot
+      FROM ordv
+    ),
     exact AS (
-      SELECT quantile_cont(x, 0.5) AS e50,
-             quantile_cont(x, 0.9) AS e90,
-             quantile_cont(x, 0.99) AS e99
-      FROM vals
+      SELECT qs.q,
+             (SELECT MIN(x) FROM cumv
+              WHERE cn >= CAST(qs.q AS DOUBLE) * tot) AS ex
+      FROM qs
     ),
     est AS (
       SELECT qs.q,
              {_HQ_LO} + (qs.qb + 0.5) * (({_HQ_HI} - {_HQ_LO})
                                          / {_HQ_BINS}) AS approx,
-             CASE WHEN qs.q = 0.5 THEN exact.e50
-                  WHEN qs.q = 0.9 THEN exact.e90
-                  ELSE exact.e99 END AS ex
-      FROM qs CROSS JOIN exact
+             exact.ex AS ex
+      FROM qs JOIN exact ON qs.q = exact.q
     )
     SELECT est.q,
            round(est.approx, 4) AS hist_quantile,
            round(est.ex, 4) AS exact_quantile,
            round(abs(est.approx - est.ex), 4) AS abs_error,
            abs(est.approx - est.ex)
-             <= ({_HQ_HI} - {_HQ_LO}) * 1.0 / {_HQ_BINS}
+             <= ({_HQ_HI} - {_HQ_LO}) * 0.5 / {_HQ_BINS} + 1e-9
              AS within_bin_bound
     FROM est ORDER BY est.q
     """,
@@ -192,10 +228,18 @@ def q_hist_quantiles(spark, sf_dir):
     {b} fixed bins on [{lo}, {hi}] (counts partial-aggregate map-side
     and MERGE BY SUM — the sketch property that makes this the
     distributed quantile workhorse), estimate = midpoint of the first
-    bin whose cumulative count crosses q·N, vs the exact percentile,
-    with the one-bin-width error bound shipped AND checked as a
-    boolean column. The hand-rolled twin of q_approx_quantiles'
-    engine-native sketch.""".format(b=_HQ_BINS, lo=_HQ_LO, hi=_HQ_HI)
+    bin whose cumulative count crosses q·N, vs the exact TYPE-1
+    (inverse-CDF) percentile — the crossing bin provably CONTAINS the
+    type-1 quantile, so the half-bin-width bound shipped as
+    within_bin_bound is a theorem, not an empirical accident (r6
+    ADVICE: the interpolated quantile_cont percentile can straddle
+    into a sparse tail and legitimately exceed one bin width). The
+    value-collapsed cumulative window is bounded by the ≤ {mx}
+    distinct cent values of the [{lo}, {hi}] domain. The hand-rolled
+    twin of q_approx_quantiles' engine-native sketch.""".format(
+        b=_HQ_BINS, lo=_HQ_LO, hi=_HQ_HI,
+        mx=int((_HQ_HI - _HQ_LO) * 100) + 1,
+    )
     from pyspark.sql import Window
 
     ev = read_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
@@ -222,18 +266,24 @@ def q_hist_quantiles(spark, sf_dir):
         .groupBy("q")
         .agg(F.min("b").alias("qb"))
     )
-    exact = vals.agg(
-        F.expr("percentile(x, 0.5)").alias("e50"),
-        F.expr("percentile(x, 0.9)").alias("e90"),
-        F.expr("percentile(x, 0.99)").alias("e99"),
+    # exact TYPE-1 (inverse-CDF) quantile: min x whose value-collapsed
+    # cumulative count reaches q*N.  The window is value-collapsed —
+    # bounded by the <= 50,001 distinct cent values of the domain, the
+    # q_cvm_test de-weak pattern — and the q*N comparison is the same
+    # IEEE double product in both engines (SQL casts q to DOUBLE).
+    valcnt = vals.groupBy("x").agg(F.count(F.lit(1)).alias("n"))
+    cumv = valcnt.select(
+        "x", F.sum("n").over(Window.orderBy("x")).alias("cn")
+    ).crossJoin(F.broadcast(tot))
+    exq = (
+        qs.join(cumv, cumv.cn >= qs.q * cumv.tot)
+        .groupBy("q")
+        .agg(F.min("x").alias("ex"))
     )
-    est = qb.crossJoin(F.broadcast(exact)).select(
+    est = qb.join(exq, "q").select(
         "q",
         (F.lit(_HQ_LO) + (F.col("qb") + 0.5) * width).alias("approx"),
-        F.when(F.col("q") == 0.5, F.col("e50"))
-        .when(F.col("q") == 0.9, F.col("e90"))
-        .otherwise(F.col("e99"))
-        .alias("exact"),
+        F.col("ex").alias("exact"),
     )
     return est.select(
         "q",
@@ -243,7 +293,8 @@ def q_hist_quantiles(spark, sf_dir):
             "abs_error"
         ),
         (
-            F.abs(F.col("approx") - F.col("exact")) <= width
+            F.abs(F.col("approx") - F.col("exact"))
+            <= width * 0.5 + 1e-9
         ).alias("within_bin_bound"),
     ).orderBy("q")
 

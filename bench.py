@@ -25,12 +25,11 @@ from pyspark.sql import functions as F
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-# Idle-host median of the 32-partition shuffle calibration (measured
-# 2026-08-15 on the build host, otherwise idle, median of 7 after 2
-# warmups).  Used as the parallel-contention reference for the first
-# round that records calibration_shuffle_sec; later rounds compare
-# against the previous BENCH file like the matmul calibration does.
-_SHUFFLE_CALIB_IDLE_REF = 0.515
+# Queries whose wall-clock is dominated by a from-scratch Python codec
+# (deliberate no-media-libraries constraint), not engine work: reported
+# in their own section so codec constants don't mask engine deltas
+# (VERDICT r6 Next-round #5).  Still timed and delta-tracked per-query.
+_CODEC_QUERIES = {"q_image_features_jpeg"}
 
 
 def build_spark() -> SparkSession:
@@ -330,37 +329,83 @@ def main() -> None:
     delta = {
         k: round(v - prev[k], 3) for k, v in results.items() if k in prev
     }
+
     # cross-round deltas are only meaningful on comparable host speed: the
     # shared host's throughput varies ±50% between invocations, and round
     # 2's driver bench was 1.7× slower purely from neighbor contention.
     # Annotate (don't hide) — a ratio past 1.5× marks the delta block as
     # machine noise, not code change.
-    calib_ratio = (
-        round(calib / prev_calib, 3) if prev_calib else None
-    )
-    # Parallel ratio: vs the previous round's recorded shuffle calib when
-    # it exists, else vs the idle-host reference recorded when the
-    # parallel calibration landed (round 6) — so the contention check
-    # never silently degrades to matmul-only.
-    _ref_par = prev_calib_par or _SHUFFLE_CALIB_IDLE_REF
-    calib_par_ratio = round(calib_par / _ref_par, 3)
+    def _ratios(c, c_par):
+        r = round(c / prev_calib, 3) if prev_calib else None
+        # Parallel ratio only when a prior SAME-HOST-FAMILY shuffle calib
+        # exists (r6 ADVICE: a hardcoded idle reference from the build
+        # host would spuriously gate the first round on any other
+        # machine); without one, gate on matmul alone and say so.
+        r_par = (
+            round(c_par / prev_calib_par, 3) if prev_calib_par else None
+        )
+        return r, r_par
+
     _in_band = lambda r: r is not None and (1 / 1.5) <= r <= 1.5  # noqa: E731
-    delta_reliable = _in_band(calib_ratio) and _in_band(calib_par_ratio)
+
+    def _reliable(r, r_par):
+        if prev_calib_par:
+            return _in_band(r) and _in_band(r_par)
+        return _in_band(r)
+
+    calib_ratio, calib_par_ratio = _ratios(calib, calib_par)
+    delta_reliable = _reliable(calib_ratio, calib_par_ratio)
+    calib_note = (
+        None if prev_calib_par
+        else "no prior shuffle calibration on record; matmul-only gate"
+    )
+    # Self-certification (VERDICT r6 Next-round #5): an out-of-band
+    # calibration usually means a transient noisy neighbor — back off
+    # once and re-measure; keep the FASTER of the two samples (contention
+    # only ever inflates).  One retry bounds added wall-clock at ~30 s.
+    calib_reruns = 0
+    if not delta_reliable and (prev_calib or prev_calib_par):
+        progress("calibration out of band; 20s backoff then re-measure")
+        time.sleep(20)
+        calib = min(calib, timed(lambda: _a @ _a, warmup=1, runs=5))
+        calib_par = min(calib_par, timed(_shuffle_calib, warmup=1, runs=5))
+        calib_ratio, calib_par_ratio = _ratios(calib, calib_par)
+        delta_reliable = _reliable(calib_ratio, calib_par_ratio)
+        calib_reruns = 1
+
+    # Calibration-normalized total: measured total divided by the
+    # parallel host-speed ratio (falling back to the matmul ratio) —
+    # an approximate prev-host-equivalent reading for rounds where the
+    # raw delta is not reliable.  The raw numbers stay authoritative.
+    _norm = calib_par_ratio or calib_ratio
+    total_sec = sum(results.values())
+    engine_total = sum(
+        v for k, v in results.items() if k not in _CODEC_QUERIES
+    )
+    codec_total = total_sec - engine_total
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
                 "metric": "bench_total_median_sec",
-                "value": round(sum(results.values()), 3),
+                "value": round(total_sec, 3),
                 "unit": "sec",
                 "queries": {k: round(v, 3) for k, v in results.items()},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "engine_total_sec": round(engine_total, 3),
+                "codec_total_sec": round(codec_total, 3),
+                "codec_queries": sorted(_CODEC_QUERIES),
                 "calibration_matmul_sec": round(calib, 4),
                 "calibration_ratio_vs_prev": calib_ratio,
                 "calibration_shuffle_sec": round(calib_par, 4),
                 "calibration_shuffle_ratio": calib_par_ratio,
+                "calibration_reruns": calib_reruns,
+                "calibration_note": calib_note,
                 "delta_reliable": delta_reliable,
+                "total_normalized_sec": (
+                    round(total_sec / _norm, 3) if _norm else None
+                ),
                 "peak_rss_mib": mem.stop(),
                 "wire": {
                     "ipc_bytes": ipc_bytes,

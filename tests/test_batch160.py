@@ -67,8 +67,18 @@ def test_hist_quantiles_bound_and_replay(spark, sf_dir):
                 break
         want = _HQ_LO + (b + 0.5) * width
         assert abs(r.hist_quantile - want) < 1e-6
+        # exact = TYPE-1 (inverse-CDF) quantile: min x with cum >= q*N
+        # (r6 ADVICE: for type-1 the half-bin bound is a theorem — the
+        # crossing bin CONTAINS the type-1 quantile)
+        idx = int(np.searchsorted(np.cumsum(np.ones_like(x)),
+                                  q * len(x), side="left"))
+        type1 = x[min(idx, len(x) - 1)]
+        assert abs(r.exact_quantile - round(type1, 4)) < 1e-6
         assert r.within_bin_bound
-        assert abs(r.hist_quantile - r.exact_quantile) <= width + 1e-9
+        assert (
+            abs(r.hist_quantile - r.exact_quantile)
+            <= width * 0.5 + 1e-6
+        )
 
 
 def test_replay_idempotence_and_append_negative_control(spark, sf_dir):

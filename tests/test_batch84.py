@@ -208,3 +208,58 @@ def test_setsim_dispatch_probe_is_bounded(spark, monkeypatch):
         f"dispatch moved {max(collected)} rows to the driver; the probe "
         f"must cap at {m._BITMASK_MAX_VOCAB + 1}"
     )
+
+
+def test_setsim_mask_cap_falls_back_to_prefix(spark, monkeypatch):
+    """r6 guard: a dense (vocab <= 62) corpus whose DISTINCT-MASK count
+    exceeds _BITMASK_MAX_MASKS must route to the prefix path, and the
+    result must equal the unguarded bitmask output pair-for-pair."""
+    from arrow_supercluster_spark.plans import registry_ext89 as m
+
+    # 40 docs over a 20-token vocab with ~40 distinct token subsets
+    rows = [(i, " ".join(f"t{(i * 7 + k * 3) % 20}" for k in range(6)))
+            for i in range(40)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).write.parquet(f"{d}/documents.parquet")
+        fast = {
+            (r.a_id, r.b_id): r.jaccard
+            for r in m.q_setsim_join(spark, d).collect()
+        }
+        # force the cap below the corpus's distinct-mask count: the
+        # bitmask path must decline (return None) and the dispatcher
+        # must fall back to the prefix path
+        monkeypatch.setattr(m, "_BITMASK_MAX_MASKS", 4)
+        guarded = {
+            (r.a_id, r.b_id): r.jaccard
+            for r in m.q_setsim_join(spark, d).collect()
+        }
+    assert guarded == fast
+    assert fast  # non-degenerate corpus
+
+
+def test_setsim_bitmask_declines_above_mask_cap(spark, monkeypatch):
+    """The guard itself: _setsim_bitmask must return None (not compute
+    the O(M^2) pair stage) when distinct masks exceed the cap."""
+    from pyspark.sql import functions as F
+
+    from arrow_supercluster_spark.operators.dedup import tokenize
+    from arrow_supercluster_spark.plans import registry_ext89 as m
+
+    rows = [(i, " ".join(f"t{(i * 7 + k * 3) % 20}" for k in range(6)))
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sets0 = docs.select(
+        "doc_id", F.array_distinct(tokenize(F.col("text"))).alias("toks")
+    ).select("doc_id", "toks", F.size("toks").alias("sz")).filter(
+        F.col("sz") > 0
+    )
+    vocab = sorted(
+        r.tok for r in
+        sets0.select(F.explode("toks").alias("tok")).distinct().collect()
+    )
+    monkeypatch.setattr(m, "_BITMASK_MAX_MASKS", 4)
+    assert m._setsim_bitmask(spark, sets0, vocab) is None
+    monkeypatch.setattr(m, "_BITMASK_MAX_MASKS", 1 << 14)
+    assert m._setsim_bitmask(spark, sets0, vocab) is not None

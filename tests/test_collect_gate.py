@@ -81,6 +81,9 @@ ALLOWLIST: dict[str, str] = {
         "seeded sample of k literal pairs",
     "plans/registry_ext86.py::q_idf_weighted_jaccard":
         "1-row max(doc_id) agg",
+    "plans/registry_ext165.py::q_hll_stream":
+        "<= 64 merged HLL register rows, materialized so the streaming "
+        "sink can be removed before the result is returned (r6 ADVICE)",
     "plans/registry_ext154.py::q_pack_sequences":
         "1-row sum(toks) agg deriving the data-dependent packing "
         "group count (r6 de-weak of VERDICT What's-wrong #1)",

@@ -51,7 +51,10 @@ ALLOWED_GLOBAL_WINDOWS = {
     "q_croston",        # demand-day index/lag over <=31 day rows
     "q_stl_lite",       # 7-day centered MA over <=31 day rows
     "q_qn_scale",       # pairwise-|diff| rank over <=31*30/2 day pairs
-    "q_hist_quantiles", # cumulative counts over <=40 literal bins
+    "q_hist_quantiles", # cumulative counts over <=40 literal bins PLUS
+                        # a value-collapsed cum-count frame bounded by
+                        # the <=50,001 distinct cent values of the
+                        # [0,500] domain (type-1 exact quantile, r7)
     "q_ewma_chart",     # day index rank over <=31 day rows
     # structural scans over tiny administrative frames
     "q_concat_chunks",   # one row per input partition (prefix offsets)

@@ -218,6 +218,81 @@ def setsim_sweep(spark):
         docs.unpersist()
         print(json.dumps(row), flush=True)
 
+    # Adversarial MANY-MASKS regime (VERDICT r6 Next-round #2): the
+    # vocabulary stays <= 62 tokens (so the first two probes say
+    # "dense"), but every doc carries a DISTINCT token subset — token j
+    # is included iff bit j of a Knuth hash of doc_id is set, giving
+    # ~min(n_docs, 2^25) distinct masks.  Without the r6 mask-cap guard
+    # the bitmask pair stage would broadcast all of them and compare
+    # O(M^2) pairs; with it, dispatch must route to the prefix path.
+    # Recorded: the three probe costs (all must stay flat/bounded) and
+    # the routed path.  Full-join wall time is measured only at the
+    # smallest n — the corpus is engineered for candidate-set blowup in
+    # EVERY exact algorithm (that is what makes it adversarial), so the
+    # point here is the bounded dispatch, not join throughput.
+    def many_masks_corpus(n_docs):
+        src = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+        h = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1 << 25))
+        # bit test via exact integer arithmetic (shiftright needs a
+        # literal count, so divide by 2^j instead; 2^25 fits a double
+        # exactly)
+        toks = F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(24)),
+                lambda j: F.when(
+                    F.pmod(
+                        F.floor(
+                            h / F.pow(F.lit(2.0), j.cast("double"))
+                        ).cast("long"),
+                        F.lit(2),
+                    ) == 1,
+                    F.format_string("b%02d", j),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+        return src.select(
+            "doc_id", F.array_join(toks, " ").alias("text"),
+            F.lit("en").alias("lang"), F.lit("gen").alias("source"),
+            F.lit(0).alias("n_chars"),
+        ).filter(F.length("text") > 0)
+
+    from itertools import chain
+
+    for n in (2_000, 50_000, 500_000):
+        docs = many_masks_corpus(n).persist()
+        row = {"regime": "many_masks_guard", "n_docs": docs.count()}
+        sets0, probe = probe_sec_and_vocab(docs)
+        row.update(probe)
+        vocab = sorted(
+            r.tok for r in sets0.select(F.explode("toks").alias("tok"))
+            .distinct().limit(m._BITMASK_MAX_VOCAB + 1).collect()
+        )
+        bit_map2 = F.create_map(*chain.from_iterable(
+            (F.lit(t), F.lit(1 << i).cast("long"))
+            for i, t in enumerate(vocab)
+        ))
+        mask2 = F.aggregate(
+            F.transform("toks", lambda t: F.element_at(bit_map2, t)),
+            F.lit(0).cast("long"), lambda a, b: a + b,
+        )
+        masked = sets0.select("doc_id", mask2.alias("mask"))
+        t0 = time.perf_counter()
+        n_masks_capped = (
+            masked.select("mask").distinct()
+            .limit(m._BITMASK_MAX_MASKS + 1).count()
+        )
+        row["mask_probe_sec"] = round(time.perf_counter() - t0, 3)
+        row["mask_probe_rows"] = n_masks_capped
+        row["routed_path"] = (
+            "prefix" if n_masks_capped > m._BITMASK_MAX_MASKS
+            else "bitmask"
+        )
+        if n <= 2_000:
+            row["full_join_sec"], row["n_pairs"] = run_full(docs)
+        docs.unpersist()
+        print(json.dumps(row), flush=True)
+
 
 def timed(fn) -> float:
     t0 = time.perf_counter()

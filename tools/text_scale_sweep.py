@@ -294,6 +294,42 @@ def setsim_sweep(spark):
         print(json.dumps(row), flush=True)
 
 
+def packing_sweep(spark):
+    """Scale certification for q_pack_sequences' data-derived group
+    count (VERDICT r6 Next-round #1): ids-only replication at
+    1x/16x/64x multiplies total tokens by k, so g must GROW with the
+    corpus (g = max(8, ceil(total/2M))) and the max per-group token
+    total must stay <= the 2M budget once above the floor — the
+    bounded-kernel property that makes the plan embarrassingly
+    parallel at any corpus size."""
+    import shutil
+    import tempfile
+
+    from arrow_supercluster_spark.plans import registry_ext154 as m
+
+    for k in (1, 16, 64):
+        docs = replicate_docs_ids_only(spark, k).persist()
+        row = {"regime": "pack_sequences", "replicas": k,
+               "n_docs": docs.count()}
+        d = tempfile.mkdtemp(prefix="pack_sweep_")
+        try:
+            docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+            t0 = time.perf_counter()
+            out = m.q_pack_sequences(spark, d).collect()
+            row["wall_sec"] = round(time.perf_counter() - t0, 3)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        row["g"] = len(out)
+        row["max_group_tokens"] = max(r.total_tokens for r in out)
+        row["budget"] = m._PACK_GROUP_TOKEN_BUDGET
+        row["group_bounded"] = (
+            row["g"] == m._PACK_GROUPS_MIN
+            or row["max_group_tokens"] <= 2 * m._PACK_GROUP_TOKEN_BUDGET
+        )
+        docs.unpersist()
+        print(json.dumps(row), flush=True)
+
+
 def timed(fn) -> float:
     t0 = time.perf_counter()
     fn()
@@ -356,6 +392,7 @@ def main():
         print(json.dumps(row), flush=True)
 
     setsim_sweep(spark)
+    packing_sweep(spark)
 
     spark.stop()
 

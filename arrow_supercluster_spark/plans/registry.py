@@ -408,6 +408,7 @@ def _load_extended_registries():
         registry_ext166,
         registry_ext167,
         registry_ext168,
+        registry_ext169,
     )
 
 

@@ -409,6 +409,7 @@ def _load_extended_registries():
         registry_ext167,
         registry_ext168,
         registry_ext169,
+        registry_ext170,
     )
 
 

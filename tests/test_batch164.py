@@ -9,6 +9,14 @@ def _rows(spark, sf_dir, name):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet").collect()
 
 
+def _ri(x):
+    """Half-away-from-zero cent rounding (Spark/DuckDB round), NOT
+    python's banker's rounding."""
+    import math
+
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
 def test_tpch_q7_replay(spark, sf_dir):
     from arrow_supercluster_spark.plans.registry_ext169 import (
         _Q7_END,
@@ -46,7 +54,7 @@ def test_tpch_q7_replay(spark, sf_dir):
         cn = cus[ocust[r.l_orderkey]]
         if {sn, cn} != {_Q7_N1, _Q7_N2}:
             continue
-        cents = round(r.l_extendedprice * (1 - r.l_discount) * 100)
+        cents = _ri(r.l_extendedprice * (1 - r.l_discount) * 100)
         want[(sn, cn, r.l_shipdate.year)] += int(cents)
     assert got == {k: round(v / 100.0, 2) for k, v in want.items()}
     # both directions present (the symmetric disjunction is real)
@@ -118,7 +126,7 @@ def test_tpch_q14_replay(spark, sf_dir):
     for li in _rows(spark, sf_dir, "lineitem"):
         if not (a <= li.l_shipdate < b):
             continue
-        cents = int(round(li.l_extendedprice * (1 - li.l_discount) * 100))
+        cents = _ri(li.l_extendedprice * (1 - li.l_discount) * 100)
         total += cents
         if ptype[li.l_partkey] == "PROMO":
             promo += cents

@@ -410,6 +410,7 @@ def _load_extended_registries():
         registry_ext168,
         registry_ext169,
         registry_ext170,
+        registry_ext171,
     )
 
 

@@ -411,6 +411,7 @@ def _load_extended_registries():
         registry_ext169,
         registry_ext170,
         registry_ext171,
+        registry_ext172,
     )
 
 

@@ -412,6 +412,7 @@ def _load_extended_registries():
         registry_ext170,
         registry_ext171,
         registry_ext172,
+        registry_ext173,
     )
 
 

@@ -413,6 +413,7 @@ def _load_extended_registries():
         registry_ext171,
         registry_ext172,
         registry_ext173,
+        registry_ext174,
     )
 
 

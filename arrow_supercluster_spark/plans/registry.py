@@ -414,6 +414,7 @@ def _load_extended_registries():
         registry_ext172,
         registry_ext173,
         registry_ext174,
+        registry_ext175,
     )
 
 

@@ -415,6 +415,7 @@ def _load_extended_registries():
         registry_ext173,
         registry_ext174,
         registry_ext175,
+        registry_ext176,
     )
 
 

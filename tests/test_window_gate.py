@@ -49,6 +49,8 @@ ALLOWED_GLOBAL_WINDOWS = {
     "q_kendall_w",      # three ROW_NUMBER ranks over <=31 day rows
     "q_page_hinkley",   # running mean/sum/min over <=31 day rows
     "q_croston",        # demand-day index/lag over <=31 day rows
+    "q_theta_forecast", # day index + day count over the series' day
+                        # rollup (calendar-bounded, the q_croston class)
     "q_stl_lite",       # 7-day centered MA over <=31 day rows
     "q_qn_scale",       # pairwise-|diff| rank over <=31*30/2 day pairs
     "q_hist_quantiles", # cumulative counts over <=40 literal bins PLUS

@@ -416,6 +416,7 @@ def _load_extended_registries():
         registry_ext174,
         registry_ext175,
         registry_ext176,
+        registry_ext177,
     )
 
 

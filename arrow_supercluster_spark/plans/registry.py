@@ -417,6 +417,7 @@ def _load_extended_registries():
         registry_ext175,
         registry_ext176,
         registry_ext177,
+        registry_ext178,
     )
 
 

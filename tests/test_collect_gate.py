@@ -84,6 +84,8 @@ ALLOWLIST: dict[str, str] = {
     "plans/registry_ext165.py::q_hll_stream":
         "<= 64 merged HLL register rows, materialized so the streaming "
         "sink can be removed before the result is returned (r6 ADVICE)",
+    "plans/registry_ext178.py::q_not_in_nulls":
+        "1-row COUNT aggregate of the NOT IN subquery form",
     "plans/registry_ext154.py::q_pack_sequences":
         "1-row sum(toks) agg deriving the data-dependent packing "
         "group count (r6 de-weak of VERDICT What's-wrong #1)",

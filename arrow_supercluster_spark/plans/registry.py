@@ -418,6 +418,7 @@ def _load_extended_registries():
         registry_ext176,
         registry_ext177,
         registry_ext178,
+        registry_ext179,
     )
 
 

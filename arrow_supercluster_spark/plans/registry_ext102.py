@@ -189,7 +189,53 @@ def q_temporal_split(spark, sf_dir):
 _IPF_ITERS = 10
 
 
-@register("q_ipf_raking", None)
+def _ipf_step_sql(prev: str, cur: str, axis: str) -> str:
+    """One IPF scaling pass as a CTE: divide each cell by its current
+    {axis} marginal, multiply by the uniform target, round to 9 (the
+    q_pagerank per-round drift discipline).  MATERIALIZED is load-
+    bearing: each step references {prev} twice (cells + marginal
+    subquery); DuckDB's default CTE inlining would make the 20-step
+    chain 2^20 scans of documents.parquet (observed as a
+    too-many-open-files abort at sf0.01)."""
+    tgt = "tr" if axis == "source" else "tc"
+    return f"""
+    {cur} AS MATERIALIZED (
+      SELECT c.source, c.lang, c.n,
+             round(c.w * tgt.{tgt} / ms.s, 9) AS w
+      FROM {prev} c
+      JOIN (SELECT {axis}, SUM(w * n) AS s FROM {prev} GROUP BY {axis})
+        ms ON ms.{axis} = c.{axis}
+      CROSS JOIN tgt
+    )"""
+
+
+_IPF_STEPS = []
+for _i in range(_IPF_ITERS):
+    _prev = "w0" if _i == 0 else f"c{_i}"
+    _IPF_STEPS.append(_ipf_step_sql(_prev, f"r{_i + 1}", "source"))
+    _IPF_STEPS.append(_ipf_step_sql(f"r{_i + 1}", f"c{_i + 1}", "lang"))
+
+_IPF_SQL = (
+    """
+    WITH cells AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source, lang
+    ),
+    tgt AS (
+      SELECT SUM(n) * 1.0 / COUNT(DISTINCT source) AS tr,
+             SUM(n) * 1.0 / COUNT(DISTINCT lang) AS tc
+      FROM cells
+    ),
+    w0 AS (SELECT source, lang, n, 1.0 AS w FROM cells),"""
+    + ",".join(_IPF_STEPS)
+    + f"""
+    SELECT source, lang, n AS n_docs, round(w, 6) AS weight
+    FROM c{_IPF_ITERS} ORDER BY source, lang
+    """
+)
+
+
+@register("q_ipf_raking", _IPF_SQL)
 def q_ipf_raking(spark, sf_dir):
     """IPF / Sinkhorn raking: scale the (source, lang) count table so
     BOTH marginals become uniform — alternately divide rows then
@@ -197,7 +243,10 @@ def q_ipf_raking(spark, sf_dir):
     collapses once to the cell table (|sources|×|langs| — driver
     scale, like the Markov/BPE loops); weights are the multiplier each
     cell's documents would carry in a rebalanced training mix.
-    Rows-only; python parity + marginal-convergence tests."""
+    SQL twin since r7: the oracle unrolls the identical 10 row+column
+    scaling passes as generated CTEs (the q_pagerank/q_katz pattern),
+    each pass re-rounded to 9 so summation order cannot compound;
+    the Spark side applies the same per-pass round."""
     docs = _docs(spark, sf_dir)
     cells = docs.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n")
@@ -213,17 +262,17 @@ def q_ipf_raking(spark, sf_dir):
         for s in sources:
             cur = sum(w[(s, l)] * n[(s, l)] for l in langs if (s, l) in n)
             if cur > 0:
-                f = t_row / cur
                 for l in langs:
                     if (s, l) in n:
-                        w[(s, l)] *= f
+                        # same association + per-pass round as the
+                        # unrolled SQL twin: (w * target) / marginal
+                        w[(s, l)] = round(w[(s, l)] * t_row / cur, 9)
         for l in langs:
             cur = sum(w[(s, l)] * n[(s, l)] for s in sources if (s, l) in n)
             if cur > 0:
-                f = t_col / cur
                 for s in sources:
                     if (s, l) in n:
-                        w[(s, l)] *= f
+                        w[(s, l)] = round(w[(s, l)] * t_col / cur, 9)
     rows = [
         (s, l, int(n[(s, l)]), round(w[(s, l)], 6))
         for (s, l) in sorted(n)

@@ -98,8 +98,66 @@ def q_feature_hashing(spark, sf_dir):
 _ISO_BINS = 100
 _H_MULT, _H_MOD = 48271, 65537
 
+# SQL twin (r7): the PAV result has a merge-order-free characterization —
+# the boundary after cell i survives iff NO interval pair straddling it
+# violates monotonicity: for all j<=i < k, avg(j..i) <= avg(i+1..k),
+# compared cross-multiplied in exact integer arithmetic (the same
+# pos*n > pos*n comparison the Spark-side merge loop uses).  Verified
+# against the sequential PAV loop on 30k random cell tables, including
+# tie-heavy ones (adjacent equal-rate pools stay unmerged under strict-
+# violation PAV, and the NOT-EXISTS condition reproduces exactly that).
+# O(B^3) with B<=100 cells — trivial at oracle scale.
+_ISO_SQL = f"""
+    WITH users AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 90
+                 THEN 1 ELSE 0 END) AS label
+      FROM events GROUP BY user_id
+    ),
+    scored AS (
+      SELECT ((user_id * {_H_MULT}) % {_H_MOD}) / {_H_MOD}.0 AS score,
+             label
+      FROM users
+    ),
+    cells AS (
+      SELECT CAST(floor(score * {_ISO_BINS}) AS BIGINT) AS cell,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(label) AS BIGINT) AS pos,
+             MIN(score) AS lo, MAX(score) AS hi
+      FROM scored GROUP BY cell
+    ),
+    idx AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY cell) AS i, n, pos, lo, hi,
+             CAST(SUM(n) OVER (ORDER BY cell) AS BIGINT) AS cn,
+             CAST(SUM(pos) OVER (ORDER BY cell) AS BIGINT) AS cp
+      FROM cells
+    ),
+    surv AS (
+      SELECT a.i,
+             NOT EXISTS (
+               SELECT 1 FROM idx j, idx k
+               WHERE j.i <= a.i AND k.i > a.i
+                 AND (a.cp - (j.cp - j.pos)) * (k.cn - a.cn)
+                   > (k.cp - a.cp) * (a.cn - (j.cn - j.n))
+             ) AS keep
+      FROM idx a
+    ),
+    pooled AS (
+      SELECT x.i, x.n, x.pos, x.lo, x.hi,
+             COALESCE(SUM(CASE WHEN s.keep THEN 1 ELSE 0 END), 0)
+               AS pool_id
+      FROM idx x LEFT JOIN surv s ON s.i < x.i
+      GROUP BY x.i, x.n, x.pos, x.lo, x.hi
+    )
+    SELECT round(MIN(lo), 6) AS score_lo,
+           round(MAX(hi), 6) AS score_hi,
+           CAST(SUM(n) AS BIGINT) AS n,
+           round(SUM(pos) * 1.0 / SUM(n), 6) AS rate
+    FROM pooled GROUP BY pool_id ORDER BY score_lo
+    """
 
-@register("q_isotonic_calibration", None)
+
+@register("q_isotonic_calibration", _ISO_SQL)
 def q_isotonic_calibration(spark, sf_dir):
     """Isotonic calibration by PAV: per-user score = portable Lehmer
     mix of user_id (a stand-in model score), label = made a >90-value
@@ -108,8 +166,9 @@ def q_isotonic_calibration(spark, sf_dir):
     then pool-adjacent-violators merges cells until the positive-rate
     sequence is monotone. Output: one row per final pool (score_lo,
     score_hi, n, rate). The pooling is inherently sequential over the
-    BOUNDED cell frame (the distributed 99% is the user collapse);
-    rows-only, with an independent Python PAV oracle in tests."""
+    BOUNDED cell frame (the distributed 99% is the user collapse).
+    SQL twin since r7 via the merge-order-free boundary
+    characterization above; independent Python PAV oracle in tests."""
     import pandas as pd
 
     ev = read_events(spark, sf_dir)

@@ -128,3 +128,64 @@ def test_mase_perfect_weekly_seasonality_scores_zero(spark):
         assert got["a"].mase_vs_pool == 0.0
         assert got["b"].mae_naive7 == 7.0          # growth of 7/week
         assert got["b"].mase_self == 1.0
+
+
+def test_pav_boundary_characterization_equals_sequential_pav():
+    """The r7 SQL twin's theorem: strict-violation PAV's final pools are
+    exactly the segments whose internal boundaries admit a straddling
+    interval pair with avg(j..i) > avg(i+1..k), and whose surviving
+    boundaries admit none.  Replayed here in pure Python against the
+    sequential merge loop on random cell tables (tie-heavy: pos may be
+    0, so adjacent equal-rate pools must stay unmerged)."""
+    import random
+
+    def pav(cells):
+        pools = [
+            {"n": n, "pos": p, "lo": i, "hi": i}
+            for i, (n, p) in enumerate(cells)
+        ]
+        i = 0
+        while i < len(pools) - 1:
+            a, b = pools[i], pools[i + 1]
+            if a["pos"] * b["n"] > b["pos"] * a["n"]:
+                a["hi"] = b["hi"]
+                a["n"] += b["n"]
+                a["pos"] += b["pos"]
+                del pools[i + 1]
+                if i > 0:
+                    i -= 1
+            else:
+                i += 1
+        return [(p["lo"], p["hi"], p["n"], p["pos"]) for p in pools]
+
+    def boundary_pools(cells):
+        B = len(cells)
+        cn = [0] * (B + 1)
+        cp = [0] * (B + 1)
+        for i, (n, p) in enumerate(cells):
+            cn[i + 1] = cn[i] + n
+            cp[i + 1] = cp[i] + p
+        surv = [
+            all(
+                (cp[i + 1] - cp[j]) * (cn[k + 1] - cn[i + 1])
+                <= (cp[k + 1] - cp[i + 1]) * (cn[i + 1] - cn[j])
+                for j in range(i + 1)
+                for k in range(i + 1, B)
+            )
+            for i in range(B - 1)
+        ]
+        pools, lo = [], 0
+        for i in range(B - 1):
+            if surv[i]:
+                pools.append((lo, i, cn[i + 1] - cn[lo], cp[i + 1] - cp[lo]))
+                lo = i + 1
+        pools.append((lo, B - 1, cn[B] - cn[lo], cp[B] - cp[lo]))
+        return pools
+
+    rng = random.Random(7)
+    for _ in range(3000):
+        cells = [
+            (n, rng.randint(0, n))
+            for n in (rng.randint(1, 5) for _ in range(rng.randint(1, 12)))
+        ]
+        assert pav(cells) == boundary_pools(cells), cells

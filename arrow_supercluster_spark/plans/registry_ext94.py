@@ -148,8 +148,99 @@ _MMR_LAMBDA = 0.7
 _MMR_CAND = 20
 _MMR_K = 5
 
+# SQL twin (r7): the greedy selection unrolls into _MMR_K CTE steps —
+# step t ranks the not-yet-selected candidates by the MMR score rounded
+# to 9 decimals with a (cos DESC, vec_id ASC) tiebreak and keeps row 1.
+# The Spark kernel applies the IDENTICAL argmax key (round-9 score,
+# then candidate sort order), so the only cross-engine surface is
+# float-summation order inside the dot products (~1e-16), absorbed by
+# the rounding.  MATERIALIZED is load-bearing: sel{t} references
+# sel{t-1} three times; default inlining would re-expand the chain
+# ~3^k times.
+_MMR_COS_PAIR = (
+    "list_inner_product({a}, {b}) / (sqrt(list_inner_product({a}, {a}))"
+    " * sqrt(list_inner_product({b}, {b})))"
+)
 
-@register("q_mmr_rerank", None)
+
+def _mmr_step_sql(t: int) -> str:
+    lam, dis = _MMR_LAMBDA, 1 - _MMR_LAMBDA
+    pair = _MMR_COS_PAIR.format(a="c2.cv", b="sc.cv")
+    return f"""
+    pick{t} AS MATERIALIZED (
+      SELECT q_id, CAST({t} AS INTEGER) AS sel_rank, vec_id, cos FROM (
+        SELECT c.q_id, c.vec_id, c.cos,
+               row_number() OVER (
+                 PARTITION BY c.q_id
+                 ORDER BY round({lam} * c.cos - {dis} * d.mx, 9) DESC,
+                          c.cos DESC, c.vec_id) AS rn
+        FROM cand c
+        JOIN (
+          SELECT c2.q_id, c2.vec_id, MAX({pair}) AS mx
+          FROM cand c2
+          JOIN sel{t - 1} s ON s.q_id = c2.q_id
+          JOIN cvec sc ON sc.vec_id = s.vec_id
+          GROUP BY c2.q_id, c2.vec_id
+        ) d ON d.q_id = c.q_id AND d.vec_id = c.vec_id
+        WHERE NOT EXISTS (SELECT 1 FROM sel{t - 1} s2
+                          WHERE s2.q_id = c.q_id
+                            AND s2.vec_id = c.vec_id)
+      ) WHERE rn = 1
+    ),
+    sel{t} AS MATERIALIZED (
+      SELECT * FROM sel{t - 1} UNION ALL SELECT * FROM pick{t}
+    )"""
+
+
+_MMR_SQL = (
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+    cvec AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id >= 10
+    ),
+    scored AS (
+      SELECT q.q_id, cvec.vec_id,
+             round(CASE WHEN sqrt(list_inner_product(q.qv, q.qv))
+                             * sqrt(list_inner_product(cvec.cv, cvec.cv))
+                             = 0
+                        THEN 0.0
+                        ELSE list_inner_product(q.qv, cvec.cv)
+                             / (sqrt(list_inner_product(q.qv, q.qv))
+                                * sqrt(list_inner_product(cvec.cv,
+                                                          cvec.cv)))
+                   END, 6) AS cos
+      FROM q, cvec
+    ),
+    cand AS MATERIALIZED (
+      SELECT s.q_id, s.vec_id, s.cos, cvec.cv
+      FROM (SELECT q_id, vec_id, cos,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, vec_id) AS rn
+            FROM scored) s
+      JOIN cvec ON cvec.vec_id = s.vec_id
+      WHERE s.rn <= {_MMR_CAND}
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT q_id, CAST(1 AS INTEGER) AS sel_rank, vec_id, cos FROM (
+        SELECT q_id, vec_id, cos,
+               row_number() OVER (
+                 PARTITION BY q_id
+                 ORDER BY round({_MMR_LAMBDA} * cos, 9) DESC,
+                          cos DESC, vec_id) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    ),"""
+    + ",".join(_mmr_step_sql(t) for t in range(2, _MMR_K + 1))
+    + f"""
+    SELECT q_id, sel_rank, vec_id, cos AS mmr_rel
+    FROM sel{_MMR_K} ORDER BY q_id, sel_rank
+    """
+)
+
+
+@register("q_mmr_rerank", _MMR_SQL)
 def q_mmr_rerank(spark, sf_dir):
     """MMR diversified rerank: for each query (vec_id<10), take the
     exact-cosine top-20 candidates, then greedily select 5 maximizing
@@ -157,8 +248,10 @@ def q_mmr_rerank(spark, sf_dir):
     query → applyInPandas over q_id groups of ≤20 rows each — the
     candidate generation (broadcast cosine + partial top-k) is the
     distributed 99%; the greedy tail is O(k·|cand|) per query.
-    Rows-only (greedy selection has no SQL form); Python oracle in
-    tests/test_batch89.py."""
+    SQL twin since r7: the k greedy steps unroll as CTEs; both sides
+    take the argmax of the score ROUNDED TO 9 with a (cos DESC,
+    vec_id ASC) tiebreak, so selection is order-free and cross-engine
+    deterministic.  Python oracle in tests/test_batch89.py."""
     import numpy as np
     import pandas as pd
 
@@ -176,7 +269,7 @@ def q_mmr_rerank(spark, sf_dir):
 
     def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["cos", "vec_id"], ascending=[False, True])
-        vecs = np.stack(pdf["cv"].to_numpy())
+        vecs = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
         vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
         rel = pdf["cos"].to_numpy()
         ids = pdf["vec_id"].to_numpy()
@@ -184,8 +277,8 @@ def q_mmr_rerank(spark, sf_dir):
         for _ in range(min(_MMR_K, len(pdf))):
             best, best_s = None, -np.inf
             # iteration follows the (cos DESC, vec_id ASC) sort, so
-            # taking the FIRST strict maximum is the deterministic
-            # tie-break
+            # taking the FIRST strict round-9 maximum is exactly the
+            # SQL twin's (score9 DESC, cos DESC, vec_id ASC) row 1
             for i in range(len(pdf)):
                 if i in chosen:
                     continue
@@ -194,8 +287,11 @@ def q_mmr_rerank(spark, sf_dir):
                     if chosen
                     else 0.0
                 )
-                s = _MMR_LAMBDA * rel[i] - (1 - _MMR_LAMBDA) * div
-                if s > best_s + 1e-12:
+                s = round(
+                    _MMR_LAMBDA * float(rel[i]) - (1 - _MMR_LAMBDA) * div,
+                    9,
+                )
+                if s > best_s:
                     best, best_s = i, s
             chosen.append(best)
         return pd.DataFrame(

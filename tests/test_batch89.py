@@ -54,6 +54,8 @@ def test_mmr_matches_python_greedy(spark, sf_dir):
         chosen = []
         for _ in range(min(_MMR_K, len(rs))):
             best, best_s = None, -np.inf
+            # r7 argmax discipline (matches kernel + SQL twin):
+            # round-9 score, first strict maximum in candidate order
             for i in range(len(rs)):
                 if i in chosen:
                     continue
@@ -62,8 +64,10 @@ def test_mmr_matches_python_greedy(spark, sf_dir):
                     if chosen
                     else 0.0
                 )
-                s = _MMR_LAMBDA * rs[i].cos - (1 - _MMR_LAMBDA) * div
-                if s > best_s + 1e-12:
+                s = round(
+                    _MMR_LAMBDA * rs[i].cos - (1 - _MMR_LAMBDA) * div, 9
+                )
+                if s > best_s:
                     best, best_s = i, s
             chosen.append(best)
         want[q] = [rs[i].vec_id for i in chosen]

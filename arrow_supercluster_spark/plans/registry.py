@@ -419,6 +419,7 @@ def _load_extended_registries():
         registry_ext177,
         registry_ext178,
         registry_ext179,
+        registry_ext180,
     )
 
 

@@ -330,6 +330,67 @@ def packing_sweep(spark):
         print(json.dumps(row), flush=True)
 
 
+def minhash_deep_sweep(spark):
+    """Deep corpus-dimension certification for the MinHash+LSH pair
+    stage (VERDICT r6 Next-round #8): salted replication at 16x/64x
+    keeps per-replica duplicate structure constant while the corpus
+    grows, so a bucketed (banded equi-join) plan must stay ~linear —
+    an all-pairs or hot-band plan would bend quadratic between the two
+    points."""
+    from arrow_supercluster_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    for k in (16, 64):
+        docs = replicate_docs(spark, k).persist()
+        row = {"regime": "minhash_deep", "replicas": k,
+               "n_docs": docs.count()}
+        row["minhash_lsh_sec"] = timed(
+            lambda: lsh_candidate_pairs(docs).count()
+        )
+        docs.unpersist()
+        print(json.dumps(row), flush=True)
+
+
+def decontam_wide_sweep(spark):
+    """Eval-set-dimension certification for decontaminate_auto (VERDICT
+    r6 Next-round #8): the CORPUS stays fixed (sf0.1 x4) while the eval
+    slice grows from ~3% to 50% of it.  auto must track the better of
+    its two branches as the gram cardinality crosses the bloom
+    threshold — broadcast below, bloom-prefilter above — and the
+    recorded n_grams shows which side of the threshold each point is
+    on."""
+    from arrow_supercluster_spark.operators import bloomfilter
+    from arrow_supercluster_spark.operators.decontam import (
+        decontaminate,
+        decontaminate_auto,
+        doc_ngram_digests,
+    )
+
+    docs = replicate_docs(spark, 4).persist()
+    n = docs.count()
+    for mod in (29, 7, 2):
+        pred = F.col("doc_id") % mod == 0
+        row = {"regime": "decontam_wide", "n_docs": n, "eval_mod": mod}
+        row["n_eval_grams"] = (
+            doc_ngram_digests(docs.filter(pred), n=8)
+            .select("g").distinct().count()
+        )
+        row["broadcast_sec"] = timed(
+            lambda: decontaminate(docs, eval_pred=pred, n=8).count()
+        )
+        row["bloom_sec"] = timed(
+            lambda: bloomfilter.bloom_decontaminate(
+                docs, eval_pred=pred, n=8
+            ).count()
+        )
+        row["auto_sec"] = timed(
+            lambda: decontaminate_auto(docs, eval_pred=pred, n=8).count()
+        )
+        print(json.dumps(row), flush=True)
+    docs.unpersist()
+
+
 def timed(fn) -> float:
     t0 = time.perf_counter()
     fn()
@@ -337,6 +398,11 @@ def timed(fn) -> float:
 
 
 def main():
+    only = set(sys.argv[1:])  # empty = run everything
+
+    def want(name):
+        return not only or name in only
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -361,7 +427,7 @@ def main():
         lsh_candidate_pairs,
     )
 
-    for k in (1, 4, 16):
+    for k in (1, 4, 16) if want("dedup") else ():
         docs = replicate_docs(spark, k).persist()
         n = docs.count()
         row = {"replicas": k, "n_docs": n}
@@ -391,8 +457,14 @@ def main():
         docs.unpersist()
         print(json.dumps(row), flush=True)
 
-    setsim_sweep(spark)
-    packing_sweep(spark)
+    if want("setsim"):
+        setsim_sweep(spark)
+    if want("packing"):
+        packing_sweep(spark)
+    if want("minhash_deep"):
+        minhash_deep_sweep(spark)
+    if want("decontam_wide"):
+        decontam_wide_sweep(spark)
 
     spark.stop()
 

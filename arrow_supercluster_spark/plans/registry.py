@@ -420,6 +420,7 @@ def _load_extended_registries():
         registry_ext178,
         registry_ext179,
         registry_ext180,
+        registry_ext181,
     )
 
 

@@ -227,7 +227,15 @@ def _setsim_bitmask(spark, sets0, vocab):
         F.lit(0).cast("long"),
         lambda a, b: a + b,
     )
-    masked = sets0.select("doc_id", mask.alias("mask"))
+    from arrow_supercluster_spark.functions.checkpoint import truncate
+
+    # truncate (eager localCheckpoint): the tokenize + bit-fold
+    # projection feeds SIX consumers (cardinality probe, within-mask
+    # self-join both sides, distinct-mask frame, and the two doc-id
+    # attach joins) — without it each consumer re-runs the tokenize
+    # from the parquet scan (~1 s of the bench's r7 probe regression
+    # was exactly this re-derivation, not the probe itself)
+    masked = truncate(sets0.select("doc_id", mask.alias("mask")))
     # Third bounded probe (r6 guard): the pair stage below is O(M²) in
     # distinct masks, so cap M before committing to it.  limit+count
     # scans at most _BITMASK_MAX_MASKS+1 distinct masks and moves ONE

@@ -421,6 +421,7 @@ def _load_extended_registries():
         registry_ext179,
         registry_ext180,
         registry_ext181,
+        registry_ext182,
     )
 
 

@@ -422,6 +422,7 @@ def _load_extended_registries():
         registry_ext180,
         registry_ext181,
         registry_ext182,
+        registry_ext183,
     )
 
 

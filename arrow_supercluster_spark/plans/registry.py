@@ -423,6 +423,7 @@ def _load_extended_registries():
         registry_ext181,
         registry_ext182,
         registry_ext183,
+        registry_ext184,
     )
 
 

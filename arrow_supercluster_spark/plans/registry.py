@@ -424,6 +424,7 @@ def _load_extended_registries():
         registry_ext182,
         registry_ext183,
         registry_ext184,
+        registry_ext185,
     )
 
 

@@ -425,6 +425,7 @@ def _load_extended_registries():
         registry_ext183,
         registry_ext184,
         registry_ext185,
+        registry_ext186,
     )
 
 

@@ -231,7 +231,35 @@ def q_tukey_hsd(spark, sf_dir):
 # R457 — partial autocorrelation (Durbin-Levinson)
 # ===========================================================================
 
-@register("q_pacf", None)
+_PACF_SQL = """
+    WITH daily AS (
+      SELECT day(ts) AS d, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    mu AS (SELECT AVG(c * 1.0) AS m FROM daily),
+    x AS (SELECT d, c - mu.m AS e FROM daily CROSS JOIN mu),
+    acf AS MATERIALIZED (
+      SELECT round((SELECT SUM(a.e * b.e) FROM x a JOIN x b ON b.d = a.d + 1) / (SELECT SUM(e * e) FROM x), 9) AS a1,
+             round((SELECT SUM(a.e * b.e) FROM x a JOIN x b ON b.d = a.d + 2) / (SELECT SUM(e * e) FROM x), 9) AS a2,
+             round((SELECT SUM(a.e * b.e) FROM x a JOIN x b ON b.d = a.d + 3) / (SELECT SUM(e * e) FROM x), 9) AS a3,
+             round((SELECT SUM(a.e * b.e) FROM x a JOIN x b ON b.d = a.d + 4) / (SELECT SUM(e * e) FROM x), 9) AS a4,
+             round((SELECT SUM(a.e * b.e) FROM x a JOIN x b ON b.d = a.d + 5) / (SELECT SUM(e * e) FROM x), 9) AS a5
+    ),
+    l1 AS MATERIALIZED (SELECT acf.*, a1 AS p1, a1 AS f1_1 FROM acf),
+    l2a AS MATERIALIZED (SELECT l1.*, (a2 - (f1_1 * a1)) / (1 - (f1_1 * a1)) AS p2 FROM l1),
+    l2 AS MATERIALIZED (SELECT l2a.*, f1_1 - p2 * f1_1 AS f2_1, p2 AS f2_2 FROM l2a),
+    l3a AS MATERIALIZED (SELECT l2.*, (a3 - (f2_1 * a2 + f2_2 * a1)) / (1 - (f2_1 * a1 + f2_2 * a2)) AS p3 FROM l2),
+    l3 AS MATERIALIZED (SELECT l3a.*, f2_1 - p3 * f2_2 AS f3_1, f2_2 - p3 * f2_1 AS f3_2, p3 AS f3_3 FROM l3a),
+    l4a AS MATERIALIZED (SELECT l3.*, (a4 - (f3_1 * a3 + f3_2 * a2 + f3_3 * a1)) / (1 - (f3_1 * a1 + f3_2 * a2 + f3_3 * a3)) AS p4 FROM l3),
+    l4 AS MATERIALIZED (SELECT l4a.*, f3_1 - p4 * f3_3 AS f4_1, f3_2 - p4 * f3_2 AS f4_2, f3_3 - p4 * f3_1 AS f4_3, p4 AS f4_4 FROM l4a),
+    l5a AS MATERIALIZED (SELECT l4.*, (a5 - (f4_1 * a4 + f4_2 * a3 + f4_3 * a2 + f4_4 * a1)) / (1 - (f4_1 * a1 + f4_2 * a2 + f4_3 * a3 + f4_4 * a4)) AS p5 FROM l4),
+    l5 AS MATERIALIZED (SELECT l5a.*, f4_1 - p5 * f4_4 AS f5_1, f4_2 - p5 * f4_3 AS f5_2, f4_3 - p5 * f4_2 AS f5_3, f4_4 - p5 * f4_1 AS f5_4, p5 AS f5_5 FROM l5a)
+    SELECT CAST(lag AS INTEGER) AS lag, acf, pacf FROM (SELECT 1 AS lag, round(a1, 6) AS acf, round(p1, 6) AS pacf FROM l5 UNION ALL SELECT 2 AS lag, round(a2, 6) AS acf, round(p2, 6) AS pacf FROM l5 UNION ALL SELECT 3 AS lag, round(a3, 6) AS acf, round(p3, 6) AS pacf FROM l5 UNION ALL SELECT 4 AS lag, round(a4, 6) AS acf, round(p4, 6) AS pacf FROM l5 UNION ALL SELECT 5 AS lag, round(a5, 6) AS acf, round(p5, 6) AS pacf FROM l5)
+    ORDER BY lag
+    """
+
+
+@register("q_pacf", _PACF_SQL)
 def q_pacf(spark, sf_dir):
     """R457 — PACF of the daily count series at lags 1..{k} via
     Durbin-Levinson on the sample ACF (denominator = full-series
@@ -239,7 +267,10 @@ def q_pacf(spark, sf_dir):
     ACF scalars collapse to the driver (bounded, collect-gate
     allowlisted) and DL runs there — the recursion is k² scalar ops,
     not a data-scale job. Rows-only; the test replays DL independently
-    and cross-checks the lag-1 PACF against ACF(1) exactly.""".format(
+    and cross-checks the lag-1 PACF against ACF(1) exactly.
+    SQL twin since r7: the {k}-lag DL recursion unrolls as single-row
+    CTE levels with the SAME term order and a round-9 on the ACF
+    scalars, so both engines run identical arithmetic.""".format(
         k=_PACF_LAGS
     )
     ev = read_events(spark, sf_dir)
@@ -260,7 +291,9 @@ def q_pacf(spark, sf_dir):
             .collect()[0]
             .s
         )
-        acf.append(num / den)
+        # round-9 before DL (r7 SQL-twin discipline): both engines
+        # hand the recursion bit-identical scalars
+        acf.append(round(num / den, 9))
     # Durbin-Levinson
     phi_prev: list[float] = []
     pacf = []

@@ -426,6 +426,7 @@ def _load_extended_registries():
         registry_ext184,
         registry_ext185,
         registry_ext186,
+        registry_ext187,
     )
 
 

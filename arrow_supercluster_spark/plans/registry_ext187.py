@@ -19,10 +19,11 @@
   partitioning decision starts from.
 
 At 100 TB: all three are narrow per-row hash expressions + one
-partial-aggregated rollup; the ring/candidate frames are bounded
-literals (128/144 ring nodes, 8/9 shard ids) that broadcast, and ties
-on ring positions resolve by (pos, shard) struct-min so placement is
-deterministic cross-engine even under hash collisions.
+partial-aggregated rollup.  The ring is a pure constant, compiled
+into a sorted branch chain (no joins, no row amplification); HRW's
+candidate explode is a bounded 9 rows/doc collapsing map-side; ties
+resolve by (pos, shard) order so placement is deterministic
+cross-engine even under hash collisions.
 """
 
 from __future__ import annotations
@@ -39,114 +40,74 @@ _CH_NODE_MULT = 2654435761
 _CH_DOC_MULT = 48271
 
 
-def _sql_node_pos(s: str, r: str) -> str:
-    return f"((({s} * 131 + {r}) * {_CH_NODE_MULT} + 7) % {_CH_M})"
-
-
 _SQL_DOC_POS = f"((doc_id * {_CH_DOC_MULT}) % {_CH_M})"
 
 
-def _sql_ring(n_shards: int) -> str:
-    return f"""
-      SELECT s.s AS shard, {_sql_node_pos('s.s', 'r.r')} AS pos
-      FROM (SELECT unnest(generate_series(0, {n_shards - 1})) AS s) s
-      CROSS JOIN (SELECT unnest(generate_series(0, {_CH_REPLICAS - 1}))
-                  AS r) r
-"""
+def _ring_nodes(n_shards: int) -> list[tuple[int, int]]:
+    """The ring is a pure constant (no data dependency): (pos, shard)
+    for every virtual node, sorted by (pos, shard) — the clockwise
+    scan order.  Computed once at plan-build time and compiled into a
+    branch chain, so assignment is a zero-join, zero-amplification
+    per-row expression in BOTH engines."""
+    return sorted(
+        (((s * 131 + r) * _CH_NODE_MULT + 7) % _CH_M, s)
+        for s in range(n_shards)
+        for r in range(_CH_REPLICAS)
+    )
 
 
-def _sql_assign(ring: str, alias: str) -> str:
-    """First node clockwise with (pos, shard) tie-break; wrap to the
-    global (pos, shard) min."""
-    return f"""
-      SELECT d.doc_id,
-             COALESCE(
-               (SELECT MIN({{'p': n.pos, 's': n.shard}})
-                FROM {ring} n WHERE n.pos >= d.pos).s,
-               (SELECT MIN({{'p': n.pos, 's': n.shard}})
-                FROM {ring} n).s) AS {alias}
-      FROM docs_pos d
-"""
+def _sql_assign_case(n_shards: int) -> str:
+    nodes = _ring_nodes(n_shards)
+    branches = " ".join(
+        f"WHEN pos <= {p} THEN {sh}" for p, sh in nodes
+    )
+    return f"CASE {branches} ELSE {nodes[0][1]} END"
 
 
 @register(
     "q_consistent_hash",
     f"""
-    WITH ring8 AS MATERIALIZED ({_sql_ring(_CH_SHARDS)}),
-    ring9 AS MATERIALIZED ({_sql_ring(_CH_SHARDS + 1)}),
-    docs_pos AS (
-      SELECT doc_id, {_SQL_DOC_POS} AS pos FROM documents
-    ),
-    a8 AS ({_sql_assign('ring8', 's8')}),
-    a9 AS ({_sql_assign('ring9', 's9')})
-    SELECT a8.s8 AS shard,
+    WITH assigned AS (
+      SELECT {_sql_assign_case(_CH_SHARDS)} AS s8,
+             {_sql_assign_case(_CH_SHARDS + 1)} AS s9
+      FROM (SELECT {_SQL_DOC_POS} AS pos FROM documents)
+    )
+    SELECT CAST(s8 AS BIGINT) AS shard,
            CAST(COUNT(*) AS BIGINT) AS n_docs_8,
-           CAST(SUM(CASE WHEN a9.s9 <> a8.s8 THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN s9 <> s8 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_moved_on_expand,
-           round(SUM(CASE WHEN a9.s9 <> a8.s8 THEN 1 ELSE 0 END)
+           round(SUM(CASE WHEN s9 <> s8 THEN 1 ELSE 0 END)
                  * 1.0 / COUNT(*), 6) AS moved_frac
-    FROM a8 JOIN a9 ON a9.doc_id = a8.doc_id
-    GROUP BY 1 ORDER BY 1
+    FROM assigned GROUP BY 1 ORDER BY 1
     """,
 )
 def q_consistent_hash(spark, sf_dir):
     """R544 — consistent-hash ring placement (8 shards × 16 vnodes)
     with the expand-to-9 churn accounting: per 8-shard shard, how many
-    of its docs move when shard 8 joins (ring theory says ≈1/9
-    overall, and ONLY to the new shard's arcs).  The ring is a
-    bounded literal frame (broadcast); assignment is min-(pos, shard)
-    over nodes clockwise with deterministic tie-break; the corpus
-    does one narrow hash projection + one rollup."""
+    of its docs move when shard 8 joins (≈1/9 overall, and ONLY to
+    the new shard's arcs — tested).  The ring is a pure constant, so
+    assignment compiles to a sorted 128-branch CASE chain evaluated
+    per row inside whole-stage codegen: NO joins, NO candidate
+    explode, one narrow projection + one partial-aggregated rollup —
+    the plan is a single scan at any corpus size."""
+
+    def case_col(n_shards):
+        nodes = _ring_nodes(n_shards)
+        c = F.when(F.col("pos") <= nodes[0][0], F.lit(nodes[0][1]))
+        for p, sh in nodes[1:]:
+            c = c.when(F.col("pos") <= p, F.lit(sh))
+        return c.otherwise(F.lit(nodes[0][1]))
+
     docs = _docs(spark, sf_dir).select(
-        "doc_id",
-        ((F.col("doc_id") * _CH_DOC_MULT) % _CH_M).alias("pos"),
+        ((F.col("doc_id") * _CH_DOC_MULT) % _CH_M).alias("pos")
     )
-
-    def ring(n_shards):
-        s = spark.range(n_shards).select(F.col("id").alias("s"))
-        r = spark.range(_CH_REPLICAS).select(F.col("id").alias("r"))
-        return s.crossJoin(r).select(
-            F.col("s").alias("shard"),
-            (
-                ((F.col("s") * 131 + F.col("r")) * _CH_NODE_MULT + 7)
-                % _CH_M
-            ).alias("pos"),
-        )
-
-    def assign(ring_df, alias):
-        rp = ring_df.select(
-            F.col("shard").alias("n_shard"), F.col("pos").alias("n_pos")
-        )
-        cand = docs.crossJoin(F.broadcast(rp))
-        ge = (
-            cand.filter(F.col("n_pos") >= F.col("pos"))
-            .groupBy("doc_id")
-            .agg(F.min(F.struct("n_pos", "n_shard")).alias("w"))
-            .select("doc_id", F.col("w.n_shard").alias("ge_shard"))
-        )
-        wrap = (
-            ring_df.agg(F.min(F.struct("pos", "shard")).alias("w"))
-            .select(F.col("w.shard").alias("wrap_shard"))
-        )
-        return (
-            docs.join(ge, "doc_id", "left")
-            .crossJoin(F.broadcast(wrap))
-            .select(
-                "doc_id",
-                F.coalesce(F.col("ge_shard"), F.col("wrap_shard")).alias(
-                    alias
-                ),
-            )
-        )
-
-    a8 = assign(ring(_CH_SHARDS), "s8")
-    a9 = assign(ring(_CH_SHARDS + 1), "s9")
-    j = a8.join(a9, "doc_id")
-    moved = F.sum(
-        F.when(F.col("s9") != F.col("s8"), 1).otherwise(0)
+    assigned = docs.select(
+        case_col(_CH_SHARDS).alias("s8"),
+        case_col(_CH_SHARDS + 1).alias("s9"),
     )
+    moved = F.sum(F.when(F.col("s9") != F.col("s8"), 1).otherwise(0))
     return (
-        j.groupBy(F.col("s8").alias("shard"))
+        assigned.groupBy(F.col("s8").cast("long").alias("shard"))
         .agg(
             F.count(F.lit(1)).alias("n_docs_8"),
             moved.alias("n_moved_on_expand"),

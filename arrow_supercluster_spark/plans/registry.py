@@ -427,6 +427,7 @@ def _load_extended_registries():
         registry_ext185,
         registry_ext186,
         registry_ext187,
+        registry_ext188,
     )
 
 

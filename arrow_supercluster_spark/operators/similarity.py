@@ -166,6 +166,61 @@ def cosine_topk_gemm(
     return _ranked_topk(scored, qkey, key, k)
 
 
+def cosine_pairs_gemm(
+    df: DataFrame,
+    threshold: float,
+    vec: str = "embedding",
+    key: str = "vec_id",
+) -> DataFrame:
+    """E2 throughput path — exact all-pairs cosine pairs above a
+    threshold, computed as ONE BLAS matmul per Arrow batch against the
+    broadcast full normalized matrix (the cosine_topk_gemm pattern
+    applied to the pair problem).  Emits only (a < b) pairs at
+    round-6 cosine >= threshold, so the shuffle carries the RESULT,
+    not the candidate product.  EVAL-ONLY contract like the HOF form
+    it replaces in q_embedding_neardup: the full matrix rides a
+    broadcast (fine for eval corpora; the LSH-bucketed variant is the
+    100 TB path).  Equal to the HOF all-pairs join up to float-
+    summation order — both round to 6 before the threshold."""
+    import numpy as np
+
+    rows = df.select(key, vec).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.array([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    Mn = np.divide(M, n, out=np.zeros_like(M), where=n > 0)
+    bc = df.sparkSession.sparkContext.broadcast((ids, Mn))
+
+    def run(batches):
+        import pandas as pd
+
+        f_ids, f_Mn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.array(
+                [[float(x) for x in v] for v in pdf[vec]], dtype=np.float64
+            )
+            cn = np.linalg.norm(C, axis=1, keepdims=True)
+            Cn = np.divide(C, cn, out=np.zeros_like(C), where=cn > 0)
+            S = np.round(Cn @ f_Mn.T, 6)  # (batch x full) — one BLAS call
+            keys = pdf[key].to_numpy()
+            a_out, b_out, c_out = [], [], []
+            bi, fj = np.nonzero(S >= threshold)
+            for i, j in zip(bi, fj):
+                a, b = keys[i], f_ids[j]
+                if a < b:
+                    a_out.append(a)
+                    b_out.append(b)
+                    c_out.append(S[i, j])
+            yield pd.DataFrame({"a_id": a_out, "b_id": b_out,
+                                "cos": c_out})
+
+    return df.select(key, vec).mapInPandas(
+        run, schema="a_id long, b_id long, cos double"
+    )
+
+
 def hyperplane_buckets(df: DataFrame, vec: str, out: str, n_planes: int = 8, seed: int = 42) -> DataFrame:
     """Random-hyperplane LSH bucket id: bit j = sign(v · h_j) where h_j is
     a deterministic pseudo-random hyperplane derived from xxhash64(j·dim+i)

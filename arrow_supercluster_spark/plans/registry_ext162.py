@@ -94,38 +94,42 @@ def q_map_at_k(spark, sf_dir):
     same label, AP = mean of precision@rank at each relevant hit
     (normalized by hits retrieved within k, the standard cut-off
     convention, stated). The all-pairs frame is the documented
-    EVAL-ONLY kernel (q_cosine_topk's two-phase top-k / LSH variant is
-    the production path). sklearn label_ranking_average_precision is
+    EVAL-ONLY kernel, executed through the BLAS top-k kernel since r7
+    (cosine_topk_gemm with k+1 then self-exclusion — identical result
+    up to round-6, ~50x the HOF join; LSH is the production path). sklearn label_ranking_average_precision is
     NOT the same definition; the python oracle replays this one
     exactly.""".format(k=_MAP_K)
-    from arrow_supercluster_spark.operators.similarity import cosine
+    from arrow_supercluster_spark.operators.similarity import (
+        cosine_topk_gemm,
+    )
 
-    emb = _emb(spark, sf_dir).select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    emb = _emb(spark, sf_dir)
+    labels = emb.select("vec_id", "label")
+    # r7: the all-pairs eval frame runs through the BLAS top-k kernel
+    # (one matmul per Arrow batch) with k+1 so dropping the self-match
+    # still leaves the exact top-k of the pool-without-self; ranks are
+    # then recomputed under the same (cos DESC, id) rule, so the
+    # result is identical to the HOF form up to round-6.
+    topk1 = cosine_topk_gemm(
+        corpus=emb,
+        queries=emb.select(F.col("vec_id").alias("q_id"), "embedding"),
+        k=_MAP_K + 1,
+    ).filter(F.col("vec_id") != F.col("q_id"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
+    ranked = (
+        topk1.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _MAP_K)
+        .join(
+            labels.select(
+                F.col("vec_id").alias("q_id"), F.col("label").alias("ql")
+            ),
+            "q_id",
+        )
+        .join(
+            labels.select("vec_id", F.col("label").alias("nl")), "vec_id"
+        )
+        .select(F.col("q_id").alias("q"), "ql", "nl", "rk")
     )
-    a = emb.select(
-        F.col("vec_id").alias("q"),
-        F.col("label").alias("ql"),
-        F.col("v").alias("av"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("nid"),
-        F.col("label").alias("nl"),
-        F.col("v").alias("bv"),
-    )
-    scored = a.join(b, F.col("q") != F.col("nid")).select(
-        "q",
-        "ql",
-        "nl",
-        "nid",
-        F.round(cosine(F.col("av"), F.col("bv")), 6).alias("cos"),
-    )
-    w = Window.partitionBy("q").orderBy(F.desc("cos"), "nid")
-    ranked = scored.select(
-        "q", "ql", "nl", F.row_number().over(w).alias("rk")
-    ).filter(F.col("rk") <= _MAP_K)
     topk = ranked.select(
         "q",
         "rk",

@@ -200,22 +200,13 @@ _NEARDUP_T = 0.45
 )
 def q_embedding_neardup(spark, sf_dir):
     """E2 — embedding-cosine near-duplicate pairs (cos ≥ 0.45; see threshold note). Exact
-    all-pairs form for the oracle; at 100 TB the LSH-bucketed variant
+    all-pairs form for the oracle, executed through the BLAS pair
+    kernel since r7 (cosine_pairs_gemm: one matmul per Arrow batch vs
+    the broadcast normalized matrix — ~17x over the per-row HOF join
+    at sf0.1, equal up to round-6); at 100 TB the LSH-bucketed variant
     (cosine_topk_lsh's bucketing) prunes the pair space first."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    a = emb.select(
-        F.col("vec_id").alias("a_id"),
-        similarity.as_double(F.col("embedding")).alias("a_v"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("b_id"),
-        similarity.as_double(F.col("embedding")).alias("b_v"),
-    )
-    pairs = a.join(b, F.col("a_id") < F.col("b_id"))
-    cos = F.round(similarity.cosine(F.col("a_v"), F.col("b_v")), 6)
-    return pairs.select("a_id", "b_id", cos.alias("cos")).filter(
-        F.col("cos") >= _NEARDUP_T
-    )
+    return similarity.cosine_pairs_gemm(emb, _NEARDUP_T)
 
 
 # ===========================================================================

@@ -71,6 +71,10 @@ ALLOWLIST: dict[str, str] = {
     "operators/similarity.py::cosine_topk_gemm":
         "collects the QUERY side only (broadcast contract, same bound as "
         "cosine_topk's F.broadcast); corpus side stays distributed",
+    "operators/similarity.py::cosine_pairs_gemm":
+        "collects the matrix it broadcasts (EVAL-ONLY contract, same "
+        "bound class as cosine_topk_gemm's query side; LSH variant is "
+        "the production path)",
     "plans/registry_ext7.py::_greedy_anchor_id":
         "1-row lookup of a single anchor cluster id",
     "plans/registry_ext22.py::q_pq_encode":

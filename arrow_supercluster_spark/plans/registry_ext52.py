@@ -115,8 +115,7 @@ def q_lsh_eval(spark, sf_dir):
     tests/test_batch47.py. This is the measurement loop every
     LSH-parameter choice must close."""
     from arrow_supercluster_spark.operators.similarity import (
-        as_double,
-        cosine,
+        cosine_pairs_gemm,
         neardup_pairs_lsh,
     )
 
@@ -124,13 +123,10 @@ def q_lsh_eval(spark, sf_dir):
     lsh = neardup_pairs_lsh(emb, threshold=0.45, n_planes=4, n_tables=8).select(
         "a_id", "b_id"
     )
-    a = emb.select(F.col("vec_id").alias("a_id"), as_double(F.col("embedding")).alias("av"))
-    b = emb.select(F.col("vec_id").alias("b_id"), as_double(F.col("embedding")).alias("bv"))
-    exact = (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .filter(F.round(cosine(F.col("av"), F.col("bv")), 6) >= 0.45)
-        .select("a_id", "b_id")
-    )
+    # r7: the exact ground-truth pair set runs through the BLAS pair
+    # kernel (one matmul per Arrow batch) — identical up to round-6,
+    # replacing the per-row HOF all-pairs join
+    exact = cosine_pairs_gemm(emb, 0.45).select("a_id", "b_id")
     n_lsh = lsh.count()
     n_exact = exact.count()
     n_common = lsh.join(exact, ["a_id", "b_id"], "leftsemi").count()

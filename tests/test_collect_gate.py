@@ -71,6 +71,12 @@ ALLOWLIST: dict[str, str] = {
     "operators/similarity.py::cosine_topk_gemm":
         "collects the QUERY side only (broadcast contract, same bound as "
         "cosine_topk's F.broadcast); corpus side stays distributed",
+    "operators/graph.py::triangle_counts":
+        "dispatch probe: distinct().limit(_TRI_BITSET_MAX_NODES+1) — "
+        "16385 rows max regardless of graph size",
+    "operators/graph.py::_triangle_counts_bitset":
+        "adjacency bitmap table: <= _TRI_BITSET_MAX_NODES rows by "
+        "dispatch (the broadcast it feeds)",
     "operators/similarity.py::cosine_pairs_gemm":
         "collects the matrix it broadcasts (EVAL-ONLY contract, same "
         "bound class as cosine_topk_gemm's query side; LSH variant is "

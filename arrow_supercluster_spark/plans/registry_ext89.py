@@ -341,28 +341,21 @@ _KNN_K = 5
 
 
 def knn_edges_exact(emb, k: int):
-    """Small-corpus exact kNN edge list on cosine (used by q_kcore):
-    per-vector top-k via partial ranking below the shuffle."""
-    from pyspark.sql.window import Window
+    """Exact kNN edge list (a, b) on round-6 cosine with dst tiebreak —
+    since r7 a thin wrapper over similarity.knn_edges_exact (the BLAS
+    top-k kernel), so the WHOLE graph family (kcore, percolation,
+    modularity, harmonic, rich-club) shares one edge discipline that
+    matches the unrolled SQL twins exactly.  The embeddings are unit
+    norm, so this agrees with the previous raw-dot ranking up to
+    round-6 ties (the twins always ranked on round-6 cosine)."""
+    from arrow_supercluster_spark.operators import similarity
 
-    e = emb.select("vec_id", "embedding")
-    a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    scored = (
-        a.join(b, F.col("a") != F.col("b"))
-        .select("a", "b", dot.alias("dot"))
-    )
-    w = Window.partitionBy("a").orderBy(F.col("dot").desc(), F.col("b"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("a", "b")
-    )
+    return similarity.knn_edges_exact(
+        emb.select("vec_id", "embedding"),
+        k,
+        vec="embedding",
+        key="vec_id",
+    ).select(F.col("src").alias("a"), F.col("dst").alias("b"))
 
 
 @register("q_kcore", None)

@@ -119,25 +119,57 @@ def q_unpivot(spark, sf_dir):
 )
 def q_butterfly_count(spark, sf_dir):
     """Bipartite butterflies: customer pairs sharing k priorities form
-    C(k,2) butterflies each; the wedge join runs on the priority side
-    (bounded postings — the side you'd flip at scale under skew) and
-    the rollup reports the shared-count distribution with butterfly
-    totals. Σ butterflies over rows = the graph's butterfly count."""
+    C(k,2) butterflies each; since r7 the pair distribution is computed
+    CLOSED FORM over the bounded priority-set mask frame (<= 2^|P|
+    masks): one (c, bit) rollup collapses the corpus, then same-mask
+    and cross-mask pair counts give every shared-count bucket without
+    enumerating a single customer pair.  Σ butterflies over rows = the
+    graph's butterfly count (conservation-tested)."""
+    from itertools import chain
+
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     bp = o.select(
         F.col("o_custkey").alias("c"), F.col("o_orderpriority").alias("p")
     ).distinct()
-    a = bp.select(F.col("c").alias("c1"), "p")
-    b = bp.select(F.col("c").alias("c2"), "p")
-    wedges = (
-        a.join(b, "p")
-        .filter(F.col("c1") < F.col("c2"))
-        .groupBy("c1", "c2")
-        .agg(F.count(F.lit(1)).alias("shared"))
+    # r7: the priority domain is a bounded enum (<= 64 by probe), so
+    # every customer's priority SET is one small bitmask — collapse
+    # customers to (mask, count) and the whole shared-count
+    # distribution is CLOSED FORM over <= 2^|P| mask pairs: same-mask
+    # pairs share popcount(m) (C(cnt,2) of them), cross-mask pairs
+    # share popcount(m1&m2) (cnt1*cnt2 of them).  This replaces the
+    # Sigma cnt_p^2 wedge join (8.5e8 rows at sf0.1, 553 s) with one
+    # partial-aggregated mask rollup + driver-side arithmetic on the
+    # bounded mask frame (the q_setsim_join bitmask discipline).
+    prios = sorted(
+        r.p for r in bp.select("p").distinct().limit(64).collect()
     )
-    return wedges.groupBy("shared").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum(
-            (F.col("shared") * (F.col("shared") - 1) / 2).cast("long")
-        ).alias("butterflies"),
+    bit_map = F.create_map(
+        *chain.from_iterable(
+            (F.lit(p), F.lit(1 << i).cast("long"))
+            for i, p in enumerate(prios)
+        )
+    )
+    mcnt = (
+        bp.select("c", F.element_at(bit_map, F.col("p")).alias("bit"))
+        .groupBy("c")
+        .agg(F.sum("bit").alias("mask"))
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rows = mcnt.collect()  # <= 2^|prios| - 1 = 31 rows, bounded
+    dist = {}
+    for i, r1 in enumerate(rows):
+        s_same = bin(r1.mask).count("1")
+        dist[s_same] = dist.get(s_same, 0) + r1.cnt * (r1.cnt - 1) // 2
+        for r2 in rows[i + 1:]:
+            sh = bin(r1.mask & r2.mask).count("1")
+            if sh > 0:
+                dist[sh] = dist.get(sh, 0) + r1.cnt * r2.cnt
+    out = [
+        (s, int(n), int(n * (s * (s - 1) // 2)))
+        for s, n in sorted(dist.items())
+        if n > 0
+    ]
+    return spark.createDataFrame(
+        out, "shared long, n_pairs long, butterflies long"
     )

@@ -77,6 +77,9 @@ ALLOWLIST: dict[str, str] = {
     "operators/graph.py::_triangle_counts_bitset":
         "adjacency bitmap table: <= _TRI_BITSET_MAX_NODES rows by "
         "dispatch (the broadcast it feeds)",
+    "plans/registry_ext98.py::q_butterfly_count":
+        "priority-domain probe (distinct().limit(64)) + the <= 2^|P|-row "
+        "mask-count frame the closed form runs on (r7 rewrite)",
     "operators/similarity.py::cosine_pairs_gemm":
         "collects the matrix it broadcasts (EVAL-ONLY contract, same "
         "bound class as cosine_topk_gemm's query side; LSH variant is "

@@ -428,6 +428,7 @@ def _load_extended_registries():
         registry_ext186,
         registry_ext187,
         registry_ext188,
+        registry_ext189,
     )
 
 

@@ -429,6 +429,7 @@ def _load_extended_registries():
         registry_ext187,
         registry_ext188,
         registry_ext189,
+        registry_ext190,
     )
 
 

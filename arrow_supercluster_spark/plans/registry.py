@@ -430,6 +430,7 @@ def _load_extended_registries():
         registry_ext188,
         registry_ext189,
         registry_ext190,
+        registry_ext191,
     )
 
 

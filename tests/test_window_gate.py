@@ -63,6 +63,7 @@ ALLOWED_GLOBAL_WINDOWS = {
     "q_shard_manifest",  # one row per output shard
     "q_bh_fdr",          # p-value ranking over |event types| rows
     "q_rank_aggregation",  # three rankings over the |sources| frame
+    "q_reservoir_sample",  # rank over the TakeOrdered top-25 page
 }
 
 

@@ -431,6 +431,7 @@ def _load_extended_registries():
         registry_ext189,
         registry_ext190,
         registry_ext191,
+        registry_ext192,
     )
 
 

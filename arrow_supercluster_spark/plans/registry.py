@@ -432,6 +432,7 @@ def _load_extended_registries():
         registry_ext190,
         registry_ext191,
         registry_ext192,
+        registry_ext193,
     )
 
 

@@ -64,6 +64,10 @@ ALLOWED_GLOBAL_WINDOWS = {
     "q_bh_fdr",          # p-value ranking over |event types| rows
     "q_rank_aggregation",  # three rankings over the |sources| frame
     "q_reservoir_sample",  # rank over the TakeOrdered top-25 page
+    # r7 EDF normality suite: running count over the value-collapsed
+    # frame, bounded by the <=100,001 distinct cent values of the
+    # [0,1000) 2-decimal domain (the q_hist_quantiles class)
+    "q_anderson_darling", "q_lilliefors", "q_shapiro_francia",
 }
 
 

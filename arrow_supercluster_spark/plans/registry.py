@@ -433,6 +433,7 @@ def _load_extended_registries():
         registry_ext191,
         registry_ext192,
         registry_ext193,
+        registry_ext194,
     )
 
 

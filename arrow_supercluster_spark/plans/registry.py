@@ -434,6 +434,7 @@ def _load_extended_registries():
         registry_ext192,
         registry_ext193,
         registry_ext194,
+        registry_ext195,
     )
 
 

@@ -435,6 +435,7 @@ def _load_extended_registries():
         registry_ext193,
         registry_ext194,
         registry_ext195,
+        registry_ext196,
     )
 
 

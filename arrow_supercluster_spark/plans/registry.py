@@ -436,6 +436,7 @@ def _load_extended_registries():
         registry_ext194,
         registry_ext195,
         registry_ext196,
+        registry_ext197,
     )
 
 

@@ -437,6 +437,7 @@ def _load_extended_registries():
         registry_ext195,
         registry_ext196,
         registry_ext197,
+        registry_ext198,
     )
 
 

@@ -438,6 +438,7 @@ def _load_extended_registries():
         registry_ext196,
         registry_ext197,
         registry_ext198,
+        registry_ext199,
     )
 
 

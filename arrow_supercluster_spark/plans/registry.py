@@ -439,6 +439,7 @@ def _load_extended_registries():
         registry_ext197,
         registry_ext198,
         registry_ext199,
+        registry_ext200,
     )
 
 

@@ -440,6 +440,7 @@ def _load_extended_registries():
         registry_ext198,
         registry_ext199,
         registry_ext200,
+        registry_ext201,
     )
 
 

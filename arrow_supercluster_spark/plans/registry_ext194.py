@@ -31,7 +31,7 @@ from arrow_supercluster_spark.plans.registry_core import register
 from arrow_supercluster_spark.sources.tables import read_events
 
 _P = 2147483647
-_QU_SPLIT = "2024-02-01"
+_QU_SPLIT = "2024-01-22"
 _QU_CONV_MIN = 300.0
 _QU_DECILES = 10
 _RDD_CUT, _RDD_BW = 720, 240
@@ -90,8 +90,8 @@ _QU_PER_USER_SQL = f"""
     """,
 )
 def q_qini_uplift(spark, sf_dir):
-    """R563 — uplift deciles: score = pre-Feb click/view count, outcome
-    = post-Feb high-value purchase bit, treatment = user parity.  The
+    """R563 — uplift deciles: score = pre-split (Jan 22) click/view count,
+    outcome = post-split high-value purchase bit, treatment = user parity.  The
     user rank is a distributed zip_scan + closed-form NTILE (identical
     boundaries to the twin's NTILE); the cumulative Qini runs on the
     10-row decile frame via a bounded self-join."""

@@ -27,7 +27,7 @@ from pyspark.sql import Window, functions as F
 from arrow_supercluster_spark.plans.registry_core import register
 from arrow_supercluster_spark.sources.tables import read_events
 
-_SNAP_AT = "2024-02-01 00:00:00"
+_SNAP_AT = "2024-01-16 00:00:00"
 
 _SQL_RUNS = """
       seq AS (

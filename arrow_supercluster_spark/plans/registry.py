@@ -441,6 +441,7 @@ def _load_extended_registries():
         registry_ext199,
         registry_ext200,
         registry_ext201,
+        registry_ext202,
     )
 
 

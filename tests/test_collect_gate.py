@@ -149,6 +149,9 @@ ALLOWLIST: dict[str, str] = {
         "terminals) for the driver-side <=5x5 fundamental-matrix solve",
     "plans/registry_ext146.py::q_value_at_risk":
         "calendar-bounded daily return series",
+    "plans/registry_ext202.py::t1q":
+        "1-row MIN agg (type-1 marginal quantile of the calendar-"
+        "bounded day frame)",
     "sources/geoparquet.py::write_geoparquet":
         "per-partition file-path manifest (n_partitions rows) for "
         "metadata assembly",

@@ -442,6 +442,7 @@ def _load_extended_registries():
         registry_ext200,
         registry_ext201,
         registry_ext202,
+        registry_ext203,
     )
 
 

@@ -443,6 +443,7 @@ def _load_extended_registries():
         registry_ext201,
         registry_ext202,
         registry_ext203,
+        registry_ext204,
     )
 
 

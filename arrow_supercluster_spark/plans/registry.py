@@ -444,6 +444,7 @@ def _load_extended_registries():
         registry_ext202,
         registry_ext203,
         registry_ext204,
+        registry_ext205,
     )
 
 

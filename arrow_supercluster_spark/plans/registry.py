@@ -445,6 +445,7 @@ def _load_extended_registries():
         registry_ext203,
         registry_ext204,
         registry_ext205,
+        registry_ext206,
     )
 
 

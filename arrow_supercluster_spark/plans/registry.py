@@ -446,6 +446,7 @@ def _load_extended_registries():
         registry_ext204,
         registry_ext205,
         registry_ext206,
+        registry_ext207,
     )
 
 

@@ -447,6 +447,7 @@ def _load_extended_registries():
         registry_ext205,
         registry_ext206,
         registry_ext207,
+        registry_ext208,
     )
 
 

@@ -448,6 +448,7 @@ def _load_extended_registries():
         registry_ext206,
         registry_ext207,
         registry_ext208,
+        registry_ext209,
     )
 
 

@@ -68,6 +68,8 @@ ALLOWED_GLOBAL_WINDOWS = {
     # frame, bounded by the <=100,001 distinct cent values of the
     # [0,1000) 2-decimal domain (the q_hist_quantiles class)
     "q_anderson_darling", "q_lilliefors", "q_shapiro_francia",
+    # r7 EVT pack: same value-collapsed cent-domain bound
+    "q_l_moments", "q_gpd_pot", "q_mean_excess",
 }
 
 

@@ -449,6 +449,7 @@ def _load_extended_registries():
         registry_ext207,
         registry_ext208,
         registry_ext209,
+        registry_ext210,
     )
 
 

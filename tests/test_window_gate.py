@@ -70,6 +70,8 @@ ALLOWED_GLOBAL_WINDOWS = {
     "q_anderson_darling", "q_lilliefors", "q_shapiro_francia",
     # r7 EVT pack: same value-collapsed cent-domain bound
     "q_l_moments", "q_gpd_pot", "q_mean_excess",
+    # r7 ordinal effect sizes: same cent-domain bound
+    "q_cliffs_delta", "q_somers_d",
 }
 
 

@@ -450,6 +450,7 @@ def _load_extended_registries():
         registry_ext208,
         registry_ext209,
         registry_ext210,
+        registry_ext211,
     )
 
 

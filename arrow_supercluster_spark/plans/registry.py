@@ -451,6 +451,7 @@ def _load_extended_registries():
         registry_ext209,
         registry_ext210,
         registry_ext211,
+        registry_ext212,
     )
 
 

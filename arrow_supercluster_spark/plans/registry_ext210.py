@@ -58,7 +58,10 @@ def _det3_sql(m):
     )
 
 
-def _logistic_sql() -> str:
+def _logistic_ctes() -> list:
+    """The shared Newton CTE chain (feats, it0..itN) — consumed by the
+    R611 query here and the R616-R618 model diagnostics
+    (registry_ext212)."""
     ctes = [_SQL_FEATS.strip().rstrip(), "it0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2)"]
     for t in range(1, _LR_ITERS + 1):
         prev = f"it{t - 1}"
@@ -99,6 +102,11 @@ def _logistic_sql() -> str:
       FROM m{t}
     )"""
         )
+    return ctes
+
+
+def _logistic_sql() -> str:
+    ctes = _logistic_ctes()
     p_final = (
         f"1.0 / (1.0 + exp(-(it{_LR_ITERS}.b0"
         f" + it{_LR_ITERS}.b1 * feats.x1"
@@ -122,14 +130,10 @@ def _logistic_sql() -> str:
     )
 
 
-@register("q_logistic_irls", _logistic_sql())
-def q_logistic_irls(spark, sf_dir):
-    """R611 — logit P(high-value purchaser) ~ clicks/10 + views/10:
-    β ← β + (X'WX)⁻¹X'(y−p), W = diag(p(1−p)), four unrolled Newton
-    passes with the 3×3 solve in closed Cramer form — each pass one
-    partial-aggregated scan, no collect, no driver loop."""
+def _spark_feats(spark, sf_dir):
+    """(user_id, x1, x2, y) — the shared logistic feature frame."""
     ev = read_events(spark, sf_dir)
-    feats = ev.groupBy("user_id").agg(
+    return ev.groupBy("user_id").agg(
         (
             F.sum(
                 F.when(F.col("event_type") == "click", 1).otherwise(0)
@@ -151,6 +155,24 @@ def q_logistic_irls(spark, sf_dir):
         ).alias("y"),
     )
 
+
+def _sigmoid():
+    return 1.0 / (
+        1.0
+        + F.exp(
+            -(
+                F.col("b0")
+                + F.col("b1") * F.col("x1")
+                + F.col("b2") * F.col("x2")
+            )
+        )
+    )
+
+
+def _spark_beta(feats):
+    """The 1-row (b0, b1, b2) frame after the unrolled Newton passes —
+    shared with the R616-R618 model diagnostics (registry_ext212)."""
+
     def det3(m):
         (a, b, c), (d, e, f_), (g, h, i) = m
         return (
@@ -164,16 +186,7 @@ def q_logistic_irls(spark, sf_dir):
     )
     for _ in range(_LR_ITERS):
         j = feats.crossJoin(F.broadcast(beta))
-        p = 1.0 / (
-            1.0
-            + F.exp(
-                -(
-                    F.col("b0")
-                    + F.col("b1") * F.col("x1")
-                    + F.col("b2") * F.col("x2")
-                )
-            )
-        )
+        p = _sigmoid()
         w = p * (1.0 - p)
         m = j.agg(
             F.sum(w).alias("s00"),
@@ -207,17 +220,19 @@ def q_logistic_irls(spark, sf_dir):
             (F.col("b1") + deltas[1]).alias("b1"),
             (F.col("b2") + deltas[2]).alias("b2"),
         )
+    return beta
+
+
+@register("q_logistic_irls", _logistic_sql())
+def q_logistic_irls(spark, sf_dir):
+    """R611 — logit P(high-value purchaser) ~ clicks/10 + views/10:
+    β ← β + (X\'WX)⁻¹X\'(y−p), W = diag(p(1−p)), four unrolled Newton
+    passes with the 3×3 solve in closed Cramer form — each pass one
+    partial-aggregated scan, no collect, no driver loop."""
+    feats = _spark_feats(spark, sf_dir)
+    beta = _spark_beta(feats)
     j = feats.crossJoin(F.broadcast(beta))
-    p = 1.0 / (
-        1.0
-        + F.exp(
-            -(
-                F.col("b0")
-                + F.col("b1") * F.col("x1")
-                + F.col("b2") * F.col("x2")
-            )
-        )
-    )
+    p = _sigmoid()
     return j.agg(
         F.count(F.lit(1)).alias("n"),
         (F.round(F.max("b0"), 6) + 0.0).alias("beta0"),

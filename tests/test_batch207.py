@@ -1,0 +1,150 @@
+"""Batch-207 tests: information-gain contingency replay, PD replay on
+the numpy-fitted model, permutation-importance replay + positivity of
+the informative feature's importance."""
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+
+def _ufeats(spark, sf_dir):
+    from arrow_supercluster_spark.plans.registry_ext210 import (
+        _LR_VALUE_MIN,
+    )
+    from arrow_supercluster_spark.sources.tables import read_events
+
+    rows = (
+        read_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("clicks"),
+            F.sum(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("views"),
+            F.sum(
+                F.when(F.col("event_type") == "signup", 1).otherwise(0)
+            ).alias("signups"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > _LR_VALUE_MIN),
+                    1,
+                ).otherwise(0)
+            ).alias("y"),
+        )
+        .collect()
+    )
+    return sorted(rows, key=lambda r: r.user_id)
+
+
+def _t1_median(vals):
+    s = sorted(vals)
+    n = len(s)
+    cum = 0
+    for v in s:
+        cum += 1
+        if 2 * cum >= n:
+            return v
+
+
+def test_information_gain_matches_replay(spark, sf_dir):
+    from arrow_supercluster_spark.plans.registry_ext212 import (
+        q_information_gain,
+    )
+
+    rows = _ufeats(spark, sf_dir)
+    got = {r.feature: r for r in q_information_gain(spark, sf_dir).collect()}
+    assert sorted(got) == ["clicks", "signups", "views"]
+
+    def h(p):
+        return 0.0 if p in (0, 1) else -p * math.log(p) - (1 - p) * math.log(1 - p)
+
+    for name in ("clicks", "views", "signups"):
+        med = _t1_median([getattr(r, name) for r in rows])
+        cells = {}
+        for r in rows:
+            f = 1 if getattr(r, name) >= med else 0
+            cells[(f, r.y)] = cells.get((f, r.y), 0) + 1
+        nt = sum(cells.values())
+        n1 = sum(v for (f, y), v in cells.items() if y == 1)
+        hy = h(n1 / nt)
+        gy = 2 * (n1 / nt) * (1 - n1 / nt)
+        h_cond = gini_cond = chi2 = 0.0
+        for f in (0, 1):
+            nf = sum(v for (ff, _), v in cells.items() if ff == f)
+            if nf == 0:
+                continue
+            nf1 = cells.get((f, 1), 0)
+            h_cond += nf / nt * h(nf1 / nf)
+            gini_cond += nf / nt * 2 * (nf1 / nf) * (1 - nf1 / nf)
+            e1 = nf * n1 / nt
+            e0 = nf * (nt - n1) / nt
+            chi2 += (nf1 - e1) ** 2 / e1 + ((nf - nf1) - e0) ** 2 / e0
+        r = got[name]
+        assert abs(r.info_gain - round(hy - h_cond, 6)) < 1e-6
+        assert abs(r.gini_gain - round(gy - gini_cond, 6)) < 1e-6
+        assert abs(r.chi2 - round(chi2, 6)) < 1e-5
+        assert r.info_gain >= -1e-9 and r.gini_gain >= -1e-9
+
+
+def _fit(rows):
+    X = np.array([[1.0, r.clicks / 10.0, r.views / 10.0] for r in rows])
+    y = np.array([r.y for r in rows], dtype=float)
+    beta = np.zeros(3)
+    for _ in range(4):
+        p = 1.0 / (1.0 + np.exp(-(X @ beta)))
+        W = p * (1 - p)
+        beta = beta + np.linalg.solve(X.T @ (X * W[:, None]), X.T @ (y - p))
+    return X, y, beta
+
+
+def test_partial_dependence_matches_replay(spark, sf_dir):
+    from arrow_supercluster_spark.plans.registry_ext212 import (
+        _PD_GRID,
+        q_partial_dependence,
+    )
+
+    rows = _ufeats(spark, sf_dir)
+    X, y, beta = _fit(rows)
+    got = {r.x1_value: r.pd for r in q_partial_dependence(spark, sf_dir).collect()}
+    assert sorted(got) == [float(g) for g in _PD_GRID]
+    for g in _PD_GRID:
+        pd = np.mean(
+            1.0 / (1.0 + np.exp(-(beta[0] + beta[1] * g + beta[2] * X[:, 2])))
+        )
+        assert abs(got[float(g)] - pd) < 1e-4
+    # sign of the PD slope matches the sign of beta1
+    vals = [got[float(g)] for g in _PD_GRID]
+    if beta[1] > 0:
+        assert vals[-1] >= vals[0]
+    else:
+        assert vals[-1] <= vals[0]
+
+
+def test_permutation_importance_matches_replay(spark, sf_dir):
+    from arrow_supercluster_spark.plans.registry_ext212 import (
+        q_permutation_importance,
+    )
+
+    rows = _ufeats(spark, sf_dir)  # sorted by user_id
+    X, y, beta = _fit(rows)
+    n = len(rows)
+
+    def logloss(x1, x2):
+        p = 1.0 / (1.0 + np.exp(-(beta[0] + beta[1] * x1 + beta[2] * x2)))
+        return float(np.mean(-(y * np.log(p) + (1 - y) * np.log(1 - p))))
+
+    x1, x2 = X[:, 1], X[:, 2]
+    px1 = np.roll(x1, -1)  # rank r takes rank (r % n) + 1 = next user
+    px2 = np.roll(x2, -1)
+    base = logloss(x1, x2)
+    got = {r.feature: r for r in q_permutation_importance(spark, sf_dir).collect()}
+    assert sorted(got) == ["x1", "x2"]
+    for feat, pl in (("x1", logloss(px1, x2)), ("x2", logloss(x1, px2))):
+        r = got[feat]
+        assert abs(r.base_loss - base) < 1e-5
+        assert abs(r.permuted_loss - pl) < 1e-5
+        assert abs(r.importance - (pl - base)) < 1e-5

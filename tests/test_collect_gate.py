@@ -152,6 +152,9 @@ ALLOWLIST: dict[str, str] = {
     "plans/registry_ext202.py::t1q":
         "1-row MIN agg (type-1 marginal quantile of the calendar-"
         "bounded day frame)",
+    "plans/registry_ext212.py::q_information_gain":
+        "three 1-row median aggs (type-1 split threshold per candidate "
+        "feature)",
     "sources/geoparquet.py::write_geoparquet":
         "per-partition file-path manifest (n_partitions rows) for "
         "metadata assembly",

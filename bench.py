@@ -2,9 +2,16 @@
 (packages/arrow-supercluster/benchmarks/run.ts: load / query / mask
 sections; benchmarks/pipeline.ts: end-to-end) on the driver testdata.
 
-Prints ONE JSON line:
+Prints ONE compact JSON line as the LAST stdout line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {name: sec, ...}, "sf": <sf>, ...}
+
+The driver tail-captures only the last ~2000 chars of stdout (round 7's
+enriched line overflowed it and recorded "parsed": null — VERDICT r7
+"What's wrong" #1), so the final line carries ONLY the summary fields and
+stays well under the buffer; the bulky per-query maps (peak_rss_mib,
+delta_vs_prev_sec, wire sizes, calibration internals) go to stderr and to
+BENCH_DETAIL.json beside this script.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32).
@@ -175,6 +182,30 @@ def main() -> None:
 
     calib_par = timed(_shuffle_calib, warmup=1, runs=5)
 
+    # Pinned miniature Spark job (VERDICT r7 "What's wrong" #2): the
+    # single-shot matmul and the in-memory range-shuffle both measure raw
+    # core speed, which moved 2.2× between r6/r7 hosts while the measured
+    # suite moved only 1.21× — JVM/session fixed costs, parquet I/O and
+    # Python round-trips don't scale with single-core turbo, so
+    # normalizing by those ratios manufactured a phantom 2× regression.
+    # This job runs INSIDE the same session with the same structure as
+    # the measured queries (real parquet scan → hash agg shuffle → noop
+    # write) and is the yardstick `delta_reliable` gates on; matmul and
+    # range-shuffle stay recorded as secondary host-speed context.
+    def _spark_calib():
+        (
+            spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+            .groupBy("l_suppkey")
+            .agg(
+                F.sum("l_extendedprice").alias("s"),
+                F.avg("l_discount").alias("d"),
+                F.count(F.lit(1)).alias("c"),
+            )
+            .write.mode("overwrite").format("noop").save()
+        )
+
+    calib_spark = timed(_spark_calib, warmup=1, runs=3)
+
     import shutil, tempfile
 
     # scratch hierarchy on tmpfs when available AND big enough (docker
@@ -314,18 +345,26 @@ def main() -> None:
     )
     prev_calib = None
     prev_calib_par = None
-    if benches:
-        prev_file = benches[-1]
+    prev_calib_spark = None
+    # Walk newest→oldest and take the first bench with a USABLE parsed
+    # payload: BENCH_r07.json has "parsed": null (the overflow this file
+    # now guards against), so blindly reading benches[-1] would silently
+    # drop all cross-round deltas.
+    for cand in reversed(benches):
         try:
-            with open(prev_file) as fh:
+            with open(cand) as fh:
                 doc = json.load(fh)
-            # driver files wrap our JSON line under "parsed"
-            parsed = doc.get("parsed", doc)
+            parsed = doc.get("parsed", doc)  # driver wraps our line
+            if not isinstance(parsed, dict) or not parsed.get("queries"):
+                continue
+            prev_file = cand
             prev = parsed.get("queries", {}) or {}
             prev_calib = parsed.get("calibration_matmul_sec")
             prev_calib_par = parsed.get("calibration_shuffle_sec")
+            prev_calib_spark = parsed.get("calibration_spark_sec")
+            break
         except Exception:
-            prev = {}
+            continue
     delta = {
         k: round(v - prev[k], 3) for k, v in results.items() if k in prev
     }
@@ -335,49 +374,67 @@ def main() -> None:
     # 2's driver bench was 1.7× slower purely from neighbor contention.
     # Annotate (don't hide) — a ratio past 1.5× marks the delta block as
     # machine noise, not code change.
-    def _ratios(c, c_par):
+    def _ratios(c, c_par, c_spark):
         r = round(c / prev_calib, 3) if prev_calib else None
-        # Parallel ratio only when a prior SAME-HOST-FAMILY shuffle calib
-        # exists (r6 ADVICE: a hardcoded idle reference from the build
-        # host would spuriously gate the first round on any other
-        # machine); without one, gate on matmul alone and say so.
         r_par = (
             round(c_par / prev_calib_par, 3) if prev_calib_par else None
         )
-        return r, r_par
+        r_spark = (
+            round(c_spark / prev_calib_spark, 3) if prev_calib_spark else None
+        )
+        return r, r_par, r_spark
 
     _in_band = lambda r: r is not None and (1 / 1.5) <= r <= 1.5  # noqa: E731
 
-    def _reliable(r, r_par):
+    def _reliable(r, r_par, r_spark):
+        # The Spark-job ratio is the authoritative gate (VERDICT r7
+        # "What's wrong" #2): it is the only yardstick whose cost
+        # structure matches the measured queries.  Prior rounds recorded
+        # only matmul/shuffle calibs, so the first round after this
+        # change falls back to those and says so in calibration_note.
+        if prev_calib_spark:
+            return _in_band(r_spark)
         if prev_calib_par:
             return _in_band(r) and _in_band(r_par)
         return _in_band(r)
 
-    calib_ratio, calib_par_ratio = _ratios(calib, calib_par)
-    delta_reliable = _reliable(calib_ratio, calib_par_ratio)
-    calib_note = (
-        None if prev_calib_par
-        else "no prior shuffle calibration on record; matmul-only gate"
+    calib_ratio, calib_par_ratio, calib_spark_ratio = _ratios(
+        calib, calib_par, calib_spark
     )
+    delta_reliable = _reliable(calib_ratio, calib_par_ratio, calib_spark_ratio)
+    if prev_calib_spark:
+        calib_note = None
+    elif prev_calib_par:
+        calib_note = (
+            "no prior Spark-job calibration on record; "
+            "matmul+shuffle fallback gate this round"
+        )
+    else:
+        calib_note = "no prior calibration on record; matmul-only gate"
     # Self-certification (VERDICT r6 Next-round #5): an out-of-band
     # calibration usually means a transient noisy neighbor — back off
     # once and re-measure; keep the FASTER of the two samples (contention
     # only ever inflates).  One retry bounds added wall-clock at ~30 s.
     calib_reruns = 0
-    if not delta_reliable and (prev_calib or prev_calib_par):
+    if not delta_reliable and (prev_calib or prev_calib_par or prev_calib_spark):
         progress("calibration out of band; 20s backoff then re-measure")
         time.sleep(20)
         calib = min(calib, timed(lambda: _a @ _a, warmup=1, runs=5))
         calib_par = min(calib_par, timed(_shuffle_calib, warmup=1, runs=5))
-        calib_ratio, calib_par_ratio = _ratios(calib, calib_par)
-        delta_reliable = _reliable(calib_ratio, calib_par_ratio)
+        calib_spark = min(calib_spark, timed(_spark_calib, warmup=1, runs=3))
+        calib_ratio, calib_par_ratio, calib_spark_ratio = _ratios(
+            calib, calib_par, calib_spark
+        )
+        delta_reliable = _reliable(
+            calib_ratio, calib_par_ratio, calib_spark_ratio
+        )
         calib_reruns = 1
 
     # Calibration-normalized total: measured total divided by the
-    # parallel host-speed ratio (falling back to the matmul ratio) —
+    # Spark-job host-speed ratio (falling back to shuffle, then matmul) —
     # an approximate prev-host-equivalent reading for rounds where the
     # raw delta is not reliable.  The raw numbers stay authoritative.
-    _norm = calib_par_ratio or calib_ratio
+    _norm = calib_spark_ratio or calib_par_ratio or calib_ratio
     total_sec = sum(results.values())
     engine_total = sum(
         v for k, v in results.items() if k not in _CODEC_QUERIES
@@ -385,38 +442,56 @@ def main() -> None:
     codec_total = total_sec - engine_total
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_median_sec",
-                "value": round(total_sec, 3),
-                "unit": "sec",
-                "queries": {k: round(v, 3) for k, v in results.items()},
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "engine_total_sec": round(engine_total, 3),
-                "codec_total_sec": round(codec_total, 3),
-                "codec_queries": sorted(_CODEC_QUERIES),
-                "calibration_matmul_sec": round(calib, 4),
-                "calibration_ratio_vs_prev": calib_ratio,
-                "calibration_shuffle_sec": round(calib_par, 4),
-                "calibration_shuffle_ratio": calib_par_ratio,
-                "calibration_reruns": calib_reruns,
-                "calibration_note": calib_note,
-                "delta_reliable": delta_reliable,
-                "total_normalized_sec": (
-                    round(total_sec / _norm, 3) if _norm else None
-                ),
-                "peak_rss_mib": mem.stop(),
-                "wire": {
-                    "ipc_bytes": ipc_bytes,
-                    "geojson_bytes": geojson_bytes,
-                    "ipc_vs_geojson": round(ipc_bytes / geojson_bytes, 4),
-                },
-                "delta_vs_prev_sec": delta,
-                "prev_bench": os.path.basename(prev_file) if prev_file else None,
-            }
-        )
+    # Compact summary — the LAST stdout line, kept well under the
+    # driver's ~2000-char tail-capture buffer (VERDICT r7 #1).  Every
+    # field here is scalar or the 19-entry per-query seconds map.
+    summary = {
+        "metric": "bench_total_median_sec",
+        "value": round(total_sec, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in results.items()},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "engine_total_sec": round(engine_total, 3),
+        "codec_total_sec": round(codec_total, 3),
+        "calibration_spark_sec": round(calib_spark, 4),
+        "calibration_spark_ratio": calib_spark_ratio,
+        "delta_reliable": delta_reliable,
+        "total_normalized_sec": (
+            round(total_sec / _norm, 3) if _norm else None
+        ),
+        "prev_bench": os.path.basename(prev_file) if prev_file else None,
+    }
+    # Bulky diagnostics: stderr + BENCH_DETAIL.json, never the final
+    # stdout line.
+    detail = dict(
+        summary,
+        codec_queries=sorted(_CODEC_QUERIES),
+        calibration_matmul_sec=round(calib, 4),
+        calibration_ratio_vs_prev=calib_ratio,
+        calibration_shuffle_sec=round(calib_par, 4),
+        calibration_shuffle_ratio=calib_par_ratio,
+        calibration_reruns=calib_reruns,
+        calibration_note=calib_note,
+        peak_rss_mib=mem.stop(),
+        wire={
+            "ipc_bytes": ipc_bytes,
+            "geojson_bytes": geojson_bytes,
+            "ipc_vs_geojson": round(ipc_bytes / geojson_bytes, 4),
+        },
+        delta_vs_prev_sec=delta,
     )
+    print(json.dumps(detail), file=sys.stderr, flush=True)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_DETAIL.json"), "w"
+        ) as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass  # read-only checkout: stderr copy stands alone
+    line = json.dumps(summary)
+    assert len(line) < 1900, f"summary line too long ({len(line)} chars)"
+    print(line, flush=True)
     spark.stop()
 
 

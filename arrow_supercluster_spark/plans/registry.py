@@ -501,16 +501,31 @@ _load_extended_registries()
 # ---------------------------------------------------------------------------
 
 # §2a core surface — pinned: these stay driver-checked every round.
+# Shrunk 30 → 10 in round 8 (VERDICT r7 "Next round" #2): the full 30-slot
+# core was 7-round green and was paying rent the rotation could use.  What
+# stays pinned is the flagship cluster path end-to-end (scan → projection →
+# null-drop → grid build → getClusters → hierarchy navigation → cluster-id
+# codec, with the count-conservation invariant) plus one TPC-H aggregation
+# shape (q_lineitem_agg, driver-green r1–r3).  The 21 vacated slots
+# (_CORE_VACATED_R8 below) are each driver-green in SEVEN consecutive
+# rounds (r1–r7), so no driver evidence is lost.
 _WINDOW_CORE = [
-    "q_scan_points", "q_unpack_geometry", "q_mercator_fwd", "q_mercator_inv",
-    "q_drop_null_geom", "q_filter_mask", "q_city_mask", "q_bbox_filter",
-    "q_bbox_antimeridian", "q_distinct_cities", "q_filtered_count",
-    "q_bbox_agg", "q_indexed_count", "q_cluster_grid_z0", "q_cluster_grid_z4",
-    "q_cluster_grid_z8", "q_cluster_grid_z12", "q_get_clusters_z2",
-    "q_get_clusters_z6", "q_count_conservation", "q_get_children",
-    "q_get_leaves", "q_expansion_zoom", "q_descendants", "q_pick_rows",
-    "q_clusterid_roundtrip", "q_fill_colors", "q_radii", "q_text_colors",
-    "q_labels",
+    "q_scan_points", "q_mercator_fwd", "q_drop_null_geom",
+    "q_cluster_grid_z4", "q_get_clusters_z6", "q_count_conservation",
+    "q_get_children", "q_expansion_zoom", "q_clusterid_roundtrip",
+    "q_lineitem_agg",
+]
+
+# The 21 r1–r7 core slots vacated by the round-8 core shrink — kept as a
+# named record so tests/test_registry_window.py can keep asserting the
+# "vacated slots retain driver-green evidence" invariant over them.
+_CORE_VACATED_R8 = [
+    "q_unpack_geometry", "q_mercator_inv", "q_filter_mask", "q_city_mask",
+    "q_bbox_filter", "q_bbox_antimeridian", "q_distinct_cities",
+    "q_filtered_count", "q_bbox_agg", "q_indexed_count",
+    "q_cluster_grid_z0", "q_cluster_grid_z8", "q_cluster_grid_z12",
+    "q_get_clusters_z2", "q_get_leaves", "q_descendants", "q_pick_rows",
+    "q_fill_colors", "q_radii", "q_text_colors", "q_labels",
 ]
 
 # Round-4 rotation — all 20 have never appeared in any CORRECTNESS_r{N};
@@ -595,9 +610,47 @@ _ROTATION_R7 = [
 ]
 
 
+# Round-8 rotation — the judge's suggested slate verbatim (VERDICT r7
+# "Next round" #2): 40 entries with no driver row in any CORRECTNESS_r{N}
+# (r1–r7 union = 134; with these, ≥ 174).  Doubled from 20 to 40 by the
+# core shrink above.  Every slot vacated by this rotation (all of
+# _ROTATION_R7) is driver-green in CORRECTNESS_r07.json, so no driver
+# evidence is lost.
+_ROTATION_R8 = [
+    # TPC-H shapes (batches 164+)
+    "q_tpch_q7", "q_tpch_q8", "q_tpch_q12", "q_tpch_q13", "q_tpch_q14",
+    "q_tpch_q17", "q_tpch_q19", "q_tpch_q22",
+    # eval metrics
+    "q_confusion_mcc", "q_log_loss", "q_threshold_metrics",
+    # curation / text quality
+    "q_script_mix", "q_mojibake", "q_line_filters",
+    # feature scaling / normalization
+    "q_normal_scores", "q_quantile_normalize", "q_robust_scaler",
+    # sequence / packing
+    "q_markov_transitions", "q_pack_manifest",
+    # sketches / sampling
+    "q_countmin", "q_ams_f2", "q_reservoir_sample", "q_kmv_distinct",
+    # statistics
+    "q_anderson_darling", "q_group_sequential",
+    # retrieval / storage-engine
+    "q_query_likelihood", "q_dict_encoding", "q_rle_stats",
+    "q_zone_map_skips",
+    # graph / spatial
+    "q_personalized_pagerank", "q_spatial_nn_join",
+    # placement hashing
+    "q_consistent_hash", "q_rendezvous_hash",
+    # time series / geo encoding
+    "q_gap_fill", "q_quadkey_encode",
+    # training-data curation
+    "q_hard_negatives", "q_curriculum_order", "q_waterfill_alloc",
+    # MT eval
+    "q_bleu_corpus", "q_rouge_n",
+]
+
+
 def _order_driver_window() -> None:
     names = list(REGISTRY)
-    window = _WINDOW_CORE + _ROTATION_R7
+    window = _WINDOW_CORE + _ROTATION_R8
     assert len(window) == 50 and len(set(window)) == 50, "window must be 50 unique"
     for n in window:
         assert n in REGISTRY, f"window query {n} not registered"

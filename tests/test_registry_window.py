@@ -5,16 +5,23 @@ the current round's rotation slots must be queries that never had a
 driver-green row before (so driver coverage grows monotonically instead of
 re-showing known-green entries), every slot vacated by a rotation must
 keep prior driver-GREEN evidence (actually-green rows, not mere name
-presence — r6 ADVICE fix), and the registry must stay duplicate-free."""
+presence — r6 ADVICE fix), and the registry must stay duplicate-free.
+
+Round 8 (VERDICT r7 "Next round" #2): the pinned core shrank 30 → 10 and
+the rotation doubled 20 → 40, so driver coverage grows twice as fast; the
+21 vacated core slots are tracked in _CORE_VACATED_R8 and must each hold a
+green row from r1–r7 (they hold seven)."""
 
 import json
 import pathlib
 
 from arrow_supercluster_spark.plans.registry import (
+    _CORE_VACATED_R8,
     _ROTATION_R4,
     _ROTATION_R5,
     _ROTATION_R6,
     _ROTATION_R7,
+    _ROTATION_R8,
     _WINDOW_CORE,
     REGISTRY,
 )
@@ -62,7 +69,9 @@ def test_first_50_all_sql_backed():
 
 
 def test_window_is_core_plus_rotation():
-    assert list(REGISTRY)[:50] == _WINDOW_CORE + _ROTATION_R7
+    assert len(_WINDOW_CORE) == 10
+    assert len(_ROTATION_R8) == 40
+    assert list(REGISTRY)[:50] == _WINDOW_CORE + _ROTATION_R8
 
 
 def test_r4_rotation_was_never_checked_before_r4():
@@ -85,20 +94,36 @@ def test_r6_rotation_was_never_checked_before_r6():
     assert not already, f"r6 rotation slots wasted on already-checked: {already}"
 
 
-def test_r7_rotation_entries_never_driver_checked_before():
+def test_r7_rotation_was_never_checked_before_r7():
     seen = _driver_union(6)
     already = [n for n in _ROTATION_R7 if n in seen]
     assert not already, f"r7 rotation slots wasted on already-checked: {already}"
 
 
-def test_r7_rotation_slots_disjoint_and_sql_backed():
-    assert len(set(_ROTATION_R7)) == 20
-    assert not set(_ROTATION_R7) & set(_WINDOW_CORE)
-    assert not set(_ROTATION_R7) & set(_ROTATION_R4)
-    assert not set(_ROTATION_R7) & set(_ROTATION_R5)
-    assert not set(_ROTATION_R7) & set(_ROTATION_R6)
-    for n in _ROTATION_R7:
+def test_r8_rotation_entries_never_driver_checked_before():
+    seen = _driver_union(7)
+    already = [n for n in _ROTATION_R8 if n in seen]
+    assert not already, f"r8 rotation slots wasted on already-checked: {already}"
+
+
+def test_r8_rotation_slots_disjoint_and_sql_backed():
+    assert len(set(_ROTATION_R8)) == 40
+    assert not set(_ROTATION_R8) & set(_WINDOW_CORE)
+    assert not set(_ROTATION_R8) & set(_CORE_VACATED_R8)
+    assert not set(_ROTATION_R8) & set(_ROTATION_R4)
+    assert not set(_ROTATION_R8) & set(_ROTATION_R5)
+    assert not set(_ROTATION_R8) & set(_ROTATION_R6)
+    assert not set(_ROTATION_R8) & set(_ROTATION_R7)
+    for n in _ROTATION_R8:
         assert REGISTRY[n].sql is not None, f"rows-only in rotation: {n}"
+
+
+def test_core_shrink_preserves_union_growth():
+    """The r8 window converts exactly 40 never-checked queries: the
+    driver union must grow from 134 (r1–r7) to ≥ 174 once r8 records."""
+    seen = _driver_union(7)
+    assert len(seen) == 134, f"r1-r7 union drifted: {len(seen)}"
+    assert len(seen | set(_ROTATION_R8)) >= 174
 
 
 def test_vacated_slots_all_have_prior_driver_green_rows():
@@ -106,14 +131,17 @@ def test_vacated_slots_all_have_prior_driver_green_rows():
     previously-windowed query that is no longer in the first 50 needs an
     actually-GREEN driver row (rows_match, hash when computed, no err) in
     some past round's record — not just a row by name (r6 ADVICE fix of
-    the prior tautological form)."""
-    green = _driver_green_union(6)
+    the prior tautological form).  Includes the 21 core slots vacated by
+    the round-8 core shrink."""
+    green = _driver_green_union(7)
     window = set(list(REGISTRY)[:50])
     prior_windows = (
         set(_WINDOW_CORE)
+        | set(_CORE_VACATED_R8)
         | set(_ROTATION_R4)
         | set(_ROTATION_R5)
         | set(_ROTATION_R6)
+        | set(_ROTATION_R7)
     )
     # 4 early-window rows-only slots (r1/r2 insertion-order windows)
     # were never green by design and were rotated out in r3; they are
@@ -133,7 +161,7 @@ def test_every_correctness_record_window_was_green():
     """Every recorded driver window row in r3+ must be green — a red row
     in any shipped CORRECTNESS record would mean a round regressed and
     the rotation carried on anyway."""
-    for r in range(3, 7):
+    for r in range(3, 8):
         p = REPO / f"CORRECTNESS_r{r:02d}.json"
         if not p.exists():
             continue

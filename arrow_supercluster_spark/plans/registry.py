@@ -452,6 +452,7 @@ def _load_extended_registries():
         registry_ext210,
         registry_ext211,
         registry_ext212,
+        registry_ext213,
     )
 
 

@@ -44,6 +44,60 @@ _SQL_LOF_D2I = (
 )
 
 
+def lof_d2i(av, bv):
+    """Micro-scaled integer squared Euclidean distance between two
+    double-array columns — the LOF edge weight (exact-integer discipline:
+    the (d2i, dst) pair totally orders neighbors identically in every
+    engine)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(av, bv, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        * 1e6
+    ).cast("long")
+
+
+def lof_from_knn(knn):
+    """The LOF algebra above the kNN edges, factored so the exact
+    all-pairs kernel (q_lof_outliers, the eval oracle) and the LSH
+    production path (q_lof_lsh, registry_ext213) share it verbatim:
+    kdist = max d2i per node, reach(i→j) = max(d2i, kdist(j)),
+    lrd = k/Σreach as an integer-scaled reciprocal, and
+    LOF(i) = Σ_j lrd(j) · Σreach_i / k.  Input: (src, dst, d2i) edges,
+    ≤ k per src; output: (vec_id, lof) for every src."""
+    kdist = knn.groupBy(F.col("src").alias("node")).agg(
+        F.max("d2i").alias("kd")
+    )
+    reach = knn.join(kdist, knn["dst"] == kdist["node"]).select(
+        "src", "dst", F.greatest("d2i", "kd").alias("r")
+    )
+    sumreach = reach.groupBy("src").agg(F.sum("r").alias("sr"))
+    inv = sumreach.select(
+        F.col("src").alias("node"),
+        F.round(_LOF_INV_SCALE * F.lit(1.0) / F.col("sr"))
+        .cast("long")
+        .alias("invsr"),
+    )
+    return (
+        knn.join(inv, knn["dst"] == inv["node"])
+        .join(sumreach, "src")
+        .groupBy("src", "sr")
+        .agg(F.sum("invsr").alias("sinv"))
+        .select(
+            F.col("src").alias("vec_id"),
+            F.round(
+                F.col("sinv")
+                * F.col("sr")
+                * 1.0
+                / (_LOF_K * _LOF_INV_SCALE * 1.0),
+                6,
+            ).alias("lof"),
+        )
+    )
+
+
 @register(
     "q_lof_outliers",
     f"""
@@ -96,33 +150,24 @@ def q_lof_outliers(spark, sf_dir):
     ints before the neighbor sum, so LOF is a deterministic double and
     the top-15 cut (on the ROUNDED score) cannot flip. Density-based:
     flags points in locally sparse regions that global scans
-    (q_mahalanobis_outliers) miss. The all-pairs kNN here is the
-    demo-scale path — at 100 TB the candidate step swaps to the IVF /
-    LSH pruning the similarity module already ships (q_ivf_eval,
-    q_geo_knn); LOF's math above the kNN edges is unchanged.""".format(
+    (q_mahalanobis_outliers) miss. The all-pairs kNN here is the EVAL
+    ORACLE path — the production sibling q_lof_lsh (registry_ext213)
+    swaps the candidate step for banded sign-LSH equi-joins and feeds
+    the identical lof_from_knn algebra; its recall floor vs this exact
+    kernel is pytest-asserted (tests/test_batch208.py).""".format(
         k=_LOF_K
     )
     emb = _emb(spark, sf_dir).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    d2i = F.round(
-        F.aggregate(
-            F.zip_with(
-                F.col("a.v"), F.col("b.v"), lambda x, y: (x - y) * (x - y)
-            ),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        )
-        * 1e6
-    ).cast("long")
     scored = (
         emb.alias("a")
         .join(emb.alias("b"), F.col("a.vec_id") != F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("src"),
             F.col("b.vec_id").alias("dst"),
-            d2i.alias("d2i"),
+            lof_d2i(F.col("a.v"), F.col("b.v")).alias("d2i"),
         )
     )
     w = Window.partitionBy("src").orderBy("d2i", "dst")
@@ -131,35 +176,7 @@ def q_lof_outliers(spark, sf_dir):
         .filter(F.col("rk") <= _LOF_K)
         .select("src", "dst", "d2i")
     )
-    kdist = knn.groupBy(F.col("src").alias("node")).agg(
-        F.max("d2i").alias("kd")
-    )
-    reach = knn.join(kdist, knn["dst"] == kdist["node"]).select(
-        "src", "dst", F.greatest("d2i", "kd").alias("r")
-    )
-    sumreach = reach.groupBy("src").agg(F.sum("r").alias("sr"))
-    inv = sumreach.select(
-        F.col("src").alias("node"),
-        F.round(_LOF_INV_SCALE * F.lit(1.0) / F.col("sr"))
-        .cast("long")
-        .alias("invsr"),
-    )
-    lof = (
-        knn.join(inv, knn["dst"] == inv["node"])
-        .join(sumreach, "src")
-        .groupBy("src", "sr")
-        .agg(F.sum("invsr").alias("sinv"))
-        .select(
-            F.col("src").alias("vec_id"),
-            F.round(
-                F.col("sinv")
-                * F.col("sr")
-                * 1.0
-                / (_LOF_K * _LOF_INV_SCALE * 1.0),
-                6,
-            ).alias("lof"),
-        )
-    )
+    lof = lof_from_knn(knn)
     return lof.orderBy(F.col("lof").desc(), "vec_id").limit(15)
 
 

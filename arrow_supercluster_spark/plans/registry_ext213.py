@@ -1,0 +1,171 @@
+"""Round-8 registry additions, batch 208 — the LOF production path
+(VERDICT r7 "What's wrong" #3 / "Next round" #4):
+
+- q_lof_ivf: Local Outlier Factor over IVF-candidate kNN edges — the
+  100 TB sibling of q_lof_outliers (registry_ext123).  The exact kernel
+  scores all n² pairs before its per-src top-k — the one
+  deliberately-unfixed superlinear path in the r7 sf0.1 perf audit
+  (41 s).  Here the kNN candidate step is inverted-file multi-probe:
+  k-means coarse cells (fit on the bounded seeded ivf_fit_sample),
+  every point assigned to its `nprobe` nearest centroids, and the kNN
+  search runs WITHIN cells only — one per-cell GEMM (|a|²+|b|²−2ABᵀ)
+  inside an Arrow-batched applyInPandas, emitting per-src partial top-k
+  edges; a global (d2i, dst) window trims multi-probe duplicates to the
+  final k.  The surviving (src, dst, d2i) edges feed the IDENTICAL
+  integer lrd/LOF algebra (lof_from_knn, shared by import from the
+  exact kernel — not a copy).
+
+  Why IVF and not sign-LSH: measured at sf0.01/sf0.1, 4-table 6-plane
+  sign-LSH recalls only ~0.19 of exact 5-NN edges on this corpus
+  (hyperplane LSH targets ANGULAR similarity; LOF needs Euclidean), while
+  nprobe=4 multi-probe IVF recalls 0.86–0.98.  Rows-only: the k-means
+  fit is engine-specific; correctness is pinned by a recall-floor test
+  against the exact kernel at sf0.01 (tests/test_batch208.py) — kNN-edge
+  recall AND top-15 outlier overlap — plus the shared-algebra guarantee.
+
+At 100 TB: n_lists scales with the corpus (n/64 here), so the average
+cell holds ~nprobe·64 rows and TOTAL candidate work is linear in n —
+never n².  The centroid table (n_lists × 64 doubles) broadcasts;
+assignment is a narrow map; the per-cell GEMM is embarrassingly parallel
+across cells (block-chunked inside each cell so a skewed cell never
+materializes an m×m matrix); the only shuffles are the groupBy(list_id)
+and the k·nprobe-edge-per-point global trim.  The LOF algebra above the
+edges is three hash joins on ~k·n rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from arrow_supercluster_spark.operators.similarity import ivf_fit_sample
+from arrow_supercluster_spark.plans.registry_core import register
+from arrow_supercluster_spark.plans.registry_ext import _emb
+from arrow_supercluster_spark.plans.registry_ext123 import (
+    _LOF_K,
+    lof_from_knn,
+)
+
+_LOF_IVF_NPROBE = 4
+_LOF_IVF_ROWS_PER_LIST = 64  # n_lists = max(16, n // this) → linear total
+_LOF_IVF_SEED = 42
+_GEMM_BLOCK = 4096  # row-block inside a cell: caps GEMM memory at m×block
+
+
+def ivf_multiprobe_assign(
+    emb: DataFrame,
+    n_lists: int,
+    nprobe: int = _LOF_IVF_NPROBE,
+    seed: int = _LOF_IVF_SEED,
+) -> DataFrame:
+    """(vec_id, list_id) with each point in its `nprobe` nearest k-means
+    cells.  Multi-probe de-edges the cell boundaries: two true neighbors
+    split by a Voronoi face still co-occur in some probed cell with high
+    probability.  Fit input is the bounded seeded sample; the centroid
+    table broadcasts; ranking the n_lists centroid distances per point is
+    a per-key window (parallel across points)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    fit = ivf_fit_sample(
+        emb.select(array_to_vector("v").alias("features")),
+        n_lists, seed, 256,
+    )
+    km = KMeans(k=n_lists, seed=seed, maxIter=10).fit(fit)
+    centers = emb.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
+        "list_id int, center array<double>",
+    )
+    cd = F.aggregate(
+        F.zip_with(F.col("v"), F.col("center"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    w = Window.partitionBy("vec_id").orderBy("cd", "list_id")
+    return (
+        emb.select("vec_id", "v")
+        .crossJoin(F.broadcast(centers))
+        .withColumn("cd", cd)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= nprobe)
+        .select("vec_id", "list_id", "v")
+    )
+
+
+def lof_knn_candidates_ivf(
+    emb: DataFrame,
+    k: int = _LOF_K,
+    nprobe: int = _LOF_IVF_NPROBE,
+    rows_per_list: int = _LOF_IVF_ROWS_PER_LIST,
+    seed: int = _LOF_IVF_SEED,
+) -> DataFrame:
+    """IVF-pruned kNN edges (src, dst, d2i) for the LOF algebra.  `emb`
+    must carry (vec_id, v: array<double>).  d2i is the same micro-scaled
+    integer squared distance as the exact kernel (GEMM association may
+    differ from the sequential fold by 1 ulp before rounding — the
+    recall-floor test, not bit equality, is the contract)."""
+    n = emb.count()  # one scalar — sizes the cell count, data-derived
+    n_lists = max(16, n // rows_per_list)
+    assigned = ivf_multiprobe_assign(emb, n_lists, nprobe, seed)
+
+    def cell_topk(pdf):
+        import numpy as np
+        import pandas as pd
+
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"src": [], "dst": [], "d2i": []}).astype(
+                {"src": "int64", "dst": "int64", "d2i": "int64"}
+            )
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        V = np.array([[float(x) for x in v] for v in pdf["v"]],
+                     dtype=np.float64)
+        sq = np.einsum("ij,ij->i", V, V)
+        kk = min(k, m - 1)
+        out_s, out_d, out_v = [], [], []
+        for lo in range(0, m, _GEMM_BLOCK):
+            hi = min(lo + _GEMM_BLOCK, m)
+            # (hi-lo) × m block of squared distances — one BLAS call
+            D2 = sq[lo:hi, None] + sq[None, :] - 2.0 * (V[lo:hi] @ V.T)
+            np.maximum(D2, 0.0, out=D2)
+            D2i = np.rint(D2 * 1e6).astype(np.int64)
+            for r in range(hi - lo):
+                row = D2i[r].copy()
+                row[lo + r] = np.iinfo(np.int64).max  # drop self
+                order = np.lexsort((ids, row))[:kk]
+                out_s.extend([ids[lo + r]] * kk)
+                out_d.extend(ids[order])
+                out_v.extend(row[order])
+        return pd.DataFrame({"src": out_s, "dst": out_d, "d2i": out_v})
+
+    edges = assigned.groupBy("list_id").applyInPandas(
+        cell_topk, "src long, dst long, d2i long"
+    )
+    # multi-probe: a pair sharing ≥2 probed cells emits twice with the
+    # same d2i — distinct, then trim each src to its global top-k
+    w = Window.partitionBy("src").orderBy("d2i", "dst")
+    return (
+        edges.distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("src", "dst", "d2i")
+    )
+
+
+@register("q_lof_ivf", None)
+def q_lof_ivf(spark, sf_dir):
+    """R619 — LOF (k={k}) on IVF multi-probe kNN edges: the production
+    substitution for q_lof_outliers' all-pairs candidate step.  Same
+    integer lrd/LOF algebra (lof_from_knn import — not a copy), same
+    (d2i, dst) neighbor total order on the candidate set, same rounded
+    top-15 cut.  Rows-only (engine-specific k-means fit); recall floor
+    vs the exact kernel asserted in tests/test_batch208.py.""".format(
+        k=_LOF_K
+    )
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    knn = lof_knn_candidates_ivf(emb)
+    lof = lof_from_knn(knn)
+    return lof.orderBy(F.col("lof").desc(), "vec_id").limit(15)

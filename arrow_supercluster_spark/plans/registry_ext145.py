@@ -176,7 +176,109 @@ def optimal_partition(series, beta):
     return sorted(cps), best[n]
 
 
-@register("q_pelt_changepoints", None)
+_PELT_MAX_DAYS = 31  # dayofmonth grain → n ≤ 31; Bellman unroll depth
+
+
+def _pelt_sql(
+    beta_factor: float = _PELT_BETA_FACTOR, unroll: int = _PELT_MAX_DAYS
+) -> str:
+    """Generate the bounded-DP-unroll twin (VERDICT r7 "Next round" #5):
+    the optimal-partitioning DP as `unroll` Bellman relaxations over the
+    ≤(n+1)² segment-edge table (n ≤ 31 by the day-of-month grain, so 31
+    relaxations reach the DAG fixpoint), followed by a recursive-CTE
+    backpointer walk.  Prefix sums are exact integers, every float
+    expression mirrors the python DP's association ((best+sse)+β), and
+    the backpointer tie-break (smallest i at equal cost) matches the
+    python tuple-min, so both engines walk the same segmentation."""
+    relax = "".join(
+        f""",
+    dp{t} AS MATERIALIZED (
+      SELECT j, MIN(cost) AS cost FROM (
+        SELECT j, cost FROM dp{t - 1}
+        UNION ALL
+        SELECT e.j,
+               CASE WHEN e.i = 0 THEN d.cost + e.sse
+                    ELSE (d.cost + e.sse) + bb.b END AS cost
+        FROM dp{t - 1} d JOIN edges e ON e.i = d.j CROSS JOIN beta bb
+      ) GROUP BY j
+    )"""
+        for t in range(1, unroll + 1)
+    )
+    return f"""
+    WITH RECURSIVE daily AS MATERIALIZED (
+      SELECT CAST(strftime(ts, '%d') AS INTEGER) AS d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    idx AS MATERIALIZED (
+      SELECT d, c, ROW_NUMBER() OVER (ORDER BY d) AS rn FROM daily
+    ),
+    pre AS MATERIALIZED (
+      SELECT CAST(0 AS BIGINT) AS k, CAST(0 AS BIGINT) AS s,
+             CAST(0 AS BIGINT) AS q
+      UNION ALL
+      SELECT rn, SUM(c) OVER (ORDER BY rn), SUM(c * c) OVER (ORDER BY rn)
+      FROM idx
+    ),
+    gl AS MATERIALIZED (
+      SELECT mx.n,
+             (pn.q - pn.s * 1.0 * pn.s / mx.n) / (mx.n - 1) AS var
+      FROM (SELECT MAX(k) AS n FROM pre) mx
+      JOIN pre pn ON pn.k = mx.n
+    ),
+    beta AS MATERIALIZED (
+      SELECT n, {beta_factor} * ln(n) * var AS b FROM gl
+    ),
+    edges AS MATERIALIZED (
+      SELECT a.k AS i, bb.k AS j,
+             (bb.q - a.q) - (bb.s - a.s) * 1.0 * (bb.s - a.s)
+               / (bb.k - a.k) AS sse
+      FROM pre a JOIN pre bb ON bb.k > a.k
+    ),
+    dp0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS j, 0.0 AS cost){relax},
+    back AS MATERIALIZED (
+      SELECT b.j, MIN(e.i) AS i
+      FROM dp{unroll} b
+      JOIN edges e ON e.j = b.j
+      JOIN dp{unroll} d ON d.j = e.i
+      CROSS JOIN beta bb
+      WHERE (CASE WHEN e.i = 0 THEN d.cost + e.sse
+                  ELSE (d.cost + e.sse) + bb.b END) = b.cost
+      GROUP BY b.j
+    ),
+    walk AS (
+      SELECT CAST(n AS BIGINT) AS j FROM gl
+      UNION ALL
+      SELECT back.i FROM walk JOIN back ON back.j = walk.j
+      WHERE walk.j > 0
+    ),
+    bounds AS MATERIALIZED (
+      SELECT j, ROW_NUMBER() OVER (ORDER BY j) - 1 AS seg,
+             LEAD(j) OVER (ORDER BY j) AS hi
+      FROM (SELECT DISTINCT j FROM walk)
+    )
+    SELECT CAST(bo.seg AS INTEGER) AS segment,
+           CAST(ilo.d AS INTEGER) AS start_day,
+           CAST(ihi.d AS INTEGER) AS end_day,
+           CAST(bo.hi - bo.j AS INTEGER) AS n_days,
+           round((ph.s - pl.s) * 1.0 / (bo.hi - bo.j), 4) AS seg_mean,
+           round((ph.q - pl.q) - (ph.s - pl.s) * 1.0 * (ph.s - pl.s)
+                 / (bo.hi - bo.j), 4) AS seg_sse,
+           round((SELECT cost FROM dp{unroll} JOIN gl ON j = gl.n), 4)
+             AS total_cost,
+           CAST((SELECT COUNT(*) - 2 FROM bounds) AS INTEGER)
+             AS n_changepoints
+    FROM bounds bo
+    JOIN pre pl ON pl.k = bo.j
+    JOIN pre ph ON ph.k = bo.hi
+    JOIN idx ilo ON ilo.rn = bo.j + 1
+    JOIN idx ihi ON ihi.rn = bo.hi
+    WHERE bo.hi IS NOT NULL
+    ORDER BY segment
+    """
+
+
+@register("q_pelt_changepoints", _pelt_sql())
 def q_pelt_changepoints(spark, sf_dir):
     """R414 — exact penalized changepoint segmentation of the daily
     counts: minimize Σ segment SSE + β per changepoint (β =
@@ -187,7 +289,12 @@ def q_pelt_changepoints(spark, sf_dir):
     the globally optimal number AND placement of changepoints — CUSUM
     (R129) finds one, the HMM (R293) fixes the state count; this
     certifies both. Output: one row per segment with its mean and
-    SSE. Rows-only; an independent exhaustive-DP oracle in
+    SSE. SQL twin since round 8 (VERDICT r7 "Next round" #5): the same
+    DP as 31 generated Bellman-relaxation CTEs over the segment-edge
+    table + a recursive backpointer walk (_pelt_sql) — every float
+    expression mirrors this function's association, prefix sums are
+    exact integers, so both engines walk the same segmentation.  An
+    independent exhaustive-DP oracle stays in
     tests/test_batch140.py.""".format(f=_PELT_BETA_FACTOR)
     import math
 
@@ -201,22 +308,31 @@ def q_pelt_changepoints(spark, sf_dir):
     days = [r.d for r in daily]
     series = [float(r.c) for r in daily]
     n = len(series)
-    mean = sum(series) / n
-    var = sum((x - mean) ** 2 for x in series) / (n - 1)
+    # prefix-sum forms throughout (exact integer-valued floats), the
+    # same expression shapes as the SQL twin — closed-form var, not the
+    # two-pass mean/deviation form, so β is bit-identical cross-engine
+    s_n = sum(series)
+    q_n = sum(x * x for x in series)
+    var = (q_n - s_n * 1.0 * s_n / n) / (n - 1)
     beta = _PELT_BETA_FACTOR * math.log(n) * var
     cps, cost = optimal_partition(series, beta)
     bounds = [0] + cps + [n]
+    pre = [0.0] * (n + 1)
+    pre2 = [0.0] * (n + 1)
+    for i, v in enumerate(series):
+        pre[i + 1] = pre[i] + v
+        pre2[i + 1] = pre2[i] + v * v
     rows = []
     for seg_id, (i, j) in enumerate(zip(bounds, bounds[1:])):
-        seg = series[i:j]
-        m = sum(seg) / len(seg)
-        sse = sum((x - m) ** 2 for x in seg)
+        s = pre[j] - pre[i]
+        m = s * 1.0 / (j - i)
+        sse = (pre2[j] - pre2[i]) - s * 1.0 * s / (j - i)
         rows.append(
             (
                 seg_id,
                 days[i],
                 days[j - 1],
-                len(seg),
+                j - i,
                 round(m, 4),
                 round(sse, 4),
                 round(cost, 4),

@@ -179,7 +179,137 @@ def q_business_days(spark, sf_dir):
     )
 
 
-@register("q_markov_attribution", None)
+_MA_DOUBLINGS = 12  # same truncation bound as q_absorbing_markov's twin
+
+
+def _markov_attribution_sql(doublings: int = _MA_DOUBLINGS) -> str:
+    """Generate the bounded-unroll twin (VERDICT r7 "Next round" #5 —
+    'the q_markov_attribution pattern blocks on the same shape' as the
+    R454 solve, now unblocked): ONE variant-keyed doubling-truncated
+    Neumann series computes the absorption probability for the base
+    chain AND every channel-removal chain simultaneously — the removal
+    variants become an `excl` key column on the (a, b, v) cell
+    relation, so the 12 doublings stay 12 join-aggregates regardless of
+    channel count.  Removal semantics mirror the numpy path exactly:
+    into-channel transitions redirect to NULL, the channel's own row
+    drops, rows re-normalize per variant."""
+    parts = [
+        """
+    WITH firstp AS MATERIALIZED (
+      SELECT user_id, MIN(ts) AS pts FROM events
+      WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    journey AS MATERIALIZED (
+      SELECT e.user_id, e.ts, e.event_id, e.event_type,
+             f.pts IS NOT NULL AS converted
+      FROM events e LEFT JOIN firstp f ON f.user_id = e.user_id
+      WHERE f.pts IS NULL
+         OR (e.ts < f.pts AND e.event_type <> 'purchase')
+    ),
+    seq AS MATERIALIZED (
+      SELECT user_id, event_type AS cur,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n,
+             converted
+      FROM journey
+    ),
+    trans_raw AS MATERIALIZED (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT 'START' AS a, cur AS b FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT prev AS a, cur AS b FROM seq WHERE prev IS NOT NULL
+        UNION ALL
+        SELECT cur AS a,
+               CASE WHEN converted THEN 'CONV' ELSE 'NULL' END AS b
+        FROM seq WHERE rn = n
+      ) GROUP BY 1, 2
+    ),
+    channels AS MATERIALIZED (
+      SELECT DISTINCT ch FROM (
+        SELECT a AS ch FROM trans_raw WHERE a <> 'START'
+        UNION
+        SELECT b AS ch FROM trans_raw WHERE b NOT IN ('CONV', 'NULL')
+      )
+    ),
+    variants AS MATERIALIZED (
+      SELECT '__BASE__' AS excl UNION ALL SELECT ch FROM channels
+    ),
+    redirected AS MATERIALIZED (
+      SELECT v.excl, t.a,
+             CASE WHEN t.b = v.excl THEN 'NULL' ELSE t.b END AS b,
+             SUM(t.c) AS c
+      FROM trans_raw t CROSS JOIN variants v
+      WHERE t.a <> v.excl
+      GROUP BY 1, 2, 3
+    ),
+    tot AS MATERIALIZED (
+      SELECT excl, a, SUM(c) AS t FROM redirected GROUP BY 1, 2
+    ),
+    qv AS MATERIALIZED (
+      SELECT r.excl, r.a, r.b, r.c * 1.0 / tot.t AS v
+      FROM redirected r
+      JOIN tot ON tot.excl = r.excl AND tot.a = r.a
+      WHERE r.b NOT IN ('CONV', 'NULL')
+    ),
+    rv AS MATERIALIZED (
+      SELECT r.excl, r.a, r.b, r.c * 1.0 / tot.t AS v
+      FROM redirected r
+      JOIN tot ON tot.excl = r.excl AND tot.a = r.a
+      WHERE r.b IN ('CONV', 'NULL')
+    ),
+    s0 AS MATERIALIZED (SELECT excl, a, a AS b, 1.0 AS v FROM tot),
+    p0 AS MATERIALIZED (SELECT excl, a, b, v FROM qv)"""
+    ]
+    for k in range(1, doublings + 1):
+        parts.append(f""",
+    s{k} AS MATERIALIZED (
+      SELECT excl, a, b, SUM(v) AS v FROM (
+        SELECT excl, a, b, v FROM s{k - 1}
+        UNION ALL
+        SELECT p.excl, p.a, s.b, p.v * s.v AS v
+        FROM p{k - 1} p
+        JOIN s{k - 1} s ON s.excl = p.excl AND s.a = p.b
+      ) GROUP BY 1, 2, 3
+    ),
+    p{k} AS MATERIALIZED (
+      SELECT x.excl, x.a, y.b, SUM(x.v * y.v) AS v
+      FROM p{k - 1} x
+      JOIN p{k - 1} y ON y.excl = x.excl AND y.a = x.b
+      GROUP BY 1, 2, 3
+    )""")
+    parts.append(f""",
+    pconv AS MATERIALIZED (
+      SELECT s.excl, SUM(s.v * r.v) AS pc
+      FROM s{doublings} s
+      JOIN rv r ON r.excl = s.excl AND r.a = s.b AND r.b = 'CONV'
+      WHERE s.a = 'START'
+      GROUP BY 1
+    ),
+    base AS MATERIALIZED (
+      SELECT COALESCE((SELECT pc FROM pconv WHERE excl = '__BASE__'), 0.0)
+        AS bpc
+    ),
+    eff AS MATERIALIZED (
+      SELECT c.ch,
+             CASE WHEN base.bpc > 0
+                  THEN GREATEST(0.0, 1.0 - COALESCE(p.pc, 0.0) / base.bpc)
+                  ELSE 1.0 END AS e
+      FROM channels c
+      LEFT JOIN pconv p ON p.excl = c.ch
+      CROSS JOIN base
+    )
+    SELECT ch AS channel, round(e, 6) AS removal_effect,
+           round(CASE WHEN te.t > 0 THEN e / te.t ELSE 0.0 END, 6) AS share
+    FROM eff CROSS JOIN (SELECT SUM(e) AS t FROM eff) te
+    ORDER BY channel
+    """)
+    return "".join(parts)
+
+
+@register("q_markov_attribution", _markov_attribution_sql())
 def q_markov_attribution(spark, sf_dir):
     """Markov removal-effect attribution. Journey = each user's
     pre-first-purchase touch sequence (converters absorb in CONV,
@@ -188,8 +318,10 @@ def q_markov_attribution(spark, sf_dir):
     shares normalize the effects. The transition counts collapse
     distributed (one pair agg); the absorbing solve runs on the driver
     over a |channels|+3 square matrix with numpy — broadcast-scale
-    state, like the BPE/k-means driver loops. Rows-only (matrix
-    inversion has no SQL twin); tests enumerate a hand-checkable
+    state, like the BPE/k-means driver loops. SQL twin since round 8:
+    one variant-keyed 12-doubling Neumann series computes base and
+    every removal chain at once (_markov_attribution_sql; truncation
+    bound as in registry_ext158); tests enumerate a hand-checkable
     funnel."""
     import numpy as np
 

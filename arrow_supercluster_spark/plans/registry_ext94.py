@@ -308,13 +308,99 @@ def q_mmr_rerank(spark, sf_dir):
     )
 
 
-@register("q_dtw_daily", None)
+_DTW_UNROLL = 62  # curves are ≤31 days each → ≤62 anti-diagonal waves
+
+
+def _dtw_sql(unroll: int = _DTW_UNROLL) -> str:
+    """Generate the bounded-DP-unroll twin (VERDICT r7 "Next round" #5
+    family): the DTW grid DP as `unroll` anti-diagonal wave CTEs — wave
+    K computes every cell with i+j = K from the accumulated relation of
+    earlier cells (missing boundary cells are +inf by absence; the
+    (0,0)=0 seed row makes (1,1) well-defined).  Only the final rounded
+    DISTANCE is emitted (no path), so the 1e-16 z-normalization
+    differences between numpy's pairwise mean/std and SQL AVG cannot
+    surface: min() is order-free on values and the output rounds at
+    1e-6."""
+    waves = []
+    for k in range(2, unroll + 1):
+        waves.append(f""",
+    new{k} AS MATERIALIZED (
+      SELECT co.a, co.b, co.i, co.j, co.c + MIN(w.v) AS v
+      FROM cost co
+      JOIN w{k - 1} w ON w.a = co.a AND w.b = co.b
+       AND ((w.i = co.i - 1 AND w.j = co.j)
+         OR (w.i = co.i AND w.j = co.j - 1)
+         OR (w.i = co.i - 1 AND w.j = co.j - 1))
+      WHERE co.i + co.j = {k}
+      GROUP BY co.a, co.b, co.i, co.j, co.c
+    ),
+    w{k} AS MATERIALIZED (
+      SELECT a, b, i, j, v FROM w{k - 1}
+      UNION ALL
+      SELECT a, b, i, j, v FROM new{k}
+    )""")
+    return f"""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS MATERIALIZED (
+      SELECT event_type, n,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily
+    ),
+    curves AS MATERIALIZED (
+      SELECT i.event_type, i.rn,
+             (i.n - s.mu) / (CASE WHEN s.sd = 0 THEN 1.0 ELSE s.sd END)
+               AS x
+      FROM idx i
+      JOIN (
+        SELECT event_type, AVG(n * 1.0) AS mu,
+               sqrt(AVG((n - mu2) * (n - mu2))) AS sd
+        FROM (
+          SELECT event_type, n,
+                 AVG(n * 1.0) OVER (PARTITION BY event_type) AS mu2
+          FROM idx
+        ) GROUP BY event_type
+      ) s ON s.event_type = i.event_type
+    ),
+    lens AS MATERIALIZED (
+      SELECT event_type, MAX(rn) AS n FROM curves GROUP BY 1
+    ),
+    pairs AS MATERIALIZED (
+      SELECT x.event_type AS a, y.event_type AS b
+      FROM lens x JOIN lens y ON x.event_type < y.event_type
+    ),
+    cost AS MATERIALIZED (
+      SELECT p.a, p.b, xa.rn AS i, xb.rn AS j, ABS(xa.x - xb.x) AS c
+      FROM pairs p
+      JOIN curves xa ON xa.event_type = p.a
+      JOIN curves xb ON xb.event_type = p.b
+    ),
+    w1 AS MATERIALIZED (
+      SELECT a, b, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS j,
+             0.0 AS v
+      FROM pairs
+    ){"".join(waves)}
+    SELECT w.a, w.b, round(w.v, 6) AS dtw_dist
+    FROM w{unroll} w
+    JOIN lens la ON la.event_type = w.a
+    JOIN lens lb ON lb.event_type = w.b
+    WHERE w.i = la.n AND w.j = lb.n
+    ORDER BY w.a, w.b
+    """
+
+
+@register("q_dtw_daily", _dtw_sql())
 def q_dtw_daily(spark, sf_dir):
     """DTW distance between every pair of event types' z-normalized
     daily-volume curves. The curves collapse to |types| short arrays
     (one day-keyed agg), the pair frame is |types|², and the O(n²) DP
-    runs vectorized-by-row in a pandas UDF. Rows-only; an independent
-    DP oracle lives in tests/test_batch89.py."""
+    runs vectorized-by-row in a pandas UDF. SQL twin since round 8:
+    the same DP as 62 generated anti-diagonal wave CTEs (_dtw_sql);
+    an independent DP oracle lives in tests/test_batch89.py."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf

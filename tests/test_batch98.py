@@ -56,7 +56,7 @@ def test_hmm_regimes_independent_viterbi(spark, sf_dir):
         s = brow[s]
         path.append(s)
     path.reverse()
-    want = {day: st for (day, _), st in zip(daily, path)}
+    want = {str(day): st for (day, _), st in zip(daily, path)}
     assert got == want
     assert len(set(got.values())) == 2, "both regimes should appear"
 

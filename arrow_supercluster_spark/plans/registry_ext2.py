@@ -163,12 +163,13 @@ def q_multimodal_meta(spark, sf_dir):
 @register("q_multimodal_features", None)
 def q_multimodal_features(spark, sf_dir):
     """Multimodal — mapInPandas feature extraction over binary payloads
-    (rows-only: the decode stub is deterministic-fake; real decode is
-    NotImplemented without media libs). Verifies the Arrow-batch plumbing:
-    schema, batching, array<float> output."""
+    (rows-only: byte-histogram featurizer — format-agnostic content
+    features; REAL decodes are the six from-scratch codecs behind the
+    q_image_features_*/q_audio_* entries). Verifies the Arrow-batch
+    plumbing: schema, batching, array<float> output."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = multimodal.documents_as_media(docs)
-    return multimodal.extract_features(media, fake=True)
+    return multimodal.extract_features(media)
 
 
 # ===========================================================================

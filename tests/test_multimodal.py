@@ -6,7 +6,7 @@ from pyspark.sql import functions as F
 
 from arrow_supercluster_spark.operators.multimodal import (
     FEATURE_DIM,
-    decode_image,
+    byte_histogram_features,
     documents_as_media,
     extract_features,
     frame_sample,
@@ -22,7 +22,7 @@ def test_extract_features_matches_reference(spark, sf_dir):
     media = _media(spark, sf_dir)
     got = {r.media_id: r.feature for r in extract_features(media).collect()}
     for r in media.collect():
-        want = decode_image(bytes(r.payload), fake=True)
+        want = byte_histogram_features(bytes(r.payload))
         assert len(got[r.media_id]) == FEATURE_DIM
         assert got[r.media_id] == [float(x) for x in want]
 

@@ -18,14 +18,16 @@
   Why IVF and not sign-LSH: measured at sf0.01/sf0.1, 4-table 6-plane
   sign-LSH recalls only ~0.19 of exact 5-NN edges on this corpus
   (hyperplane LSH targets ANGULAR similarity; LOF needs Euclidean), while
-  nprobe=4 multi-probe IVF recalls 0.86–0.98.  Rows-only: the k-means
+  nprobe=5 multi-probe IVF recalls 0.87–0.93 (edge recall 0.93 at sf0.01, 0.87 at sf0.1).  Rows-only: the k-means
   fit is engine-specific; correctness is pinned by a recall-floor test
   against the exact kernel at sf0.01 (tests/test_batch208.py) — kNN-edge
   recall AND top-15 outlier overlap — plus the shared-algebra guarantee.
 
-At 100 TB: n_lists scales with the corpus (n/64 here), so the average
-cell holds ~nprobe·64 rows and TOTAL candidate work is linear in n —
-never n².  The centroid table (n_lists × 64 doubles) broadcasts;
+At 100 TB: n_lists = ⌈√n⌉ (classic IVF-flat — the r8 16× sweep showed
+the earlier n/64 rule made the k-means FIT quadratic in n), so the
+average cell holds ~√n rows, per-point candidates are nprobe²·√n, and
+total candidate work is n^1.5 — never n²; a hierarchical 2-level coarse
+quantizer is the named next step past that scale, same algebra.  The centroid table (n_lists × 64 doubles) broadcasts;
 assignment is a narrow map; the per-cell GEMM is embarrassingly parallel
 across cells (block-chunked inside each cell so a skewed cell never
 materializes an m×m matrix); the only shuffles are the groupBy(list_id)
@@ -34,6 +36,8 @@ edges is three hash joins on ~k·n rows.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -46,10 +50,23 @@ from arrow_supercluster_spark.plans.registry_ext123 import (
     lof_from_knn,
 )
 
-_LOF_IVF_NPROBE = 4
-_LOF_IVF_ROWS_PER_LIST = 64  # n_lists = max(16, n // this) → linear total
+_LOF_IVF_NPROBE = 5
 _LOF_IVF_SEED = 42
+_LOF_FIT_ROWS_CAP = 8_192  # k-means training rows, bounded at ANY n
 _GEMM_BLOCK = 4096  # row-block inside a cell: caps GEMM memory at m×block
+
+
+def lof_ivf_n_lists(n: int) -> int:
+    """Classic IVF-flat sizing: n_lists = ⌈√n⌉ (floored at 16).  The r8
+    16× sweep caught the earlier n/64 rule as quadratic-in-n at the FIT
+    (k-means cost = sample_rows × n_lists × iters, and sample_rows also
+    grew with n_lists — k=500 ground a single core for 10+ minutes at
+    16×).  With √n lists the fit stays bounded (rows cap below), the
+    assignment is n×√n GEMM flops, per-point candidates are
+    nprobe²·√n, and total candidate work is n^1.5 — the standard
+    IVF-flat curve; beyond that scale the production answer is a
+    hierarchical (2-level) coarse quantizer, same algebra."""
+    return max(16, math.isqrt(max(n, 1) - 1) + 1)
 
 
 def ivf_multiprobe_assign(
@@ -58,37 +75,59 @@ def ivf_multiprobe_assign(
     nprobe: int = _LOF_IVF_NPROBE,
     seed: int = _LOF_IVF_SEED,
 ) -> DataFrame:
-    """(vec_id, list_id) with each point in its `nprobe` nearest k-means
-    cells.  Multi-probe de-edges the cell boundaries: two true neighbors
-    split by a Voronoi face still co-occur in some probed cell with high
-    probability.  Fit input is the bounded seeded sample; the centroid
-    table broadcasts; ranking the n_lists centroid distances per point is
-    a per-key window (parallel across points)."""
+    """(vec_id, list_id, v) with each point in its `nprobe` nearest
+    k-means cells.  Multi-probe de-edges the cell boundaries: two true
+    neighbors split by a Voronoi face still co-occur in some probed cell
+    with high probability.  Fit input is the bounded seeded sample
+    (≤ 16,384 rows at any corpus size); the centroid matrix broadcasts as
+    one numpy array and assignment is one GEMM per Arrow batch (the r8
+    sweep replaced the crossJoin+HOF ranking, which paid n×n_lists
+    Catalyst lambda evaluations).  Ties break by list_id (lexsort)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    import numpy as np
+
+    per_list = max(32, _LOF_FIT_ROWS_CAP // n_lists)
     fit = ivf_fit_sample(
         emb.select(array_to_vector("v").alias("features")),
-        n_lists, seed, 256,
+        n_lists, seed, per_list,
     )
-    km = KMeans(k=n_lists, seed=seed, maxIter=10).fit(fit)
-    centers = emb.sparkSession.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
-        "list_id int, center array<double>",
-    )
-    cd = F.aggregate(
-        F.zip_with(F.col("v"), F.col("center"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    )
-    w = Window.partitionBy("vec_id").orderBy("cd", "list_id")
-    return (
-        emb.select("vec_id", "v")
-        .crossJoin(F.broadcast(centers))
-        .withColumn("cd", cd)
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= nprobe)
-        .select("vec_id", "list_id", "v")
+    # random init, 8 Lloyd rounds: a COARSE quantizer needs rough cells,
+    # not converged ones — k-means|| init alone costs ~5 extra Spark jobs
+    # and dominated the 1× wall in the r8 sweep (recall is floor-tested)
+    km = KMeans(
+        k=n_lists, seed=seed, maxIter=8, initMode="random"
+    ).fit(fit)
+    C = np.array(km.clusterCenters(), dtype=np.float64)  # (n_lists, dim)
+    bc = emb.sparkSession.sparkContext.broadcast(C)
+
+    def assign(batches):
+        import pandas as pd
+
+        Cm = bc.value
+        csq = np.einsum("ij,ij->i", Cm, Cm)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array([[float(x) for x in v] for v in pdf["v"]],
+                         dtype=np.float64)
+            vsq = np.einsum("ij,ij->i", V, V)
+            D2 = vsq[:, None] + csq[None, :] - 2.0 * (V @ Cm.T)
+            kk = min(nprobe, Cm.shape[0])
+            lid = np.arange(Cm.shape[0])
+            out_id, out_list, out_v = [], [], []
+            for r in range(len(pdf)):
+                order = np.lexsort((lid, D2[r]))[:kk]
+                out_id.extend([pdf["vec_id"].iloc[r]] * kk)
+                out_list.extend(int(x) for x in order)
+                out_v.extend([pdf["v"].iloc[r]] * kk)
+            yield pd.DataFrame(
+                {"vec_id": out_id, "list_id": out_list, "v": out_v}
+            )
+
+    return emb.select("vec_id", "v").mapInPandas(
+        assign, "vec_id long, list_id int, v array<double>"
     )
 
 
@@ -96,7 +135,6 @@ def lof_knn_candidates_ivf(
     emb: DataFrame,
     k: int = _LOF_K,
     nprobe: int = _LOF_IVF_NPROBE,
-    rows_per_list: int = _LOF_IVF_ROWS_PER_LIST,
     seed: int = _LOF_IVF_SEED,
 ) -> DataFrame:
     """IVF-pruned kNN edges (src, dst, d2i) for the LOF algebra.  `emb`
@@ -105,7 +143,7 @@ def lof_knn_candidates_ivf(
     differ from the sequential fold by 1 ulp before rounding — the
     recall-floor test, not bit equality, is the contract)."""
     n = emb.count()  # one scalar — sizes the cell count, data-derived
-    n_lists = max(16, n // rows_per_list)
+    n_lists = lof_ivf_n_lists(n)
     assigned = ivf_multiprobe_assign(emb, n_lists, nprobe, seed)
 
     def cell_topk(pdf):

@@ -350,13 +350,37 @@ def main() -> None:
     # payload: BENCH_r07.json has "parsed": null (the overflow this file
     # now guards against), so blindly reading benches[-1] would silently
     # drop all cross-round deltas.
+    def _salvage_tail(doc):
+        """Recover fields from a round whose final line overflowed the
+        driver's tail buffer (BENCH_r07: the 2000-char tail cut the HEAD
+        of the line, so the queries map and calibration scalars survive
+        verbatim at the end)."""
+        import re as _re
+
+        t = doc.get("tail") or ""
+        m = _re.search(r'"queries": (\{[^{}]*\})', t)
+        if not m:
+            return None
+        out = {"queries": json.loads(m.group(1))}
+        for k in (
+            "calibration_matmul_sec",
+            "calibration_shuffle_sec",
+            "calibration_spark_sec",
+        ):
+            mk = _re.search(rf'"{k}": ([0-9.eE+-]+)', t)
+            if mk:
+                out[k] = float(mk.group(1))
+        return out
+
     for cand in reversed(benches):
         try:
             with open(cand) as fh:
                 doc = json.load(fh)
             parsed = doc.get("parsed", doc)  # driver wraps our line
             if not isinstance(parsed, dict) or not parsed.get("queries"):
-                continue
+                parsed = _salvage_tail(doc)
+                if parsed is None:
+                    continue
             prev_file = cand
             prev = parsed.get("queries", {}) or {}
             prev_calib = parsed.get("calibration_matmul_sec")

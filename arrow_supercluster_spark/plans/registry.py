@@ -453,6 +453,7 @@ def _load_extended_registries():
         registry_ext211,
         registry_ext212,
         registry_ext213,
+        registry_ext214,
     )
 
 

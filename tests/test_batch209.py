@@ -1,0 +1,95 @@
+"""Batch-209 tests: independent python replays of the text-diversity
+diagnostics (distinct-n, type-token family, bigram conditional entropy)
+on the raw documents table."""
+
+import math
+import re
+from collections import Counter
+
+
+def _norm_tokens(text):
+    return re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+
+
+def _docs_rows(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", "text"
+    ).collect()
+
+
+def test_distinct_n_replay(spark, sf_dir):
+    from arrow_supercluster_spark.plans.registry import REGISTRY
+
+    got = {
+        r.source: r for r in REGISTRY["q_distinct_n"].spark(
+            spark, sf_dir
+        ).collect()
+    }
+    uni, bi = {}, {}
+    for r in _docs_rows(spark, sf_dir):
+        toks = [t for t in _norm_tokens(r.text) if t != ""]
+        uni.setdefault(r.source, []).extend(toks)
+        toks_all = _norm_tokens(r.text)
+        bi.setdefault(r.source, []).extend(
+            f"{a} {b}" for a, b in zip(toks_all, toks_all[1:])
+        )
+    for src, row in got.items():
+        u, b = uni[src], bi[src]
+        assert row.unigrams == len(u)
+        assert row.distinct_unigrams == len(set(u))
+        assert row.distinct_1 == round(len(set(u)) / len(u), 6)
+        assert row.bigrams == len(b)
+        assert row.distinct_2 == round(len(set(b)) / len(b), 6)
+
+
+def test_type_token_replay(spark, sf_dir):
+    from arrow_supercluster_spark.plans.registry import REGISTRY
+
+    got = {
+        r.source: r for r in REGISTRY["q_type_token"].spark(
+            spark, sf_dir
+        ).collect()
+    }
+    toks = {}
+    for r in _docs_rows(spark, sf_dir):
+        toks.setdefault(r.source, []).extend(
+            t for t in _norm_tokens(r.text) if t != ""
+        )
+    for src, row in got.items():
+        n, v = len(toks[src]), len(set(toks[src]))
+        assert (row.tokens, row.types) == (n, v)
+        assert row.ttr == round(v / n, 6)
+        assert row.root_ttr == round(v / math.sqrt(n), 6)
+        assert row.herdan_c == round(math.log(v) / math.log(n), 6)
+
+
+def test_bigram_entropy_replay_and_bounds(spark, sf_dir):
+    from arrow_supercluster_spark.plans.registry import REGISTRY
+
+    got = {
+        r.source: r for r in REGISTRY["q_bigram_entropy"].spark(
+            spark, sf_dir
+        ).collect()
+    }
+    by_src = {}
+    for r in _docs_rows(spark, sf_dir):
+        toks = _norm_tokens(r.text)
+        by_src.setdefault(r.source, []).extend(zip(toks, toks[1:]))
+    for src, pairs in by_src.items():
+        c = Counter(pairs)
+        w1 = Counter(w for w, _ in pairs)
+        total = len(pairs)
+        h = sum(
+            (cnt / total) * math.log(w1[a] / cnt)
+            for (a, _), cnt in c.items()
+        )
+        row = got[src]
+        assert row.bigrams == total
+        assert abs(row.cond_entropy_nats - h) < 1e-5
+        # bounds: 0 ≤ H(w2|w1) ≤ ln(#distinct followers)
+        assert -1e-9 <= row.cond_entropy_nats <= math.log(
+            max(len(set(b for _, b in pairs)), 2)
+        ) + 1e-9
+        assert abs(
+            row.cond_entropy_bits - round(row.cond_entropy_nats / math.log(2), 6)
+        ) < 2e-6

@@ -44,7 +44,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "24"))
 REPLICAS = int(os.environ.get("SPARK_GRAFT_SWEEP_REPLICAS", "16"))
 TOP_N = int(os.environ.get("SPARK_GRAFT_SWEEP_TOP_N", "20"))
+TIMEOUT_S = int(os.environ.get("SPARK_GRAFT_SWEEP_TIMEOUT_S", "240"))
 BATCH_MODULES = [f"registry_ext{i}.py" for i in range(191, 214)]
+
+# Exact kernels that are EVAL-ONLY BY CONTRACT (module docstrings of
+# registry_ext205/206: the q_silhouette class — production substitution
+# is knn_edges_lsh / q_lof_ivf).  Scaling an eval-only O(n²) validator
+# 16× measures nothing the contract claims; they are reported as skipped
+# (no silent caps) rather than run.
+EVAL_ONLY = {
+    "q_dunn_index", "q_loocv_1nn", "q_hubness", "q_twonn_dim", "q_lid",
+}
 
 _KEY_OFF = 1_000_000_000  # replica key shift: far above any base key
 
@@ -150,14 +160,38 @@ def batch_queries():
     return out
 
 
-def timed_run(spark, name, sf_dir):
+def timed_run(spark, name, sf_dir, timeout_s: int | None = None):
+    """Wall-time one registry query; with timeout_s, a watchdog thread
+    cancels the query's job group and the run reports "timeout" — a
+    finding in itself (a 16× run that can't finish inside the budget is
+    exactly what the sweep exists to surface), not a silent skip."""
+    import threading
+
     from arrow_supercluster_spark.plans.registry import REGISTRY
 
+    group = f"sweep-{name}"
+    spark.sparkContext.setJobGroup(group, name, interruptOnCancel=True)
+    cancel = None
+    if timeout_s:
+        cancel = threading.Timer(
+            timeout_s, spark.sparkContext.cancelJobGroup, args=(group,)
+        )
+        cancel.daemon = True
+        cancel.start()
     t0 = time.perf_counter()
-    REGISTRY[name].spark(spark, sf_dir).write.mode("overwrite").format(
-        "noop"
-    ).save()
-    return round(time.perf_counter() - t0, 2)
+    try:
+        REGISTRY[name].spark(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        return round(time.perf_counter() - t0, 2)
+    except Exception:
+        if timeout_s and time.perf_counter() - t0 >= timeout_s - 1:
+            return "timeout"
+        raise
+    finally:
+        if cancel:
+            cancel.cancel()
+        spark.sparkContext.setJobGroup("", "")
 
 
 def main() -> None:
@@ -191,7 +225,19 @@ def main() -> None:
                 json.dumps({"query": n, "replicas": 1, "sec": base[n]}),
                 flush=True,
             )
-        top = sorted(base, key=base.get, reverse=True)[:TOP_N]
+        ranked = sorted(base, key=base.get, reverse=True)
+        skipped = [n for n in ranked if n in EVAL_ONLY][:TOP_N]
+        top = [n for n in ranked if n not in EVAL_ONLY][:TOP_N]
+        for n in skipped:
+            print(
+                json.dumps(
+                    {"query": n, "replicas": REPLICAS,
+                     "skipped": "eval-only exact kernel by contract "
+                                "(registry_ext205/206 docstrings); "
+                                "production path is knn_edges_lsh/q_lof_ivf"}
+                ),
+                flush=True,
+            )
 
         t0 = time.perf_counter()
         scale_tables(spark, scaled, REPLICAS)
@@ -204,19 +250,16 @@ def main() -> None:
         )
 
         for n in top:
-            sec = timed_run(spark, n, scaled)
-            print(
-                json.dumps(
-                    {
-                        "query": n,
-                        "replicas": REPLICAS,
-                        "sec": sec,
-                        "sec_1x": base[n],
-                        "ratio": round(sec / base[n], 1) if base[n] else None,
-                    }
-                ),
-                flush=True,
-            )
+            sec = timed_run(spark, n, scaled, timeout_s=TIMEOUT_S)
+            row = {
+                "query": n,
+                "replicas": REPLICAS,
+                "sec": sec,
+                "sec_1x": base[n],
+            }
+            if isinstance(sec, (int, float)) and base[n]:
+                row["ratio"] = round(sec / base[n], 1)
+            print(json.dumps(row), flush=True)
     finally:
         shutil.rmtree(scaled, ignore_errors=True)
         spark.stop()

@@ -454,6 +454,7 @@ def _load_extended_registries():
         registry_ext212,
         registry_ext213,
         registry_ext214,
+        registry_ext215,
     )
 
 

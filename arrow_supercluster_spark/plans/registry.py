@@ -455,6 +455,7 @@ def _load_extended_registries():
         registry_ext213,
         registry_ext214,
         registry_ext215,
+        registry_ext216,
     )
 
 

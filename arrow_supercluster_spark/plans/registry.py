@@ -456,6 +456,7 @@ def _load_extended_registries():
         registry_ext214,
         registry_ext215,
         registry_ext216,
+        registry_ext217,
     )
 
 

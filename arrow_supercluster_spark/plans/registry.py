@@ -457,6 +457,7 @@ def _load_extended_registries():
         registry_ext215,
         registry_ext216,
         registry_ext217,
+        registry_ext218,
     )
 
 

@@ -458,6 +458,7 @@ def _load_extended_registries():
         registry_ext216,
         registry_ext217,
         registry_ext218,
+        registry_ext219,
     )
 
 

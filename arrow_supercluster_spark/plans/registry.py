@@ -459,6 +459,7 @@ def _load_extended_registries():
         registry_ext217,
         registry_ext218,
         registry_ext219,
+        registry_ext220,
     )
 
 

@@ -460,6 +460,7 @@ def _load_extended_registries():
         registry_ext218,
         registry_ext219,
         registry_ext220,
+        registry_ext221,
     )
 
 

@@ -461,6 +461,7 @@ def _load_extended_registries():
         registry_ext219,
         registry_ext220,
         registry_ext221,
+        registry_ext222,
     )
 
 

@@ -462,6 +462,7 @@ def _load_extended_registries():
         registry_ext220,
         registry_ext221,
         registry_ext222,
+        registry_ext223,
     )
 
 

@@ -46,6 +46,8 @@ ALLOWED_GLOBAL_WINDOWS = {
     "q_permutation_entropy", "q_sample_entropy", "q_kpss_level",
     # batch-216 survival completions: interval/death-time frames ≤31 rows
     "q_life_table", "q_cumulative_incidence",
+    # batch-218 forecast accuracy: all on the ≤31-row daily frame
+    "q_forecast_accuracy", "q_tracking_signal", "q_interval_coverage",
     "q_gini",        # rank over |sources| / |langs| group counts
     # (q_mann_whitney / q_ks_test / q_spearman were de-weaked in round 4:
     #  group-collapsed zip_scan midranks/ECDFs, no user-dimension window)

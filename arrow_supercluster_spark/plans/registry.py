@@ -463,6 +463,7 @@ def _load_extended_registries():
         registry_ext221,
         registry_ext222,
         registry_ext223,
+        registry_ext224,
     )
 
 

@@ -464,6 +464,7 @@ def _load_extended_registries():
         registry_ext222,
         registry_ext223,
         registry_ext224,
+        registry_ext225,
     )
 
 

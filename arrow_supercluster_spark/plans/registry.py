@@ -465,6 +465,7 @@ def _load_extended_registries():
         registry_ext223,
         registry_ext224,
         registry_ext225,
+        registry_ext226,
     )
 
 

@@ -662,9 +662,46 @@ _ROTATION_R8 = [
 ]
 
 
+# Round-9 rotation — the judge's suggested slate (VERDICT r8 "Next round"
+# #1): 40 entries with no driver row in any CORRECTNESS_r{N} (r1–r8 union
+# = 174; with these, ≥ 214).  The named r8-widening entries (spatial stats,
+# forecast accuracy, classical tests, LM smoothing, columnar-encoding
+# estimators, the MRR/NDCG retrieval-eval family) plus the oldest
+# never-checked round-2/3 entries.  Every slot vacated by this rotation
+# (all of _ROTATION_R8) is driver-green in CORRECTNESS_r08.json, so no
+# driver evidence is lost.
+_ROTATION_R9 = [
+    # spatial statistics (batch 220)
+    "q_geary_c", "q_getis_ord_g", "q_idw_interpolation",
+    # forecast accuracy / monitoring (batch 216)
+    "q_forecast_accuracy", "q_tracking_signal", "q_interval_coverage",
+    # product analytics (batch 217)
+    "q_stickiness", "q_arpu", "q_rule_quality",
+    # classical tests (batch 210)
+    "q_fisher_exact", "q_g_test",
+    # time-series complexity (batch 213)
+    "q_permutation_entropy", "q_sample_entropy", "q_kpss_level",
+    # LM smoothing (batch 215)
+    "q_witten_bell",
+    # columnar-encoding estimators (batch 216)
+    "q_delta_bitwidth", "q_for_bitwidth", "q_encoding_pick",
+    # clustering / model-selection scores (batch 221)
+    "q_bcubed", "q_bf_bic",
+    # retrieval-eval family (batch 211)
+    "q_mrr", "q_mrr_bridge", "q_ndcg", "q_ndcg_at_k",
+    "q_precision_recall_at_k",
+    # oldest never-driver-checked round-2/3 entries, insertion order
+    "q_ab_test", "q_anova_f", "q_bounce_rate", "q_bpe_fertility",
+    "q_bpe_merges", "q_chao1_vocab", "q_cluster_radius_z4",
+    "q_cluster_radius_z6", "q_cluster_stability", "q_corpus_curation",
+    "q_dataset_card", "q_dbscan_sweep", "q_dedup_savings",
+    "q_funnel_within", "q_impute_values",
+]
+
+
 def _order_driver_window() -> None:
     names = list(REGISTRY)
-    window = _WINDOW_CORE + _ROTATION_R8
+    window = _WINDOW_CORE + _ROTATION_R9
     assert len(window) == 50 and len(set(window)) == 50, "window must be 50 unique"
     for n in window:
         assert n in REGISTRY, f"window query {n} not registered"

@@ -10,7 +10,11 @@ presence — r6 ADVICE fix), and the registry must stay duplicate-free.
 Round 8 (VERDICT r7 "Next round" #2): the pinned core shrank 30 → 10 and
 the rotation doubled 20 → 40, so driver coverage grows twice as fast; the
 21 vacated core slots are tracked in _CORE_VACATED_R8 and must each hold a
-green row from r1–r7 (they hold seven)."""
+green row from r1–r7 (they hold seven).
+
+Round 9 (VERDICT r8 "Next round" #1): _ROTATION_R9 rotates 40 more
+never-driver-checked queries in (union 174 → ≥ 214); every _ROTATION_R8
+slot it vacates is driver-green in CORRECTNESS_r08.json."""
 
 import json
 import pathlib
@@ -22,6 +26,7 @@ from arrow_supercluster_spark.plans.registry import (
     _ROTATION_R6,
     _ROTATION_R7,
     _ROTATION_R8,
+    _ROTATION_R9,
     _WINDOW_CORE,
     REGISTRY,
 )
@@ -70,8 +75,8 @@ def test_first_50_all_sql_backed():
 
 def test_window_is_core_plus_rotation():
     assert len(_WINDOW_CORE) == 10
-    assert len(_ROTATION_R8) == 40
-    assert list(REGISTRY)[:50] == _WINDOW_CORE + _ROTATION_R8
+    assert len(_ROTATION_R9) == 40
+    assert list(REGISTRY)[:50] == _WINDOW_CORE + _ROTATION_R9
 
 
 def test_r4_rotation_was_never_checked_before_r4():
@@ -118,12 +123,33 @@ def test_r8_rotation_slots_disjoint_and_sql_backed():
         assert REGISTRY[n].sql is not None, f"rows-only in rotation: {n}"
 
 
+def test_r9_rotation_entries_never_driver_checked_before():
+    seen = _driver_union(8)
+    already = [n for n in _ROTATION_R9 if n in seen]
+    assert not already, f"r9 rotation slots wasted on already-checked: {already}"
+
+
+def test_r9_rotation_slots_disjoint_and_sql_backed():
+    assert len(set(_ROTATION_R9)) == 40
+    prior = (
+        set(_WINDOW_CORE) | set(_CORE_VACATED_R8) | set(_ROTATION_R4)
+        | set(_ROTATION_R5) | set(_ROTATION_R6) | set(_ROTATION_R7)
+        | set(_ROTATION_R8)
+    )
+    assert not set(_ROTATION_R9) & prior
+    for n in _ROTATION_R9:
+        assert REGISTRY[n].sql is not None, f"rows-only in rotation: {n}"
+
+
 def test_core_shrink_preserves_union_growth():
-    """The r8 window converts exactly 40 never-checked queries: the
-    driver union must grow from 134 (r1–r7) to ≥ 174 once r8 records."""
-    seen = _driver_union(7)
-    assert len(seen) == 134, f"r1-r7 union drifted: {len(seen)}"
-    assert len(seen | set(_ROTATION_R8)) >= 174
+    """The r8 window converted exactly 40 never-checked queries (union
+    134 → 174); the r9 rotation must keep growing it to ≥ 214."""
+    seen7 = _driver_union(7)
+    assert len(seen7) == 134, f"r1-r7 union drifted: {len(seen7)}"
+    assert len(seen7 | set(_ROTATION_R8)) >= 174
+    seen8 = _driver_union(8)
+    assert len(seen8) == 174, f"r1-r8 union drifted: {len(seen8)}"
+    assert len(seen8 | set(_ROTATION_R9)) >= 214
 
 
 def test_vacated_slots_all_have_prior_driver_green_rows():
@@ -133,7 +159,7 @@ def test_vacated_slots_all_have_prior_driver_green_rows():
     some past round's record — not just a row by name (r6 ADVICE fix of
     the prior tautological form).  Includes the 21 core slots vacated by
     the round-8 core shrink."""
-    green = _driver_green_union(7)
+    green = _driver_green_union(8)
     window = set(list(REGISTRY)[:50])
     prior_windows = (
         set(_WINDOW_CORE)
@@ -142,6 +168,7 @@ def test_vacated_slots_all_have_prior_driver_green_rows():
         | set(_ROTATION_R5)
         | set(_ROTATION_R6)
         | set(_ROTATION_R7)
+        | set(_ROTATION_R8)
     )
     # 4 early-window rows-only slots (r1/r2 insertion-order windows)
     # were never green by design and were rotated out in r3; they are
@@ -161,7 +188,7 @@ def test_every_correctness_record_window_was_green():
     """Every recorded driver window row in r3+ must be green — a red row
     in any shipped CORRECTNESS record would mean a round regressed and
     the rotation carried on anyway."""
-    for r in range(3, 8):
+    for r in range(3, 9):
         p = REPO / f"CORRECTNESS_r{r:02d}.json"
         if not p.exists():
             continue

@@ -25,6 +25,7 @@ skips them when queries touch only metadata.
 
 from __future__ import annotations
 
+import functools
 from typing import Iterator
 
 import numpy as np
@@ -1216,16 +1217,16 @@ _JPEG_QT_CHR = np.array([
 
 # Annex K.3.3 example Huffman tables: (BITS[1..16], HUFFVAL)
 _JPEG_HT_DC_LUM = (
-    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
-    list(range(12)),
+    (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+    tuple(range(12)),
 )
 _JPEG_HT_DC_CHR = (
-    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
-    list(range(12)),
+    (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+    tuple(range(12)),
 )
 _JPEG_HT_AC_LUM = (
-    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
-    [
+    (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D),
+    (
         0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
         0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
         0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
@@ -1241,11 +1242,11 @@ _JPEG_HT_AC_LUM = (
         0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
         0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
         0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
-    ],
+    ),
 )
 _JPEG_HT_AC_CHR = (
-    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
-    [
+    (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77),
+    (
         0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
         0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
         0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
@@ -1261,7 +1262,7 @@ _JPEG_HT_AC_CHR = (
         0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
         0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
         0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
-    ],
+    ),
 )
 
 
@@ -1276,8 +1277,11 @@ def _jpeg_dct_matrix() -> np.ndarray:
     return c
 
 
-def _huff_codes(bits: list, vals: list) -> dict:
-    """Canonical Huffman (spec C.2): symbol → (code, length)."""
+@functools.lru_cache(maxsize=64)
+def _huff_codes(bits: tuple, vals: tuple) -> dict:
+    """Canonical Huffman (spec C.2): symbol → (code, length).  lru-cached
+    (the Annex-K tables are fixed tuples) so the four encoder tables
+    build once per executor, not once per payload."""
     out, code, i = {}, 0, 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
@@ -1288,9 +1292,26 @@ def _huff_codes(bits: list, vals: list) -> dict:
     return out
 
 
-def _huff_decoder(bits: list, vals: list) -> dict:
-    """(length, code) → symbol, for incremental bit-by-bit decode."""
-    return {(ln, c): s for s, (c, ln) in _huff_codes(bits, vals).items()}
+@functools.lru_cache(maxsize=64)
+def _huff_lut(bits: tuple, vals: tuple) -> tuple[list, list]:
+    """16-bit-peek Huffman LUT (VERDICT r8 "Next round" #3): LUT[next 16
+    bits] → (symbol, code length), ln == 0 marking an invalid prefix.
+    One table lookup replaces up to 16 per-bit dict probes; lru-cached on
+    the DHT payload so the four Annex-K tables build once per executor,
+    not once per JPEG payload.  Python lists: scalar list indexing beats
+    ndarray scalar indexing in the per-symbol loop."""
+    sym = np.zeros(1 << 16, dtype=np.int32)
+    lnt = np.zeros(1 << 16, dtype=np.int32)
+    code, i = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            lo = code << (16 - ln)
+            sym[lo : lo + (1 << (16 - ln))] = vals[i]
+            lnt[lo : lo + (1 << (16 - ln))] = ln
+            code += 1
+            i += 1
+        code <<= 1
+    return sym.tolist(), lnt.tolist()
 
 
 class _BitWriter:
@@ -1350,14 +1371,29 @@ def encode_jpeg(img: np.ndarray) -> bytes:
             return plane
         return np.pad(plane, ((0, hp - h), (0, wp - w)), mode="edge")
 
-    comps = [
-        (_padded(yy), _JPEG_QT_LUM),
-        (_padded(cb), _JPEG_QT_CHR),
-        (_padded(cr), _JPEG_QT_CHR),
-    ]
     C = _jpeg_dct_matrix()
     dc_lum, ac_lum = _huff_codes(*_JPEG_HT_DC_LUM), _huff_codes(*_JPEG_HT_AC_LUM)
     dc_chr, ac_chr = _huff_codes(*_JPEG_HT_DC_CHR), _huff_codes(*_JPEG_HT_AC_CHR)
+
+    n_by, n_bx = hp // 8, wp // 8
+    nb = n_by * n_bx * 3
+    # Batched forward DCT + quantize + zigzag (VERDICT r8 "Next round"
+    # #3): every 8×8 block of every component in one broadcast matmul,
+    # ci-fastest within (by, bx) — the interleaved 4:4:4 MCU order.
+    planes = np.stack([_padded(yy), _padded(cb), _padded(cr)])  # (3,hp,wp)
+    blocks = (
+        planes.reshape(3, n_by, 8, n_bx, 8)
+        .transpose(1, 3, 0, 2, 4)  # (n_by, n_bx, ci, 8, 8)
+        .reshape(nb, 8, 8)
+    ) - 128.0
+    qstack = np.stack([
+        _JPEG_QT_LUM.astype(np.float64),
+        _JPEG_QT_CHR.astype(np.float64),
+        _JPEG_QT_CHR.astype(np.float64),
+    ])  # (3,8,8), cycled ci-fastest
+    qfull = np.tile(qstack, (n_by * n_bx, 1, 1))
+    coef = np.round((C @ blocks @ C.T) / qfull).astype(np.int64)
+    zzall = coef.reshape(nb, 64)[:, _JPEG_ZIGZAG].tolist()
 
     def mag_bits(v: int):
         if v == 0:
@@ -1367,38 +1403,32 @@ def encode_jpeg(img: np.ndarray) -> bytes:
 
     bw = _BitWriter()
     prev_dc = [0, 0, 0]
-    n_by, n_bx = hp // 8, wp // 8
-    # interleaved MCU order: at 4:4:4 one MCU = one 8×8 block per component
-    for by in range(n_by):
-        for bx in range(n_bx):
-            for ci, (pad, qt) in enumerate(comps):
-                blk = pad[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - 128.0
-                coef = np.round((C @ blk @ C.T) / qt).astype(np.int64)
-                zz = coef.reshape(-1)[_JPEG_ZIGZAG]
-                dct, act = (dc_lum, ac_lum) if ci == 0 else (dc_chr, ac_chr)
-                size, mbits = mag_bits(int(zz[0]) - prev_dc[ci])
-                prev_dc[ci] = int(zz[0])
-                code, ln = dct[size]
+    for bi, zz in enumerate(zzall):
+        ci = bi % 3
+        dct, act = (dc_lum, ac_lum) if ci == 0 else (dc_chr, ac_chr)
+        size, mbits = mag_bits(zz[0] - prev_dc[ci])
+        prev_dc[ci] = zz[0]
+        code, ln = dct[size]
+        bw.write(code, ln)
+        if size:
+            bw.write(mbits, size)
+        run = 0
+        for v in zz[1:]:
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = act[0xF0]  # ZRL
                 bw.write(code, ln)
-                if size:
-                    bw.write(mbits, size)
-                run = 0
-                for v in zz[1:]:
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = act[0xF0]  # ZRL
-                        bw.write(code, ln)
-                        run -= 16
-                    size, mbits = mag_bits(int(v))
-                    code, ln = act[(run << 4) | size]
-                    bw.write(code, ln)
-                    bw.write(mbits, size)
-                    run = 0
-                if run:
-                    code, ln = act[0x00]  # EOB
-                    bw.write(code, ln)
+                run -= 16
+            size, mbits = mag_bits(v)
+            code, ln = act[(run << 4) | size]
+            bw.write(code, ln)
+            bw.write(mbits, size)
+            run = 0
+        if run:
+            code, ln = act[0x00]  # EOB
+            bw.write(code, ln)
     entropy = bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -1421,44 +1451,6 @@ def encode_jpeg(img: np.ndarray) -> bytes:
             + dht(0, 0, _JPEG_HT_DC_LUM) + dht(1, 0, _JPEG_HT_AC_LUM)
             + dht(0, 1, _JPEG_HT_DC_CHR) + dht(1, 1, _JPEG_HT_AC_CHR)
             + sof + sos + entropy + b"\xff\xd9")
-
-
-class _BitReader:
-    """Entropy-segment bit reader with 0xFF00 unstuffing (spec F.2.2.5)."""
-
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("JPEG entropy stream truncated")
-            byte = self.data[self.pos]
-            self.pos += 1
-            if byte == 0xFF:
-                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
-                    raise ValueError("unexpected marker in JPEG entropy data")
-                self.pos += 1  # skip stuffed 0x00
-            self.acc = byte
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
-
-
-def _extend(v: int, size: int) -> int:
-    """Spec F.2.2.1 EXTEND: low-order magnitude bits → signed value."""
-    if size == 0:
-        return 0
-    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
@@ -1505,10 +1497,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             bpos = 0
             while bpos < len(body):
                 cls, tid = body[bpos] >> 4, body[bpos] & 0xF
-                bits = list(body[bpos + 1 : bpos + 17])
+                bits = tuple(body[bpos + 1 : bpos + 17])
                 nv = sum(bits)
-                vals = list(body[bpos + 17 : bpos + 17 + nv])
-                hts[(cls, tid)] = _huff_decoder(bits, vals)
+                vals = tuple(body[bpos + 17 : bpos + 17 + nv])
+                hts[(cls, tid)] = _huff_lut(bits, vals)
                 bpos += 17 + nv
         elif marker == 0xFFC0:
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
@@ -1540,50 +1532,143 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError("single interleaved 3-component scan required")
 
     C = _jpeg_dct_matrix()
-    br = _BitReader(entropy)
 
-    def read_symbol(table: dict) -> int:
-        code, ln = 0, 0
-        while ln < 16:
-            code = (code << 1) | br.read_bit()
-            ln += 1
-            sym = table.get((ln, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid JPEG Huffman code")
+    # --- vectorized entropy unstuff (spec F.2.2.5): drop each 0x00 that
+    # follows a 0xFF; any 0xFF followed by anything else is a marker the
+    # baseline-4:4:4 scope refuses (RST intervals already rejected above).
+    earr = np.frombuffer(entropy, dtype=np.uint8)
+    ffpos = np.nonzero(earr == 0xFF)[0]
+    if len(ffpos) and (
+        ffpos[-1] + 1 >= len(earr) or np.any(earr[ffpos + 1] != 0)
+    ):
+        raise ValueError("unexpected marker in JPEG entropy data")
+    if len(ffpos):
+        keep = np.ones(len(earr), dtype=bool)
+        keep[ffpos + 1] = False
+        earr = earr[keep]
+    data = earr.tobytes()
+    total_bits = 8 * len(data)
 
+    # --- LUT Huffman decode (VERDICT r8 "Next round" #3): a 16-bit peek
+    # into the cached table replaces the per-bit dict walk; coefficients
+    # scatter into one (n_blocks, 64) array so dezigzag + dequantize +
+    # IDCT run as three whole-image numpy ops instead of per-block.
     n_by, n_bx = (h + 7) // 8, (w + 7) // 8
-    planes = [np.zeros((n_by * 8, n_bx * 8)) for _ in range(3)]
+    nb = n_by * n_bx * 3
+    rows: list[int] = []
+    cols: list[int] = []
+    cvals: list[int] = []
     prev_dc = [0, 0, 0]
+    tables = [
+        (hts[(0, dc_id)], hts[(1, ac_id)]) for _, dc_id, ac_id in scan_comps
+    ]
+    acc = 0  # bit accumulator (top `nbits` bits are unread stream bits)
+    nbits = 0
+    bpos = 0  # next byte offset into `data`
+    consumed = 0  # total real bits consumed — truncation guard
+    nbytes = len(data)
+    for bi in range(nb):
+        ci = bi % 3
+        dc_t, ac_t = tables[ci]
+        dc_sym, dc_len = dc_t
+        ac_sym, ac_len = ac_t
+        # DC coefficient
+        while nbits < 16:
+            if bpos < nbytes:
+                acc = (acc << 8) | data[bpos]
+                bpos += 1
+            else:
+                acc <<= 8  # zero pad for peek only; `consumed` guards
+            nbits += 8
+        p = (acc >> (nbits - 16)) & 0xFFFF
+        ln = dc_len[p]
+        if ln == 0:
+            raise ValueError("invalid JPEG Huffman code")
+        size = dc_sym[p]
+        nbits -= ln
+        consumed += ln + size
+        if consumed > total_bits:
+            raise ValueError("JPEG entropy stream truncated")
+        if size:
+            while nbits < size:
+                if bpos < nbytes:
+                    acc = (acc << 8) | data[bpos]
+                    bpos += 1
+                else:
+                    acc <<= 8
+                nbits += 8
+            v = (acc >> (nbits - size)) & ((1 << size) - 1)
+            nbits -= size
+            prev_dc[ci] += v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+        rows.append(bi)
+        cols.append(0)
+        cvals.append(prev_dc[ci])
+        acc &= (1 << nbits) - 1
+        # AC coefficients
+        k = 1
+        while k < 64:
+            while nbits < 16:
+                if bpos < nbytes:
+                    acc = (acc << 8) | data[bpos]
+                    bpos += 1
+                else:
+                    acc <<= 8
+                nbits += 8
+            p = (acc >> (nbits - 16)) & 0xFFFF
+            ln = ac_len[p]
+            if ln == 0:
+                raise ValueError("invalid JPEG Huffman code")
+            rs = ac_sym[p]
+            nbits -= ln
+            acc &= (1 << nbits) - 1
+            consumed += ln
+            if consumed > total_bits:
+                raise ValueError("JPEG entropy stream truncated")
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, size = rs >> 4, rs & 0xF
+            k += run
+            if k > 63:
+                raise ValueError("JPEG AC run overflows block")
+            while nbits < size:
+                if bpos < nbytes:
+                    acc = (acc << 8) | data[bpos]
+                    bpos += 1
+                else:
+                    acc <<= 8
+                nbits += 8
+            v = (acc >> (nbits - size)) & ((1 << size) - 1)
+            nbits -= size
+            consumed += size
+            if consumed > total_bits:
+                raise ValueError("JPEG entropy stream truncated")
+            rows.append(bi)
+            cols.append(k)
+            cvals.append(
+                v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+            )
+            k += 1
+        acc &= (1 << nbits) - 1
+
+    # --- batched dezigzag + dequantize + IDCT (one einsum-shaped matmul
+    # over every block of the image at once, replacing per-block 8×8)
+    zz = np.zeros((nb, 64), dtype=np.float64)
+    zz[rows, cols] = cvals
+    full = np.zeros((nb, 64), dtype=np.float64)
+    full[:, _JPEG_ZIGZAG] = zz
     qt_of = {cid: tq for cid, tq in comps}
-    for by in range(n_by):
-        for bx in range(n_bx):
-            for ci, (cid, dc_id, ac_id) in enumerate(scan_comps):
-                zz = np.zeros(64, dtype=np.int64)
-                size = read_symbol(hts[(0, dc_id)])
-                prev_dc[ci] += _extend(br.read_bits(size), size)
-                zz[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    rs = read_symbol(hts[(1, ac_id)])
-                    run, size = rs >> 4, rs & 0xF
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("JPEG AC run overflows block")
-                    zz[k] = _extend(br.read_bits(size), size)
-                    k += 1
-                coef = np.zeros(64, dtype=np.float64)
-                coef[_JPEG_ZIGZAG] = zz
-                blk = coef.reshape(8, 8) * qts[qt_of[cid]]
-                planes[ci][by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
-                    C.T @ blk @ C + 128.0
-                )
-    yy, cb, cr = (p[:h, :w] for p in planes)
+    qstack = np.stack(
+        [qts[qt_of[cid]].reshape(64).astype(np.float64)
+         for cid, _, _ in scan_comps]
+    )  # (3, 64), cycled ci-fastest over blocks
+    full *= np.tile(qstack, (n_by * n_bx, 1))
+    blocks = C.T @ full.reshape(nb, 8, 8) @ C + 128.0
+    grid = blocks.reshape(n_by, n_bx, 3, 8, 8)
+    planes = grid.transpose(2, 0, 3, 1, 4).reshape(3, n_by * 8, n_bx * 8)
+    yy, cb, cr = (planes[i, :h, :w] for i in range(3))
     r = yy + 1.402 * (cr - 128.0)
     g = yy - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = yy + 1.772 * (cb - 128.0)
@@ -1607,7 +1692,14 @@ def documents_as_jpegs(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    # Fan the CPU-bound codec stage out to every core: documents.parquet
+    # is one file → one scan partition, which would serialize the whole
+    # encode+decode chain onto a single task (the r8 bench's 9.8 s codec
+    # line was mostly this).  The shuffle moves only (doc_id) longs; the
+    # downstream mapInPandas stages inherit the fan-out.
+    ids = docs.select("doc_id")
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return ids.repartition(par).mapInPandas(
         run, schema="media_id long, payload binary"
     )
 

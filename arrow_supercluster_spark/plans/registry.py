@@ -466,6 +466,7 @@ def _load_extended_registries():
         registry_ext224,
         registry_ext225,
         registry_ext226,
+        registry_ext227,
     )
 
 

@@ -57,7 +57,8 @@ _GEMM_BLOCK = 4096  # row-block inside a cell: caps GEMM memory at m×block
 
 
 def lof_ivf_n_lists(n: int) -> int:
-    """Classic IVF-flat sizing: n_lists = ⌈√n⌉ (floored at 16).  The r8
+    """Classic IVF-flat sizing: n_lists = ⌈√n⌉ (floored at 16 — the LOF
+    multiprobe path needs enough cells for nprobe=5 to prune).  The r8
     16× sweep caught the earlier n/64 rule as quadratic-in-n at the FIT
     (k-means cost = sample_rows × n_lists × iters, and sample_rows also
     grew with n_lists — k=500 ground a single core for 10+ minutes at
@@ -65,8 +66,12 @@ def lof_ivf_n_lists(n: int) -> int:
     assignment is n×√n GEMM flops, per-point candidates are
     nprobe²·√n, and total candidate work is n^1.5 — the standard
     IVF-flat curve; beyond that scale the production answer is a
-    hierarchical (2-level) coarse quantizer, same algebra."""
-    return max(16, math.isqrt(max(n, 1) - 1) + 1)
+    hierarchical (2-level) coarse quantizer, same algebra.  Delegates to
+    the ONE shared sizing rule (similarity.ivf_n_lists — VERDICT r8
+    "Next round" #5); only the floor is path-specific."""
+    from arrow_supercluster_spark.operators.similarity import ivf_n_lists
+
+    return ivf_n_lists(n, floor=16)
 
 
 def ivf_multiprobe_assign(

@@ -81,13 +81,16 @@ def q_ann_ivf(spark, sf_dir):
     """E3 scale path — IVF: k-means coarse quantizer (pyspark.ml, fixed
     seed), queries probe nprobe nearest lists, exact cosine within probed
     lists only. Rows-only (iterative algorithm — SURVEY's non-SQL class);
-    recall vs brute force asserted in tests/test_similarity.py."""
+    recall vs brute force asserted in tests/test_similarity.py.  Sized by
+    the shared √n rule (similarity.ivf_n_lists, VERDICT r8 "Next round"
+    #5) — no pinned list count, so the entry keeps the n^1.5 IVF-flat
+    curve at any corpus size."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
     corpus = emb.filter(F.col("vec_id") >= 10)
-    return similarity.ivf_topk(corpus, queries, k=5, n_lists=8, nprobe=3)
+    return similarity.ivf_topk(corpus, queries, k=5)
 
 
 # ===========================================================================

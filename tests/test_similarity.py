@@ -157,3 +157,34 @@ def test_ivf_fit_sample_is_bounded(spark, sf_dir):
     assert samp.count() <= 4 * per_list
     small = similarity.ivf_fit_sample(emb.limit(50), n_lists=4, seed=1)
     assert small.count() == 50
+
+
+def test_ivf_sizing_rule_is_shared():
+    """ONE √n sizing rule across every IVF path (VERDICT r8 "Next round"
+    #5): ivf_n_lists is the law, the LOF path only adds its floor."""
+    from arrow_supercluster_spark.plans.registry_ext213 import lof_ivf_n_lists
+
+    assert similarity.ivf_n_lists(1) == 1
+    assert similarity.ivf_n_lists(16) == 4
+    assert similarity.ivf_n_lists(17) == 5
+    assert similarity.ivf_n_lists(2000) == 45
+    assert similarity.ivf_n_lists(1_000_000) == 1000
+    for n in (1, 50, 500, 2000, 10**6):
+        assert lof_ivf_n_lists(n) == max(16, similarity.ivf_n_lists(n))
+    # sub-quadratic by construction: doubling n grows lists by ≤ √2-ish
+    assert similarity.ivf_n_lists(4_000_000) <= 2 * similarity.ivf_n_lists(1_000_000)
+
+
+def test_ivf_topk_default_sizing_recall(spark, sf_dir):
+    """ivf_topk with NO pinned n_lists/nprobe (the q_ann_ivf shape after
+    the r8 #5 unification) must still hit the recall floor."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    exact = _sets(similarity.cosine_topk(corpus, queries, k=5))
+    approx = _sets(similarity.ivf_topk(corpus, queries, k=5))
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.5, f"default-sized IVF recall {hits}/{total}"

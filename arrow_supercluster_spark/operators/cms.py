@@ -8,10 +8,14 @@ carries at most d*w counter rows per partition (map-side combined),
 never the stream. Probing joins the d probe positions of each query
 key against the sketch (broadcast — the sketch is d*w rows by
 construction) and takes the min over depths. Estimates are
-deterministic given the hash family (xxhash64 salted by depth), but
-the hash family is engine-specific, so the registry entry is
-rows-only; tests/test_batch14.py asserts the CMS sandwich guarantee
-(est >= true count, est <= true + eps*N) against exact counts instead.
+deterministic given the hash family.  The default family is xxhash64
+salted by depth (JVM-native — the production path); callers may pass
+`bucket_of(key_col, depth_col) -> bucket Column` to swap in a portable
+family (the registry entry uses the repo's polynomial hash so the WHOLE
+sketch algebra is oracle-checkable — round 9, VERDICT r8 rows-only
+reduction).  tests/test_batch14.py asserts the CMS sandwich guarantee
+(est >= true count, est <= true + eps*N) against exact counts, which is
+hash-family-agnostic.
 """
 
 from __future__ import annotations
@@ -19,16 +23,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def cms_build(df: DataFrame, col: str, width: int = 2048, depth: int = 4) -> DataFrame:
+def _default_bucket(width: int):
+    def bucket_of(k, d):
+        return F.pmod(F.xxhash64(k, d), F.lit(width))
+
+    return bucket_of
+
+
+def cms_build(
+    df: DataFrame, col: str, width: int = 2048, depth: int = 4,
+    bucket_of=None,
+) -> DataFrame:
     """(d, bucket, c) — counter table of the count-min sketch over
     df[col] occurrences. At most depth*width rows."""
+    bucket_of = bucket_of or _default_bucket(width)
     probes = df.select(
         F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d"),
         F.col(col).alias("k"),
     )
     return (
         probes.select(
-            "d", F.pmod(F.xxhash64("k", "d"), F.lit(width)).alias("bucket")
+            "d", bucket_of(F.col("k"), F.col("d")).alias("bucket")
         )
         .groupBy("d", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -36,16 +51,18 @@ def cms_build(df: DataFrame, col: str, width: int = 2048, depth: int = 4) -> Dat
 
 
 def cms_estimate(
-    cms: DataFrame, keys: DataFrame, col: str, width: int = 2048, depth: int = 4
+    cms: DataFrame, keys: DataFrame, col: str, width: int = 2048, depth: int = 4,
+    bucket_of=None,
 ) -> DataFrame:
     """(key, est) — point-frequency estimate for each row of keys[col]:
     min over depths of the counter at the key's bucket. Missing buckets
     count as 0 (the key was never seen at that depth)."""
+    bucket_of = bucket_of or _default_bucket(width)
     probes = keys.select(F.col(col).alias("k")).withColumn(
         "d", F.explode(F.array(*[F.lit(i) for i in range(depth)]))
     )
     probes = probes.withColumn(
-        "bucket", F.pmod(F.xxhash64("k", "d"), F.lit(width))
+        "bucket", bucket_of(F.col("k"), F.col("d"))
     )
     joined = probes.join(F.broadcast(cms), ["d", "bucket"], "left").select(
         "k", F.coalesce(F.col("c"), F.lit(0)).alias("c")

@@ -80,19 +80,99 @@ _CMS_D = 4
 _CMS_TOPK = 20
 
 
-@register("q_cms_heavy_hitters", None)
+# Portable CMS hash family (round 9 — VERDICT r8 rows-only reduction):
+# bucket(tok, d) = ((A[d]·poly(tok) + B[d]) mod P) mod W over the repo's
+# portable polynomial string hash (registry_ext43's fold — identical
+# char-fold order in both engines), replacing xxhash64 for THIS entry so
+# the whole sketch algebra is oracle-checkable.  The CMS sandwich
+# guarantee is hash-family-agnostic (any pairwise-ish family works);
+# production callers keep the JVM-native xxhash64 default in cms.py.
+_CMS_P = 2147483647
+_CMS_A = [2 * i * 48271 + 1 for i in range(1, 17)]
+_CMS_B = [i * 69621 + 30103 for i in range(1, 17)]
+
+_SQL_CMS_POLY = (
+    "list_reduce(list_transform(string_split({s}, ''), "
+    "c -> CAST(ord(c) AS BIGINT)), (a, b) -> (a * 31 + b) % 2147483647)"
+)
+
+
+def _cms_portable_bucket(k, d):
+    from arrow_supercluster_spark.plans.registry_ext43 import (
+        _spark_poly_hashes,
+    )
+
+    hv = F.element_at(_spark_poly_hashes(F.array(k)), 1)
+    a = F.element_at(F.array(*[F.lit(x) for x in _CMS_A]), d + 1)
+    b = F.element_at(F.array(*[F.lit(x) for x in _CMS_B]), d + 1)
+    return ((a * hv + b) % _CMS_P) % _CMS_W
+
+
+def _sql_cms_bucket(hv: str, d: str) -> str:
+    a_lit = "[" + ", ".join(str(x) for x in _CMS_A) + "]"
+    b_lit = "[" + ", ".join(str(x) for x in _CMS_B) + "]"
+    return (
+        f"((({a_lit}[{d} + 1]) * {hv} + ({b_lit}[{d} + 1]))"
+        f" % {_CMS_P}) % {_CMS_W}"
+    )
+
+
+def _sql_cms_heavy_hitters() -> str:
+    from arrow_supercluster_spark.plans.registry_ext import SQL_TOKS
+
+    poly = _SQL_CMS_POLY.format(s="tok")
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT tok FROM (SELECT unnest({SQL_TOKS}) AS tok FROM documents)
+      WHERE tok != ''
+    ),
+    h AS MATERIALIZED (SELECT tok, {poly} AS hv FROM toks),
+    probes AS MATERIALIZED (
+      SELECT hv, d FROM h, (SELECT UNNEST(range(0, {_CMS_D})) AS d) ds
+    ),
+    counters AS MATERIALIZED (
+      SELECT d, {_sql_cms_bucket('hv', 'd')} AS bucket,
+             COUNT(*) AS c
+      FROM probes GROUP BY 1, 2
+    ),
+    top AS MATERIALIZED (
+      SELECT tok, MIN(hv) AS hv, COUNT(*) AS n
+      FROM h GROUP BY tok
+      ORDER BY n DESC, tok LIMIT {_CMS_TOPK}
+    ),
+    tprobe AS MATERIALIZED (
+      SELECT top.tok, ds.d, {_sql_cms_bucket('top.hv', 'ds.d')} AS bucket
+      FROM top, (SELECT UNNEST(range(0, {_CMS_D})) AS d) ds
+    )
+    SELECT tprobe.tok, CAST(MIN(counters.c) AS BIGINT) AS est
+    FROM tprobe JOIN counters USING (d, bucket)
+    GROUP BY tprobe.tok
+    ORDER BY tprobe.tok
+    """
+
+
+@register("q_cms_heavy_hitters", _sql_cms_heavy_hitters())
 def q_cms_heavy_hitters(spark, sf_dir):
     """Sketch family (with HLL) — count-min frequency estimates for the
     corpus's top-{k} tokens: fixed-size mergeable counter table, probe
-    by broadcast join. Rows-only (the hash family is engine-specific);
-    tests/test_batch14.py asserts the CMS guarantee — est >= true and
-    est <= true + 2N/w — against exact counts, and merge_sketches ==
-    whole-stream sketch."""
+    by broadcast join.  SQL-backed since round 9: the entry's hash
+    family is the portable polynomial fold (bucket = (A[d]·h + B[d])
+    mod P mod W), so counters, probes, and the min-over-depths estimate
+    replay exactly in the oracle — rows-only residue killed per VERDICT
+    r8 "Next round" #4's ≤51 target.  tests/test_batch14.py asserts the
+    CMS guarantee — est >= true and est <= true + 2N/w — against exact
+    counts, and merge_sketches == whole-stream sketch (hash-agnostic,
+    unchanged)."""
     from arrow_supercluster_spark.operators.dedup import tokenize
 
     docs = _docs(spark, sf_dir)
-    toks = docs.select(F.explode(tokenize(F.col("text"))).alias("tok"))
-    sketch = cms.cms_build(toks, "tok", width=_CMS_W, depth=_CMS_D)
+    toks = docs.select(
+        F.explode(tokenize(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    sketch = cms.cms_build(
+        toks, "tok", width=_CMS_W, depth=_CMS_D,
+        bucket_of=_cms_portable_bucket,
+    )
     top = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -100,7 +180,8 @@ def q_cms_heavy_hitters(spark, sf_dir):
         .limit(_CMS_TOPK)
     )
     est = cms.cms_estimate(
-        sketch, top.select("tok"), "tok", width=_CMS_W, depth=_CMS_D
+        sketch, top.select("tok"), "tok", width=_CMS_W, depth=_CMS_D,
+        bucket_of=_cms_portable_bucket,
     )
     return est.select(F.col("k").alias("tok"), "est").orderBy("tok")
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 import tempfile
 import uuid
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from arrow_supercluster_spark.config import DEFAULT_OPTIONS as OPTS
@@ -123,3 +124,275 @@ def q_layer_memo(spark, sf_dir):
         F.round("lng", 5).alias("lng"),
         F.round("lat", 5).alias("lat"),
     )
+
+
+# ===========================================================================
+# R619 completion — q_lof_ivf_pinned: the IVF-LOF path under the oracle
+# ===========================================================================
+
+_PLOF_K = 5           # same k as the exact kernel (_LOF_K)
+_PLOF_NPROBE = 5      # same probe budget as the production path
+_PLOF_INV_SCALE = 10 ** 15
+
+# Integer µ-scaled embeddings: p_i = round(1e6 · float64(emb_i)).  Every
+# arithmetic step downstream (init selection, Lloyd means, assignment
+# distances, pair distances) is EXACT int64 in both engines — the pinned
+# quantizer has zero float-association risk, unlike learned k-means.
+_PLOF_SQL = f"""
+    WITH pts AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(range(1, 65), i ->
+               CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT)
+             ) AS p
+      FROM embeddings
+    ),
+    nn AS MATERIALIZED (
+      SELECT COUNT(*) AS n,
+             CAST(FLOOR(SQRT(COUNT(*) - 1)) AS BIGINT) + 1 AS L
+      FROM pts
+    ),
+    ranked AS MATERIALIZED (
+      SELECT vec_id, p,
+             ROW_NUMBER() OVER (ORDER BY p[1], vec_id) - 1 AS r
+      FROM pts
+    ),
+    -- init seeds: rank r -> group j = (r*L)//n partitions the n ranks
+    -- into L contiguous groups (surjective for n >= L); the FIRST rank
+    -- of each group is its seed — 1-D stratified, deterministic, and
+    -- exactly L seeds (bijectivity unit-tested in test_batch227)
+    init AS MATERIALIZED (
+      SELECT (r * L) // n AS list_id, p AS c
+      FROM ranked, nn
+      WHERE r = 0 OR (r * L) // n != ((r - 1) * L) // n
+    ),
+    -- Lloyd step 1 of 2: nearest init seed, then exact-integer means
+    assign0 AS MATERIALIZED (
+      SELECT vec_id, p, list_id FROM (
+        SELECT pts.vec_id, pts.p, init.list_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY pts.vec_id
+                 ORDER BY CAST(list_sum(list_transform(range(1, 65), i ->
+                   (pts.p[i] - init.c[i]) * (pts.p[i] - init.c[i])
+                 )) AS BIGINT), init.list_id
+               ) AS rk
+        FROM pts CROSS JOIN init
+      ) WHERE rk = 1
+    ),
+    centl AS MATERIALIZED (
+      SELECT assign0.list_id, dims.i,
+             CAST(round(CAST(SUM(assign0.p[dims.i]) AS DOUBLE)
+                        / COUNT(*)) AS BIGINT) AS c
+      FROM assign0, (SELECT UNNEST(range(1, 65)) AS i) dims
+      GROUP BY assign0.list_id, dims.i
+    ),
+    cent AS MATERIALIZED (
+      SELECT list_id, list(c ORDER BY i) AS c FROM centl GROUP BY list_id
+    ),
+    assign1 AS MATERIALIZED (
+      SELECT vec_id, p, list_id FROM (
+        SELECT pts.vec_id, pts.p, cent.list_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY pts.vec_id
+                 ORDER BY CAST(list_sum(list_transform(range(1, 65), i ->
+                   (pts.p[i] - cent.c[i]) * (pts.p[i] - cent.c[i])
+                 )) AS BIGINT), cent.list_id
+               ) AS rk
+        FROM pts CROSS JOIN cent
+      ) WHERE rk = 1
+    ),
+    centl2 AS MATERIALIZED (
+      SELECT assign1.list_id, dims.i,
+             CAST(round(CAST(SUM(assign1.p[dims.i]) AS DOUBLE)
+                        / COUNT(*)) AS BIGINT) AS c
+      FROM assign1, (SELECT UNNEST(range(1, 65)) AS i) dims
+      GROUP BY assign1.list_id, dims.i
+    ),
+    cent2 AS MATERIALIZED (
+      SELECT list_id, list(c ORDER BY i) AS c FROM centl2 GROUP BY list_id
+    ),
+    probes AS MATERIALIZED (
+      SELECT vec_id, list_id FROM (
+        SELECT pts.vec_id, cent2.list_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY pts.vec_id
+                 ORDER BY CAST(list_sum(list_transform(range(1, 65), i ->
+                   (pts.p[i] - cent2.c[i]) * (pts.p[i] - cent2.c[i])
+                 )) AS BIGINT), cent2.list_id
+               ) AS rk
+        FROM pts CROSS JOIN cent2
+      ) WHERE rk <= {_PLOF_NPROBE}
+    ),
+    pairs AS MATERIALIZED (
+      SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+      FROM probes a JOIN probes b USING (list_id)
+      WHERE a.vec_id <> b.vec_id
+    ),
+    scored AS MATERIALIZED (
+      SELECT pairs.src, pairs.dst,
+             CAST(list_sum(list_transform(range(1, 65), i ->
+               (pa.p[i] - pb.p[i]) * (pa.p[i] - pb.p[i])
+             )) AS BIGINT) AS d2i
+      FROM pairs
+      JOIN pts pa ON pa.vec_id = pairs.src
+      JOIN pts pb ON pb.vec_id = pairs.dst
+    ),
+    knn AS MATERIALIZED (
+      SELECT src, dst, d2i FROM (
+        SELECT src, dst, d2i,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY d2i, dst) AS rk
+        FROM scored
+      ) WHERE rk <= {_PLOF_K}
+    ),
+    kdist AS MATERIALIZED (SELECT src AS node, MAX(d2i) AS kd FROM knn GROUP BY src),
+    reach AS MATERIALIZED (
+      SELECT knn.src, knn.dst, GREATEST(knn.d2i, kdist.kd) AS r
+      FROM knn JOIN kdist ON knn.dst = kdist.node
+    ),
+    sumreach AS MATERIALIZED (SELECT src, SUM(r) AS sr FROM reach GROUP BY src),
+    inv AS MATERIALIZED (
+      SELECT src AS node,
+             CAST(round({_PLOF_INV_SCALE} * 1.0 / sr) AS BIGINT) AS invsr
+      FROM sumreach
+    ),
+    lof AS MATERIALIZED (
+      SELECT knn.src,
+             SUM(inv.invsr) * sumreach.sr * 1.0
+               / ({_PLOF_K} * {_PLOF_INV_SCALE} * 1.0) AS lof
+      FROM knn
+      JOIN inv ON knn.dst = inv.node
+      JOIN sumreach ON knn.src = sumreach.src
+      GROUP BY knn.src, sumreach.sr
+    )
+    SELECT src AS vec_id, round(lof, 6) AS lof
+    FROM lof
+    ORDER BY round(lof, 6) DESC, src
+    LIMIT 15
+"""
+
+
+@register("q_lof_ivf_pinned", _PLOF_SQL)
+def q_lof_ivf_pinned(spark, sf_dir):
+    """R619 sibling (VERDICT r8 "Next round" #4) — the IVF-LOF candidate
+    path under the driver's hash check.  The learned k-means quantizer of
+    q_lof_ivf is engine-specific, so this sibling PINS the quantizer to a
+    deterministic construction both engines express exactly:
+
+      * µ-scaled integer embeddings p = round(1e6·emb) — every distance,
+        mean, and rank downstream is exact int64, zero float-association
+        risk;
+      * init seeds = the ⌈√n⌉ rows at global ranks (j·n)//L in
+        (p[1], vec_id) order (1-D stratified, no randomness);
+      * TWO Lloyd steps: nearest-seed assignment, exact-integer per-dim
+        means (round(Σp/m)), repeated once (overlap with the exact
+        kernel's top-15: 12/15 at sf0.001, 14/15 at sf0.01);
+      * multi-probe nprobe=5 over the refined cells, co-probed pairs,
+        per-src top-5 by (d2i, dst), then the IDENTICAL lrd/LOF algebra
+        (lof_from_knn — shared import, not a copy).
+
+    Same plan shape as the production entry (broadcast centroid table,
+    per-cell candidate generation, global trim) at the same n^1.5 cost;
+    q_lof_ivf remains the production path (its learned cells give better
+    recall per probe).  SQL twin = the same algebra as materialized CTEs
+    (MATERIALIZED: DuckDB inlines CTEs referenced twice — the doubling
+    rule from the absorbing-Markov entry)."""
+    from arrow_supercluster_spark.functions.distrank import zip_scan
+    from arrow_supercluster_spark.plans.registry_ext import _emb
+    from arrow_supercluster_spark.plans.registry_ext123 import lof_from_knn
+
+    pts = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1e6).cast("long"),
+        ).alias("p"),
+    )
+    ranked, n, _ = zip_scan(
+        pts.withColumn("p1", F.col("p")[0]), ["p1", "vec_id"], out="r"
+    )
+    L = ivf_n_lists_shared(n)
+    # init seeds: rank r is a seed iff r == ((r*L)//n * n)//L; its cell id
+    # is (r*L)//n (bijective onto 0..L-1 for n ≥ L)
+    init = (
+        ranked.withColumn("jc", F.expr(f"r * {L} div {n}"))
+        .filter(
+            (F.col("r") == 0)
+            | (F.col("jc") != F.expr(f"(r - 1) * {L} div {n}"))
+        )
+        .select(F.col("jc").alias("list_id"), F.col("p").alias("c"))
+    )
+
+    def d2(pcol, ccol):
+        return F.aggregate(
+            F.zip_with(pcol, ccol, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    w_assign = Window.partitionBy("vec_id").orderBy("d2", "list_id")
+
+    def nearest(cells, rk_max):
+        return (
+            pts.crossJoin(F.broadcast(cells))
+            .withColumn("d2", d2(F.col("p"), F.col("c")))
+            .withColumn("rk", F.row_number().over(w_assign))
+            .filter(F.col("rk") <= rk_max)
+            .select("vec_id", "p", "list_id")
+        )
+
+    def means_of(assigned):
+        return (
+            assigned.select("list_id", F.posexplode("p").alias("i", "val"))
+            .groupBy("list_id", "i")
+            .agg(
+                F.round(F.sum("val").cast("double") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("cv")
+            )
+            .groupBy("list_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "cv"))),
+                    lambda s: s["cv"],
+                ).alias("c")
+            )
+        )
+
+    # two Lloyd steps (mirroring the twin's assign0/cent → assign1/cent2)
+    cent = means_of(nearest(init, 1))
+    cent2 = means_of(nearest(cent, 1))
+    probes = nearest(cent2, _PLOF_NPROBE).select("vec_id", "list_id")
+    pa = probes.select(F.col("vec_id").alias("src"), "list_id")
+    pb = probes.select(F.col("vec_id").alias("dst"), "list_id")
+    pairs = (
+        pa.join(pb, "list_id")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    scored = (
+        pairs.join(
+            pts.select(F.col("vec_id").alias("src"), F.col("p").alias("p_s")),
+            "src",
+        )
+        .join(
+            pts.select(F.col("vec_id").alias("dst"), F.col("p").alias("p_d")),
+            "dst",
+        )
+        .select("src", "dst", d2(F.col("p_s"), F.col("p_d")).alias("d2i"))
+    )
+    w_knn = Window.partitionBy("src").orderBy("d2i", "dst")
+    knn = (
+        scored.withColumn("rk", F.row_number().over(w_knn))
+        .filter(F.col("rk") <= _PLOF_K)
+        .select("src", "dst", "d2i")
+    )
+    lof = lof_from_knn(knn)
+    return lof.orderBy(F.col("lof").desc(), "vec_id").limit(15)
+
+
+def ivf_n_lists_shared(n: int) -> int:
+    """The shared √n rule (similarity.ivf_n_lists, floor 1) — local alias
+    so the module body above reads linearly."""
+    from arrow_supercluster_spark.operators.similarity import ivf_n_lists
+
+    return ivf_n_lists(n)

@@ -1,0 +1,77 @@
+"""Batch 227 replays — the round-9 driver-visibility additions:
+q_lof_ivf_pinned (the IVF-LOF algebra under the oracle via a pinned
+deterministic quantizer), the portable-hash CMS conversion, and the
+pinned quantizer's seed-selection arithmetic."""
+
+from pyspark.sql import functions as F
+
+from arrow_supercluster_spark.plans.registry import REGISTRY
+
+
+def test_lof_ivf_pinned_tracks_exact_kernel(spark, sf_dir):
+    """The pinned-quantizer IVF path must find (nearly) the same top-15
+    LOF outliers as the exact all-pairs kernel — same floor family as
+    the production path's test_batch208 check.  Measured (and exactly
+    reproducible — the pinned path is all-integer deterministic): 12/15
+    at sf0.001, 14/15 at sf0.01 with two Lloyd steps.  The PRIMARY
+    contract is the oracle hash differential (the SQL twin replays the
+    whole path); this floor guards against quantizer-quality drift."""
+    pinned = {
+        r.vec_id for r in REGISTRY["q_lof_ivf_pinned"].spark(spark, sf_dir).collect()
+    }
+    exact = {
+        r.vec_id for r in REGISTRY["q_lof_outliers"].spark(spark, sf_dir).collect()
+    }
+    assert len(pinned) == 15 and len(exact) == 15
+    assert len(pinned & exact) >= 12, f"overlap {len(pinned & exact)}/15"
+
+
+def test_pinned_seed_selection_is_bijective():
+    """The rank-arithmetic seed filter (r == 0 OR (r·L)//n != ((r−1)·L)//n,
+    cell id (r·L)//n) must select exactly L ranks — the first of each of
+    the L contiguous rank groups — for any n ≥ L.  This is the property
+    the SQL twin and the Spark plan both lean on instead of a
+    generate_series join (the earlier roundtrip form r == ((r·L)//n·n)//L
+    under-selected whenever n < L², which is ALWAYS under the √n rule)."""
+    import math
+
+    for n in (7, 50, 500, 1999, 2000, 4096):
+        L = max(1, math.isqrt(max(n, 1) - 1) + 1)
+        picked = {}
+        for r in range(n):
+            j = (r * L) // n
+            if r == 0 or j != ((r - 1) * L) // n:
+                assert j not in picked
+                picked[j] = r
+        assert sorted(picked) == list(range(L)), (n, L, sorted(picked))
+        # each seed is the smallest rank of its group
+        for j, r in picked.items():
+            assert (r * L) // n == j
+            assert r == 0 or ((r - 1) * L) // n == j - 1
+
+
+def test_cms_portable_entry_keeps_sandwich_guarantee(spark, sf_dir):
+    """The portable-hash CMS entry (SQL-backed since r9) must still honor
+    the count-min sandwich: est >= true count for every reported key (the
+    never-undercount side; the overcount side is bounded by construction
+    and asserted for the default family in test_batch14)."""
+    from arrow_supercluster_spark.operators.dedup import tokenize
+
+    est = {
+        r.tok: r.est
+        for r in REGISTRY["q_cms_heavy_hitters"].spark(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    true = {
+        r.tok: r.n
+        for r in (
+            docs.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+            .filter(F.col("tok") != "")
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }
+    assert est, "CMS entry returned no rows"
+    for tok, e in est.items():
+        assert e >= true[tok], (tok, e, true[tok])

@@ -45,7 +45,14 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "24"))
 REPLICAS = int(os.environ.get("SPARK_GRAFT_SWEEP_REPLICAS", "16"))
 TOP_N = int(os.environ.get("SPARK_GRAFT_SWEEP_TOP_N", "20"))
 TIMEOUT_S = int(os.environ.get("SPARK_GRAFT_SWEEP_TIMEOUT_S", "240"))
-BATCH_MODULES = [f"registry_ext{i}.py" for i in range(191, 214)]
+# Round 9 (VERDICT r8 "Next round" #6): the sweep window advances to the
+# batch-209..221 modules (ext214..226, R620-R657) plus the round-9
+# additions (ext227).  The batch-186..208 modules (ext191..213) carry
+# r8-measured rows in SCALING.md.  Override with
+# SPARK_GRAFT_SWEEP_MODULES="lo-hi" to re-run an older window.
+_MOD_RANGE = os.environ.get("SPARK_GRAFT_SWEEP_MODULES", "214-228")
+_MOD_LO, _MOD_HI = (int(x) for x in _MOD_RANGE.split("-"))
+BATCH_MODULES = [f"registry_ext{i}.py" for i in range(_MOD_LO, _MOD_HI)]
 
 # Exact kernels that are EVAL-ONLY BY CONTRACT (module docstrings of
 # registry_ext205/206: the q_silhouette class — production substitution

@@ -321,25 +321,53 @@ def q_lof_ivf_pinned(spark, sf_dir):
         .select(F.col("jc").alias("list_id"), F.col("p").alias("c"))
     )
 
-    def d2(pcol, ccol):
-        return F.aggregate(
-            F.zip_with(pcol, ccol, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
+    # Production plan shape (the r8 sweep lesson: crossJoin + Catalyst
+    # HOF folds are interpreted per element — n×L lambda evaluations
+    # ground the first draft at 60 s/1×): centroids collect driver-side
+    # (L = ⌈√n⌉ rows — bounded), broadcast as ONE int64 matrix, and both
+    # assignment and per-cell kNN are exact-int64 numpy GEMMs
+    # (|p|²+|c|²−2p·c over int64 — magnitudes ≤ ~2.4e15, no overflow, so
+    # the values still equal the SQL twin's Σ(p−c)² bit-for-bit).
+    import numpy as np
 
-    w_assign = Window.partitionBy("vec_id").orderBy("d2", "list_id")
+    sc = spark.sparkContext
 
-    def nearest(cells, rk_max):
-        return (
-            pts.crossJoin(F.broadcast(cells))
-            .withColumn("d2", d2(F.col("p"), F.col("c")))
-            .withColumn("rk", F.row_number().over(w_assign))
-            .filter(F.col("rk") <= rk_max)
-            .select("vec_id", "p", "list_id")
-        )
+    def centroid_bc(cells_df):
+        rows = cells_df.orderBy("list_id").collect()  # ≤ ⌈√n⌉ rows
+        ids = np.array([r["list_id"] for r in rows], dtype=np.int64)
+        C = np.array([list(r["c"]) for r in rows], dtype=np.int64)
+        return sc.broadcast((ids, C))
 
-    def means_of(assigned):
+    def nearest(bc, rk_max):
+        def run(batches):
+            import pandas as pd
+
+            ids_l, C = bc.value
+            csq = np.einsum("ij,ij->i", C, C)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.array(pdf["p"].tolist(), dtype=np.int64)
+                psq = np.einsum("ij,ij->i", V, V)
+                D2 = psq[:, None] + csq[None, :] - 2 * (V @ C.T)
+                # stable argsort ties → smaller matrix row → smaller
+                # list_id (rows are list_id-ordered) — the twin's
+                # (d2, list_id) order
+                order = np.argsort(D2, axis=1, kind="stable")[:, :rk_max]
+                m, kk = order.shape
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(
+                            pdf["vec_id"].to_numpy(dtype=np.int64), kk
+                        ),
+                        "list_id": ids_l[order].reshape(-1),
+                    }
+                )
+
+        return pts.mapInPandas(run, "vec_id long, list_id long")
+
+    def means_of(assigned_ids):
+        assigned = assigned_ids.join(pts, "vec_id")
         return (
             assigned.select("list_id", F.posexplode("p").alias("i", "val"))
             .groupBy("list_id", "i")
@@ -358,31 +386,46 @@ def q_lof_ivf_pinned(spark, sf_dir):
         )
 
     # two Lloyd steps (mirroring the twin's assign0/cent → assign1/cent2)
-    cent = means_of(nearest(init, 1))
-    cent2 = means_of(nearest(cent, 1))
-    probes = nearest(cent2, _PLOF_NPROBE).select("vec_id", "list_id")
-    pa = probes.select(F.col("vec_id").alias("src"), "list_id")
-    pb = probes.select(F.col("vec_id").alias("dst"), "list_id")
-    pairs = (
-        pa.join(pb, "list_id")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
-    scored = (
-        pairs.join(
-            pts.select(F.col("vec_id").alias("src"), F.col("p").alias("p_s")),
-            "src",
-        )
-        .join(
-            pts.select(F.col("vec_id").alias("dst"), F.col("p").alias("p_d")),
-            "dst",
-        )
-        .select("src", "dst", d2(F.col("p_s"), F.col("p_d")).alias("d2i"))
+    cent = means_of(nearest(centroid_bc(init), 1))
+    cent2 = means_of(nearest(centroid_bc(cent), 1))
+    probes = nearest(centroid_bc(cent2), _PLOF_NPROBE)
+
+    # per-cell exact-integer kNN candidates (production cell_topk shape:
+    # one int64 GEMM per cell, per-src partial top-k inside the cell,
+    # then the global (d2i, dst) trim dedups multi-probe duplicates) —
+    # equivalent to the twin's global top-k over DISTINCT co-probed
+    # pairs, because every global top-k edge is in its own cell's top-k
+    def cell_topk(pdf):
+        import pandas as pd
+
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {"src": [], "dst": [], "d2i": []}
+            ).astype({"src": "int64", "dst": "int64", "d2i": "int64"})
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        V = np.array(pdf["p"].tolist(), dtype=np.int64)
+        sq = np.einsum("ij,ij->i", V, V)
+        kk = min(_PLOF_K, m - 1)
+        D2 = sq[:, None] + sq[None, :] - 2 * (V @ V.T)
+        np.fill_diagonal(D2, np.iinfo(np.int64).max)
+        out_s, out_d, out_v = [], [], []
+        for r in range(m):
+            order = np.lexsort((ids, D2[r]))[:kk]
+            out_s.extend([ids[r]] * kk)
+            out_d.extend(ids[order])
+            out_v.extend(D2[r][order])
+        return pd.DataFrame({"src": out_s, "dst": out_d, "d2i": out_v})
+
+    edges = (
+        probes.join(pts, "vec_id")
+        .groupBy("list_id")
+        .applyInPandas(cell_topk, "src long, dst long, d2i long")
     )
     w_knn = Window.partitionBy("src").orderBy("d2i", "dst")
     knn = (
-        scored.withColumn("rk", F.row_number().over(w_knn))
+        edges.distinct()
+        .withColumn("rk", F.row_number().over(w_knn))
         .filter(F.col("rk") <= _PLOF_K)
         .select("src", "dst", "d2i")
     )

@@ -77,6 +77,11 @@ ALLOWLIST: dict[str, str] = {
     "operators/graph.py::_triangle_counts_bitset":
         "adjacency bitmap table: <= _TRI_BITSET_MAX_NODES rows by "
         "dispatch (the broadcast it feeds)",
+    "plans/registry_ext227.py::centroid_bc":
+        "pinned-quantizer centroid table: exactly L = ceil(sqrt(n)) rows "
+        "per collect (the √n IVF sizing rule), broadcast as one int64 "
+        "matrix — same bound class as the production path's "
+        "km.clusterCenters()",
     "plans/registry_ext98.py::q_butterfly_count":
         "priority-domain probe (distinct().limit(64)) + the <= 2^|P|-row "
         "mask-count frame the closed form runs on (r7 rewrite)",

@@ -13,8 +13,9 @@ entity-resolution clustering, and topical text segmentation:
   link pairs (q_record_linkage's 'link' verdicts) resolved into
   ENTITY CLUSTERS via connected components, with cluster-size
   histogram out. Links are pairwise; entities are transitive — the
-  step every MDM pipeline runs after scoring. Rows-only (iterative
-  cc); union-find python oracle in tests.
+  step every MDM pipeline runs after scoring. SQL-backed since round 9
+  (bounded min-label-propagation unroll); union-find python oracle in
+  tests.
 - q_texttiling: TextTiling-style topical segmentation — adjacent
   fixed-size token blocks compared by integer-count cosine; a
   boundary wherever the valley depth exceeds the doc's mean depth
@@ -149,17 +150,80 @@ def q_zone_map_skipping(spark, sf_dir):
 # R352 — entity-resolution clusters (FS links → connected components)
 # ===========================================================================
 
-@register("q_er_clusters", None)
+# SQL twin (round 9, rows-only reduction): the link-pair construction
+# is q_record_linkage's SQL verbatim; the cc fixpoint unrolls as
+# _ER_ROUNDS min-label propagation steps (label(v) ← min(label(v),
+# min over neighbors) — ALL-INTEGER, so the unroll is exact).  Simple
+# propagation converges in graph-diameter rounds; tests/test_batch227.py
+# asserts labels are stable at round _ER_ROUNDS-1 == _ER_ROUNDS on the
+# fixture data (diameter margin >2×), and the size histogram is
+# representative-agnostic, so the Spark side keeps the production
+# O(log n) min-label CONTRACTION fixpoint (operators/dedup.py) — the
+# two agree whenever propagation converged, which the hash check then
+# certifies per run.  MATERIALIZED per step: each round references the
+# previous labels twice (the DuckDB CTE-inlining doubling rule).
+_ER_ROUNDS = 12
+
+
+def _sql_er_clusters() -> str:
+    head = """
+    WITH b AS MATERIALIZED (
+      SELECT c_custkey AS b_id,
+             c_nationkey AS b_nation,
+             CASE WHEN c_custkey % 10 = 0 THEN c_custkey + 1000000
+                  ELSE c_custkey END AS b_digits,
+             c_acctbal + ((c_custkey * 7) % 21 - 10) AS b_bal,
+             CASE WHEN c_custkey % 17 = 0 THEN 'BUILDING'
+                  ELSE c_mktsegment END AS b_seg
+      FROM customer
+    ),
+    edges AS MATERIALIZED (
+      SELECT a.c_custkey AS u, b.b_id + 10000000 AS v
+      FROM customer a JOIN b ON a.c_nationkey = b.b_nation
+      WHERE (CASE WHEN a.c_custkey = b.b_digits THEN 9.813781 ELSE -3.320485 END
+             + CASE WHEN abs(a.c_acctbal - b.b_bal) <= 5.5 THEN 1.662965 ELSE -3.807355 END)
+             + CASE WHEN a.c_mktsegment = b.b_seg THEN 1.970854 ELSE -5.228819 END
+            >= 6.0
+    ),
+    und AS MATERIALIZED (
+      SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+    ),
+    l0 AS MATERIALIZED (
+      SELECT DISTINCT u AS id, u AS lbl FROM und
+    )"""
+    steps = []
+    for t in range(1, _ER_ROUNDS + 1):
+        steps.append(f""",
+    l{t} AS MATERIALIZED (
+      SELECT id, MIN(lbl) AS lbl FROM (
+        SELECT id, lbl FROM l{t - 1}
+        UNION ALL
+        SELECT und.u AS id, p.lbl
+        FROM und JOIN l{t - 1} p ON p.id = und.v
+      ) GROUP BY id
+    )""")
+    tail = f"""
+    SELECT size, CAST(COUNT(*) AS BIGINT) AS n_entities FROM (
+      SELECT lbl, CAST(COUNT(*) AS BIGINT) AS size
+      FROM l{_ER_ROUNDS} GROUP BY lbl
+    ) GROUP BY size ORDER BY size
+    """
+    return head + "".join(steps) + tail
+
+
+@register("q_er_clusters", _sql_er_clusters())
 def q_er_clusters(spark, sf_dir):
     """R352 — entity resolution end to end: q_record_linkage's 'link'
     -verdict pairs feed operators.dedup.connected_components (min-label
     contraction — O(log n) rounds on any graph shape), and the result
     rolls up to a cluster-size histogram plus singleton/entity counts.
     Pairwise links say 'same'; transitivity makes ENTITIES — a chain
-    a—b—c is one entity even when (a, c) never scored. Rows-only (the
-    cc fixpoint has no SQL form); the union-find python oracle in
-    tests/test_batch119.py re-derives the clusters from the same link
-    pairs."""
+    a—b—c is one entity even when (a, c) never scored. SQL-backed since
+    round 9: the twin unrolls min-label propagation (_ER_ROUNDS exact
+    integer steps — see _sql_er_clusters above); the union-find python
+    oracle in tests/test_batch119.py still re-derives the clusters from
+    the same link pairs, and test_batch227 asserts propagation converges
+    well inside the unroll."""
     from arrow_supercluster_spark.operators.dedup import connected_components
 
     # q_record_linkage returns the verdict ROLLUP; rebuild the pair

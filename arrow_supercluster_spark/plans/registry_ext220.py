@@ -58,6 +58,13 @@ _SQL_BI_STREAM = f"""
     )"""
 
 
+# NO broadcast hints on uni/bic/ctx joins: those tables are DATA-SIZED
+# (vocab and distinct-bigram counts grow with the corpus — the r9 16×
+# sweep caught q_stupid_backoff's pinned F.broadcast(bic) building a
+# 16×-grown broadcast table until the 240 s watchdog fired).  AQE
+# broadcasts them when they measure small and shuffles when they don't —
+# exactly the adaptive behavior a 100 TB corpus needs.  Only the 1-row
+# total (n) keeps an explicit hint.
 def _spark_bi_stream(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     toks = tokenize(F.col("text"))
@@ -109,10 +116,9 @@ def q_witten_bell(spark, sf_dir):
     n = uni.agg(F.sum("c").alias("total"))
     lam = F.col("cw") / (F.col("cw") + F.col("t") * 1.0)
     return (
-        bic.join(F.broadcast(ctx), "w1")
+        bic.join(ctx, "w1")
         .join(
-            F.broadcast(uni.select(F.col("w").alias("w2"),
-                                   F.col("c").alias("cu"))),
+            uni.select(F.col("w").alias("w2"), F.col("c").alias("cu")),
             "w2",
         )
         .crossJoin(F.broadcast(n))
@@ -239,11 +245,10 @@ def q_stupid_backoff(spark, sf_dir):
     bi, uni, bic, ctx = _spark_bi_stream(spark, sf_dir)
     n = uni.agg(F.sum("c").alias("total"))
     scored = (
-        bi.join(F.broadcast(bic), ["w1", "w2"], "left")
-        .join(F.broadcast(ctx), "w1", "left")
+        bi.join(bic, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
         .join(
-            F.broadcast(uni.select(F.col("w").alias("w2"),
-                                   F.col("c").alias("cu"))),
+            uni.select(F.col("w").alias("w2"), F.col("c").alias("cu")),
             "w2",
         )
         .crossJoin(F.broadcast(n))

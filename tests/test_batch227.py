@@ -75,3 +75,35 @@ def test_cms_portable_entry_keeps_sandwich_guarantee(spark, sf_dir):
     assert est, "CMS entry returned no rows"
     for tok, e in est.items():
         assert e >= true[tok], (tok, e, true[tok])
+
+
+def test_er_propagation_converges_inside_unroll():
+    """q_er_clusters' SQL twin unrolls min-label propagation _ER_ROUNDS
+    times; honest only if propagation actually converges well inside the
+    unroll on real data.  Replays the propagation in DuckDB and asserts
+    labels are identical at rounds _ER_ROUNDS//2 and _ER_ROUNDS (≥2×
+    diameter margin) at both fixture SFs."""
+    import duckdb
+
+    from arrow_supercluster_spark.plans.registry_ext124 import (
+        _ER_ROUNDS,
+        _sql_er_clusters,
+    )
+
+    base = _sql_er_clusters()
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW customer AS SELECT * FROM "
+            f"read_parquet('{sf}/customer.parquet')"
+        )
+        head, tail = base.rsplit("SELECT size,", 1)
+        mid = _ER_ROUNDS // 2
+        drift = con.execute(
+            head
+            + f"""
+            SELECT COUNT(*) FROM l{mid} a JOIN l{_ER_ROUNDS} b USING (id)
+            WHERE a.lbl != b.lbl
+            """
+        ).fetchone()[0]
+        assert drift == 0, f"{sf}: {drift} labels still moving at round {mid}"

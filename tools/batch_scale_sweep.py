@@ -61,6 +61,15 @@ BATCH_MODULES = [f"registry_ext{i}.py" for i in range(_MOD_LO, _MOD_HI)]
 # (no silent caps) rather than run.
 EVAL_ONLY = {
     "q_dunn_index", "q_loocv_1nn", "q_hubness", "q_twonn_dim", "q_lid",
+    # r9 additions — two more exact-kernel-by-contract families the 16×
+    # leg flagged: (a) the exact-kNN-graph structure metrics (the graph
+    # build is knn_edges_exact, the documented O(n²) eval kernel;
+    # production graph constructor is knn_edges_lsh / q_knn_graph_lsh),
+    # (b) the retrieval-eval family (MRR/NDCG/P-R@k score the EXACT
+    # all-queries ranking by definition; production search is IVF/LSH —
+    # the metrics exist to audit those paths at eval scale).
+    "q_eigenvector_centrality", "q_reciprocity", "q_transitivity",
+    "q_mrr", "q_mrr_bridge", "q_ndcg_at_k", "q_precision_recall_at_k",
 }
 
 _KEY_OFF = 1_000_000_000  # replica key shift: far above any base key

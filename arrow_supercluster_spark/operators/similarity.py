@@ -473,6 +473,123 @@ def ivf_topk(
     return _ranked_topk(scored, qkey, key, k)
 
 
+def ivf2_build(
+    corpus: DataFrame,
+    vec: str = "embedding",
+    key: str = "vec_id",
+    n_lists: int | None = None,
+    n_super: int | None = None,
+    seed: int = 42,
+):
+    """2-level hierarchical IVF coarse quantizer (VERDICT r8 "Next
+    round" #8 — the named next step past the flat-IVF n^1.5 curve):
+    level 1 = the flat build's L = ⌈√n⌉ cells; level 2 = S = ⌈√L⌉
+    super-cells fit by k-means OVER THE L CELL CENTROIDS (an L-row
+    fit — driver-trivial at any corpus size).
+
+    Why a second level: flat-IVF queries compare against all L
+    centroids — O(√n) per query, the dominant per-query cost once the
+    probed cells are small.  With supers a query compares against
+    S + nprobe_s·(L/S) ≈ 2·n^(1/4)·√nprobe_s centroids.  At n = 10⁹:
+    flat 31 623 comparisons/query vs 2-level ~180 + 5·178 ≈ 1 070 —
+    30× fewer.  Returns (assigned corpus with list_id, centers with
+    super_id, supers)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if n_lists is None:
+        n_lists = ivf_n_lists(corpus.count())
+    if n_super is None:
+        n_super = ivf_n_lists(n_lists)
+    assigned, centers = ivf_build(corpus, vec, key, n_lists, seed)
+    cfeat = centers.select(
+        "list_id", array_to_vector(F.col("center")).alias("features")
+    )
+    km2 = KMeans(k=n_super, seed=seed, maxIter=10).fit(cfeat)
+    cells = (
+        km2.transform(cfeat)
+        .select("list_id", F.col("prediction").alias("super_id"))
+        .join(centers, "list_id")
+    )
+    supers = corpus.sparkSession.createDataFrame(
+        [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(km2.clusterCenters())
+        ],
+        "super_id int, s_center array<double>",
+    )
+    return assigned, cells, supers
+
+
+def ivf2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec: str = "embedding",
+    key: str = "vec_id",
+    qkey: str = "q_id",
+    n_lists: int | None = None,
+    n_super: int | None = None,
+    nprobe_super: int = 3,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """E3 scale path, level 2 — hierarchical IVF top-k: a query first
+    ranks the S super-cells (broadcast, S = ⌈√L⌉ rows), descends into
+    its nprobe_super nearest supers, ranks only THOSE supers' member
+    cells, probes the nprobe nearest, and pays exact cosine only inside
+    probed cells.  Same recall-floor harness as the flat path
+    (tests/test_similarity.py); same exact-rerank contract (returned
+    cosines are exact — the hierarchy prunes, it never perturbs)."""
+    if n_lists is None:
+        n_lists = ivf_n_lists(corpus.count())
+    if nprobe is None:
+        nprobe = max(4, ivf_n_lists(n_lists))
+    assigned, cells, supers = ivf2_build(
+        corpus, vec, key, n_lists, n_super
+    )
+    q = queries.select(F.col(qkey), F.col(vec).alias("q_emb"))
+
+    def d2(center_col):
+        return F.aggregate(
+            F.zip_with(
+                as_double(F.col("q_emb")),
+                F.col(center_col),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    ws = Window.partitionBy(qkey).orderBy(
+        F.col("sd2").asc(), F.col("super_id")
+    )
+    sprobe = (
+        q.crossJoin(F.broadcast(supers))
+        .withColumn("sd2", d2("s_center"))
+        .withColumn("srk", F.row_number().over(ws))
+        .filter(F.col("srk") <= nprobe_super)
+        .select(qkey, "q_emb", "super_id")
+    )
+    wc = Window.partitionBy(qkey).orderBy(
+        F.col("cd2").asc(), F.col("list_id")
+    )
+    probes = (
+        sprobe.join(F.broadcast(cells), "super_id")
+        .withColumn("cd2", d2("center"))
+        .withColumn("crk", F.row_number().over(wc))
+        .filter(F.col("crk") <= nprobe)
+        .select(qkey, "q_emb", "list_id")
+    )
+    scored = assigned.join(F.broadcast(probes), "list_id").select(
+        qkey,
+        key,
+        F.round(
+            cosine(as_double(F.col("q_emb")), as_double(F.col(vec))), 6
+        ).alias("cos"),
+    )
+    return _ranked_topk(scored, qkey, key, k)
+
+
 def neardup_pairs_lsh(
     corpus: DataFrame,
     threshold: float = 0.9,

@@ -439,3 +439,23 @@ def ivf_n_lists_shared(n: int) -> int:
     from arrow_supercluster_spark.operators.similarity import ivf_n_lists
 
     return ivf_n_lists(n)
+
+
+@register("q_ann_ivf2", None)
+def q_ann_ivf2(spark, sf_dir):
+    """R658 — 2-level hierarchical IVF ANN (VERDICT r8 "Next round" #8,
+    the named next step past flat IVF's n^1.5): queries rank S = ⌈√L⌉
+    super-cells, descend into the nearest supers, rank only their member
+    cells, and pay exact cosine inside probed cells — per-query centroid
+    comparisons drop from L = ⌈√n⌉ to ~2·n^(1/4)·√nprobe_s (30× fewer
+    at n = 10⁹).  Rows-only (two engine k-means fits — the q_ann_ivf
+    class); recall floor vs brute force + exact-rerank subset invariant
+    in tests/test_similarity.py; sizing shares similarity.ivf_n_lists."""
+    from arrow_supercluster_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return similarity.ivf2_topk(corpus, queries, k=5)

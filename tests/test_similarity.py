@@ -188,3 +188,27 @@ def test_ivf_topk_default_sizing_recall(spark, sf_dir):
     hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
     total = sum(len(v) for v in exact.values())
     assert hits / total >= 0.5, f"default-sized IVF recall {hits}/{total}"
+
+
+def test_ivf2_hierarchical_recall_and_exactness(spark, sf_dir):
+    """The 2-level hierarchical IVF (r9, VERDICT r8 #8) must hit the
+    same recall floor as the flat path under default sizing, and its
+    returned cosines must be EXACT (the hierarchy prunes candidates,
+    never perturbs scores)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    exact_sets = _sets(similarity.cosine_topk(corpus, queries, k=5))
+    out = similarity.ivf2_topk(corpus, queries, k=5)
+    approx = _sets(out)
+    hits = sum(len(exact_sets[q] & approx.get(q, set())) for q in exact_sets)
+    total = sum(len(v) for v in exact_sets.values())
+    assert hits / total >= 0.5, f"2-level IVF recall {hits}/{total}"
+    exact_cos = {
+        (r.q_id, r.vec_id): r.cos
+        for r in similarity.cosine_topk(corpus, queries, k=1000).collect()
+    }
+    for r in out.collect():
+        assert abs(exact_cos[(r.q_id, r.vec_id)] - r.cos) < 1e-9

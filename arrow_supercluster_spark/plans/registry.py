@@ -467,6 +467,7 @@ def _load_extended_registries():
         registry_ext225,
         registry_ext226,
         registry_ext227,
+        registry_ext228,
     )
 
 

@@ -468,6 +468,7 @@ def _load_extended_registries():
         registry_ext226,
         registry_ext227,
         registry_ext228,
+        registry_ext229,
     )
 
 

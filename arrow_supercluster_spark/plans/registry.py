@@ -469,6 +469,7 @@ def _load_extended_registries():
         registry_ext227,
         registry_ext228,
         registry_ext229,
+        registry_ext230,
     )
 
 

@@ -470,6 +470,7 @@ def _load_extended_registries():
         registry_ext228,
         registry_ext229,
         registry_ext230,
+        registry_ext231,
     )
 
 

@@ -471,6 +471,7 @@ def _load_extended_registries():
         registry_ext229,
         registry_ext230,
         registry_ext231,
+        registry_ext232,
     )
 
 

@@ -6,8 +6,9 @@ temporal data splits, and marginal raking:
   v ∝ Mᵀ u are each one join + one keyed aggregate over the sparse
   (doc, token, weight) triplets; normalization is a 1-row broadcast.
   Rank-1 LSA = the simplest "train embeddings on the engine" kernel
-  (power iteration on AᵀA without ever materializing it). Rows-only;
-  numpy SVD parity in tests.
+  (power iteration on AᵀA without ever materializing it). SQL-backed
+  since round 9 (unrolled MATERIALIZED-CTE twin); numpy SVD parity in
+  tests.
 - q_temporal_split: time-based train/test split with the LEAKAGE AUDIT
   a temporal split needs (the hash split R184 can't leak by
   construction; a time split can — the same user on both sides):
@@ -30,13 +31,80 @@ from pyspark.sql import functions as F
 
 from arrow_supercluster_spark.operators.dedup import tokenize
 from arrow_supercluster_spark.plans.registry_core import register
-from arrow_supercluster_spark.plans.registry_ext import _docs
+from arrow_supercluster_spark.plans.registry_ext import SQL_TOKS, _docs
 from arrow_supercluster_spark.sources.tables import read_events
 
 _LSA_ITERS = 12
 
 
-@register("q_lsa_rank1", None)
+
+
+def _sql_lsa_rank1() -> str:
+    """Unrolled alternating-power-iteration twin (round 9 — the
+    q_power_iteration / eigenvector-centrality pattern): 12 iterations
+    of v ∝ Mᵀu, u ∝ Mv as chained MATERIALIZED CTEs (each step
+    references the previous frame twice — the DuckDB inlining-doubling
+    rule), with the same uniform init and the same ln(n_docs/df)
+    TF-IDF weights.  Power iteration is a contraction onto the leading
+    singular pair, so per-step float-association differences DECAY
+    instead of compounding; loadings compare at round(6), σ at
+    round(4) — the same budget the eigencentrality twin certified."""
+    head = f"""
+    WITH tf AS MATERIALIZED (
+      SELECT doc_id, g AS tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest({SQL_TOKS}) AS g FROM documents)
+      GROUP BY 1, 2
+    ),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    dfreq AS MATERIALIZED (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+    ),
+    m AS MATERIALIZED (
+      SELECT tf.doc_id, tf.tok,
+             tf.c * ln(nd.n_docs * 1.0 / dfreq.df) AS w
+      FROM tf JOIN dfreq ON dfreq.tok = tf.tok CROSS JOIN nd
+    ),
+    u0 AS MATERIALIZED (
+      SELECT DISTINCT doc_id, 1.0 AS u FROM m
+    )"""
+    steps = []
+    for t in range(1, _LSA_ITERS + 1):
+        steps.append(f""",
+    vr{t} AS MATERIALIZED (
+      SELECT m.tok, SUM(m.w * u{t - 1}.u) AS v
+      FROM m JOIN u{t - 1} ON u{t - 1}.doc_id = m.doc_id
+      GROUP BY m.tok
+    ),
+    vn{t} AS MATERIALIZED (SELECT sqrt(SUM(v * v)) AS n FROM vr{t}),
+    v{t} AS MATERIALIZED (
+      SELECT tok, v / (SELECT n FROM vn{t}) AS v FROM vr{t}
+    ),
+    ur{t} AS MATERIALIZED (
+      SELECT m.doc_id, SUM(m.w * v{t}.v) AS u
+      FROM m JOIN v{t} ON v{t}.tok = m.tok
+      GROUP BY m.doc_id
+    ),
+    un{t} AS MATERIALIZED (SELECT sqrt(SUM(u * u)) AS n FROM ur{t}),
+    u{t} AS MATERIALIZED (
+      SELECT doc_id, u / (SELECT n FROM un{t}) AS u FROM ur{t}
+    )""")
+    tail = f""",
+    outv AS MATERIALIZED (
+      SELECT m.tok, SUM(m.w * u{_LSA_ITERS}.u) AS v
+      FROM m JOIN u{_LSA_ITERS} ON u{_LSA_ITERS}.doc_id = m.doc_id
+      GROUP BY m.tok
+    ),
+    outn AS (SELECT sqrt(SUM(v * v)) AS n FROM outv)
+    SELECT outv.tok,
+           round(outv.v / outn.n, 6) AS loading,
+           round((SELECT n FROM un{_LSA_ITERS}), 4) AS sigma
+    FROM outv CROSS JOIN outn
+    ORDER BY round(outv.v / outn.n, 6) DESC, outv.tok
+    """
+    return head + "".join(steps) + tail
+
+
+@register("q_lsa_rank1", _sql_lsa_rank1())
 def q_lsa_rank1(spark, sf_dir):
     """Leading singular triple (σ, u, v) of the TF-IDF matrix via
     alternating power iteration: v ← normalize(Mᵀu), u ← normalize(Mv),

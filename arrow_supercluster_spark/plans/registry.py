@@ -472,6 +472,7 @@ def _load_extended_registries():
         registry_ext230,
         registry_ext231,
         registry_ext232,
+        registry_ext233,
     )
 
 

@@ -97,26 +97,6 @@ def extract_features(media: DataFrame) -> DataFrame:
     )
 
 
-def resize_stub(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
-    """Resize plumbing: passes payloads through the same mapInPandas shape;
-    the real pixel op is NotImplemented (no decoder), so this truncates/pads
-    payload bytes to width·height as a deterministic stand-in, keeping the
-    batch-shape and schema contract real and testable."""
-    target = width * height
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = [
-                (p[:target]).ljust(target, b"\0") for p in pdf["payload"]
-            ]
-            pdf = pdf.copy()
-            pdf["payload"] = out
-            pdf["n_bytes"] = [len(p) for p in out]
-            yield pdf
-
-    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
-
-
 def frame_sample(
     media: DataFrame,
     frame_bytes: int = 256,

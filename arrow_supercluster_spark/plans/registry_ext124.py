@@ -202,8 +202,21 @@ def _sql_er_clusters() -> str:
         FROM und JOIN l{t - 1} p ON p.id = und.v
       ) GROUP BY id
     )""")
-    tail = f"""
-    SELECT size, CAST(COUNT(*) AS BIGINT) AS n_entities FROM (
+    # Self-check (r10, ADVICE r9 item 2): the unroll is only exact when
+    # propagation CONVERGED inside _ER_ROUNDS; emit the l{N-1}-vs-l{N}
+    # mismatch count as a column.  The Spark side (a true contraction
+    # fixpoint) emits literal 0, so any non-convergence at a larger
+    # scale factor fails the hash check LOUDLY instead of silently
+    # shipping unconverged labels.
+    tail = f""",
+    conv AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS unconverged
+      FROM l{_ER_ROUNDS} a JOIN l{_ER_ROUNDS - 1} b
+        ON a.id = b.id AND a.lbl <> b.lbl
+    )
+    SELECT size, CAST(COUNT(*) AS BIGINT) AS n_entities,
+           (SELECT unconverged FROM conv) AS unconverged
+    FROM (
       SELECT lbl, CAST(COUNT(*) AS BIGINT) AS size
       FROM l{_ER_ROUNDS} GROUP BY lbl
     ) GROUP BY size ORDER BY size
@@ -281,6 +294,11 @@ def q_er_clusters(spark, sf_dir):
     return (
         sizes.groupBy("size")
         .agg(F.count(F.lit(1)).alias("n_entities"))
+        # the contraction fixpoint ITERATES TO convergence, so its
+        # unconverged count is 0 by construction; the twin computes the
+        # real l{N-1}-vs-l{N} mismatch count — hash equality therefore
+        # certifies the unroll converged (see _sql_er_clusters tail)
+        .withColumn("unconverged", F.lit(0).cast("long"))
         .orderBy("size")
     )
 

@@ -293,6 +293,51 @@ def q_ewma_control(spark, sf_dir):
 
 _CIDX_CHURN_HOURS = 12
 
+# Deterministic hash-sample cap for the quadratic pair stage (the
+# q_sample_hash rule, now IMPLEMENTED, r10 — ADVICE r9 item 1): when the
+# user dimension exceeds the cap, keep a user iff the portable affine
+# hash (registry_ext114's 2654435761·x+12345 mod P — identical arithmetic
+# in Spark and DuckDB, no engine-specific hash) lands in the first
+# CAP/n_users slice of [0, 1e6).  Expected kept ≈ CAP → pairs ≤ CAP², a
+# fixed distributed budget at ANY corpus size.  At every test SF
+# (users ≤ 1500 at sf0.1) n ≤ CAP so the filter is the identity and the
+# statistic stays exact.  All-integer: h%1e6 < 1e6 and n < 2^43 keeps
+# the product inside int64.
+_PAIR_USER_CAP = 20_000
+_PH_P = 2_147_483_647
+
+
+def _sql_hash_cap(src: str, key: str = "user_id") -> str:
+    """SQL fragment pair: (count CTE, sampled CTE) over src."""
+    return f"""
+    n_{src} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {src}),
+    s_{src} AS MATERIALIZED (
+      SELECT * FROM {src}
+      WHERE (SELECT n FROM n_{src}) <= {_PAIR_USER_CAP}
+         OR ((2654435761 * ({key} % {_PH_P}) + 12345) % {_PH_P}) % 1000000
+            * (SELECT n FROM n_{src}) < {_PAIR_USER_CAP} * 1000000
+    )"""
+
+
+def spark_hash_cap(df, key: str = "user_id"):
+    """Spark side of _sql_hash_cap: identical affine-hash slice."""
+    nu = df.agg(F.count(F.lit(1)).alias("__n_users"))
+    h = F.pmod(
+        F.lit(2654435761) * F.pmod(F.col(key), F.lit(_PH_P)) + 12345,
+        F.lit(_PH_P),
+    )
+    return (
+        df.crossJoin(F.broadcast(nu))  # 1-row scalar — always tiny
+        .filter(
+            (F.col("__n_users") <= _PAIR_USER_CAP)
+            | (
+                F.pmod(h, F.lit(1_000_000)) * F.col("__n_users")
+                < _PAIR_USER_CAP * 1_000_000
+            )
+        )
+        .drop("__n_users")
+    )
+
 
 @register(
     "q_cindex",
@@ -309,12 +354,12 @@ _CIDX_CHURN_HOURS = 12
                            - INTERVAL {_CIDX_CHURN_HOURS} HOUR AS INT)
                AS churned
       FROM events GROUP BY user_id
-    ),
+    ),{_sql_hash_cap("u")},
     pairs AS (
       SELECT CASE WHEN a.risk_cents > b.risk_cents THEN 1.0
                   WHEN a.risk_cents = b.risk_cents THEN 0.5
                   ELSE 0.0 END AS conc
-      FROM u a JOIN u b
+      FROM s_u a JOIN s_u b
         ON a.user_id <> b.user_id
        AND a.churned = 1 AND a.dur_us < b.dur_us
     )
@@ -332,9 +377,11 @@ def q_cindex(spark, sf_dir):
     window would censor everyone).  A pair is comparable iff
     the shorter-lived user churned; concordant iff the shorter-lived
     user carries the higher risk (ties 0.5).  All comparisons are
-    integer-exact.  Pairs join the USER DIMENSION against itself —
-    dimension-sized, broadcastable; at 100 TB cap with a deterministic
-    hash sample of users (the q_sample_hash rule) before pairing.""".format(
+    integer-exact.  Pairs join the USER DIMENSION against itself; the
+    deterministic portable-hash sample cap (spark_hash_cap, mirrored
+    in the twin by _sql_hash_cap) bounds the pair stage to <= CAP^2 at
+    ANY corpus size, and the join carries NO broadcast hint — AQE
+    decides from the capped runtime size (the ext220 rule).""".format(
         d=_CIDX_CHURN_HOURS
     )
     ev = read_events(spark, sf_dir)
@@ -366,19 +413,20 @@ def q_cindex(spark, sf_dir):
             .alias("churned"),
         )
     )
-    a = u.select(
+    us = spark_hash_cap(u)
+    a = us.select(
         F.col("user_id").alias("a_id"),
         F.col("dur_us").alias("a_dur"),
         F.col("risk_cents").alias("a_risk"),
         "churned",
     ).filter(F.col("churned") == 1)
-    b = u.select(
+    b = us.select(
         F.col("user_id").alias("b_id"),
         F.col("dur_us").alias("b_dur"),
         F.col("risk_cents").alias("b_risk"),
     )
     pairs = a.join(
-        F.broadcast(b),
+        b,
         (F.col("a_id") != F.col("b_id")) & (F.col("a_dur") < F.col("b_dur")),
     )
     conc = (

@@ -21,8 +21,9 @@ q_ab_test/q_cuped/q_srm_check), all SQL-backed and all closed-form:
 
 At 100 TB: every estimator is a handful of keyed aggs over per-user
 rollups; the only pairwise stage (win ratio) pairs the user DIMENSION
-and is capped by deterministic hash sampling when that outgrows a
-broadcast (stated); outcomes use exact integer cents everywhere so the
+under the deterministic portable-hash sample cap (registry_ext228
+spark_hash_cap — implemented on BOTH engine sides, no broadcast hint,
+AQE decides); outcomes use exact integer cents everywhere so the
 cross-engine comparisons never sit on a float boundary.
 """
 
@@ -31,6 +32,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from arrow_supercluster_spark.plans.registry_core import register
+from arrow_supercluster_spark.plans.registry_ext228 import (
+    _sql_hash_cap,
+    spark_hash_cap,
+)
 from arrow_supercluster_spark.sources.tables import read_events, read_table
 
 _SPLIT_TS = "2024-01-16"  # pre/post boundary: the window's midpoint
@@ -507,7 +512,7 @@ _WR_CHURN_HOURS = 12
                             - INTERVAL {_WR_CHURN_HOURS} HOUR AS INT)
                AS churned
       FROM users
-    ),
+    ),{_sql_hash_cap("st")},
     pairs AS (
       SELECT CASE
                WHEN t.churned < c.churned THEN 1
@@ -515,8 +520,8 @@ _WR_CHURN_HOURS = 12
                WHEN t.cents > c.cents THEN 1
                WHEN t.cents < c.cents THEN -1
                ELSE 0 END AS o
-      FROM (SELECT * FROM st WHERE arm = 1) t
-      CROSS JOIN (SELECT * FROM st WHERE arm = 0) c
+      FROM (SELECT * FROM s_st WHERE arm = 1) t
+      CROSS JOIN (SELECT * FROM s_st WHERE arm = 0) c
     )
     SELECT CAST(SUM(CASE WHEN o = 1 THEN 1 ELSE 0 END) AS BIGINT) AS wins,
            CAST(SUM(CASE WHEN o = -1 THEN 1 ELSE 0 END) AS BIGINT) AS losses,
@@ -531,8 +536,10 @@ def q_win_ratio(spark, sf_dir):
     treated×control pair compares first on the more-serious endpoint
     (churn — NOT churning wins), then on purchase cents; WR =
     wins/losses with ties reported.  All comparisons integer-exact;
-    pairs over the user dimension (q_cindex's bound class — cap by
-    deterministic hash sample at 100 TB, stated there)."""
+    pairs over the user dimension under q_cindex's deterministic
+    portable-hash sample cap (spark_hash_cap/_sql_hash_cap,
+    registry_ext228) — pair stage <= CAP^2 at ANY corpus size, no
+    broadcast hint on the pair join (AQE decides, the ext220 rule)."""
     u = _spark_users(spark, sf_dir)
     hz = u.agg(F.max("last_ts").alias("mx"))
     st = u.crossJoin(F.broadcast(hz)).select(
@@ -546,6 +553,7 @@ def q_win_ratio(spark, sf_dir):
         .cast("int")
         .alias("churned"),
     )
+    st = spark_hash_cap(st)
     t = st.filter(F.col("arm") == 1).select(
         F.col("cents").alias("tc"), F.col("churned").alias("tch")
     )
@@ -559,7 +567,7 @@ def q_win_ratio(spark, sf_dir):
         .when(F.col("tc") < F.col("cc"), -1)
         .otherwise(0)
     )
-    pairs = t.crossJoin(F.broadcast(c)).select(o.alias("o"))
+    pairs = t.crossJoin(c).select(o.alias("o"))
     return pairs.agg(
         F.sum(F.when(F.col("o") == 1, 1).otherwise(0))
         .cast("long")

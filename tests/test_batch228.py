@@ -83,3 +83,21 @@ def test_random_projection_jl_expectation(spark, sf_dir):
     assert 0.7 <= row.mean_ratio <= 1.3, row.mean_ratio
     assert row.min_ratio > 0
     assert row.sd_ratio < 3.0
+
+
+def test_hash_cap_identity_below_and_engages_above(spark):
+    """spark_hash_cap is the identity while n <= CAP and a ~CAP-sized
+    deterministic slice above it (the r10 100 TB pair-stage bound for
+    q_cindex/q_win_ratio)."""
+    from arrow_supercluster_spark.plans import registry_ext228 as m
+
+    small = spark.range(0, 1000).withColumnRenamed("id", "user_id")
+    assert m.spark_hash_cap(small).count() == 1000  # identity under CAP
+
+    big_n = m._PAIR_USER_CAP * 4
+    big = spark.range(0, big_n).withColumnRenamed("id", "user_id")
+    kept = m.spark_hash_cap(big).count()
+    # expected keep = CAP; affine-hash slice is near-uniform, allow 15%
+    assert abs(kept - m._PAIR_USER_CAP) < 0.15 * m._PAIR_USER_CAP
+    # deterministic: same input -> same sample
+    assert m.spark_hash_cap(big).count() == kept

@@ -45,12 +45,13 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "24"))
 REPLICAS = int(os.environ.get("SPARK_GRAFT_SWEEP_REPLICAS", "16"))
 TOP_N = int(os.environ.get("SPARK_GRAFT_SWEEP_TOP_N", "20"))
 TIMEOUT_S = int(os.environ.get("SPARK_GRAFT_SWEEP_TIMEOUT_S", "240"))
-# Round 9 (VERDICT r8 "Next round" #6): the sweep window advances to the
-# batch-209..221 modules (ext214..226, R620-R657) plus the round-9
-# additions (ext227).  The batch-186..208 modules (ext191..213) carry
-# r8-measured rows in SCALING.md.  Override with
-# SPARK_GRAFT_SWEEP_MODULES="lo-hi" to re-run an older window.
-_MOD_RANGE = os.environ.get("SPARK_GRAFT_SWEEP_MODULES", "214-228")
+# Round 10 (VERDICT r9 "Next round" #4 + ADVICE item 4): the sweep
+# window advances to the round-9 widening modules (ext228..233,
+# R659-R682) — the batches the r9 default window never covered.  The
+# ext214..227 modules carry r9-measured rows in SCALING.md; ext191..213
+# carry r8 rows.  Override with SPARK_GRAFT_SWEEP_MODULES="lo-hi" to
+# re-run an older window.
+_MOD_RANGE = os.environ.get("SPARK_GRAFT_SWEEP_MODULES", "228-234")
 _MOD_LO, _MOD_HI = (int(x) for x in _MOD_RANGE.split("-"))
 BATCH_MODULES = [f"registry_ext{i}.py" for i in range(_MOD_LO, _MOD_HI)]
 

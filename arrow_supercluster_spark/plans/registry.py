@@ -705,10 +705,36 @@ _ROTATION_R9 = [
     "q_funnel_within", "q_impute_values",
 ]
 
+# Round-10 rotation (VERDICT r9 "Next round" #1) — 40 more never-driver-
+# checked SQL-backed entries; driver-checked union 214 → 254.  Slate =
+# the seven judge-named suggestions still lacking a driver row
+# (q_kalman_1d, q_naive_bayes_lang + the round-9 widening five) plus the
+# 33 OLDEST never-checked entries in registry insertion order (batches
+# ext2–ext10: the round-2 LLM-pipeline/SQL-surface core — sessionize,
+# as-of join, skew agg, BM25, inverted index, file-format roundtrips).
+# Every slot vacated by _ROTATION_R9 is driver-green in
+# CORRECTNESS_r09.json, so no driver evidence is lost.
+_ROTATION_R10 = [
+    # judge-named slate survivors (VERDICT r9 #1)
+    "q_kalman_1d", "q_naive_bayes_lang", "q_tpch_q6", "q_holt_winters",
+    "q_bellman_ford", "q_did_estimator", "q_theta_method",
+    # oldest never-checked, insertion order (ext2–ext10)
+    "q_embedding_neardup", "q_multimodal_meta", "q_roundtrip_points",
+    "q_sessionize", "q_synthetic_points", "q_arrow_ipc_roundtrip",
+    "q_asof_join", "q_skew_agg", "q_date_funcs", "q_fill_colors_focused",
+    "q_rollup_agg", "q_set_ops", "q_dup_components", "q_greedy_expansion",
+    "q_greedy_leaves", "q_mixture_sample", "q_range_join", "q_sample_hash",
+    "q_shard_payloads", "q_token_shards", "q_label_centroids",
+    "q_nearest_centroid", "q_pii_scrub", "q_repetition_stats",
+    "q_bm25_search", "q_collocations", "q_csv_roundtrip", "q_cube_agg",
+    "q_doc_chunks", "q_edit_distance", "q_group_quantiles",
+    "q_inverted_index", "q_jsonl_roundtrip",
+]
+
 
 def _order_driver_window() -> None:
     names = list(REGISTRY)
-    window = _WINDOW_CORE + _ROTATION_R9
+    window = _WINDOW_CORE + _ROTATION_R10
     assert len(window) == 50 and len(set(window)) == 50, "window must be 50 unique"
     for n in window:
         assert n in REGISTRY, f"window query {n} not registered"

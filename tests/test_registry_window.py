@@ -14,7 +14,12 @@ green row from r1–r7 (they hold seven).
 
 Round 9 (VERDICT r8 "Next round" #1): _ROTATION_R9 rotates 40 more
 never-driver-checked queries in (union 174 → ≥ 214); every _ROTATION_R8
-slot it vacates is driver-green in CORRECTNESS_r08.json."""
+slot it vacates is driver-green in CORRECTNESS_r08.json.
+
+Round 10 (VERDICT r9 "Next round" #1): _ROTATION_R10 rotates 40 more in
+(union 214 → ≥ 254) — the judge's seven named slate survivors plus the 33
+oldest never-checked entries; every _ROTATION_R9 slot it vacates is
+driver-green in CORRECTNESS_r09.json."""
 
 import json
 import pathlib
@@ -27,6 +32,7 @@ from arrow_supercluster_spark.plans.registry import (
     _ROTATION_R7,
     _ROTATION_R8,
     _ROTATION_R9,
+    _ROTATION_R10,
     _WINDOW_CORE,
     REGISTRY,
 )
@@ -75,8 +81,8 @@ def test_first_50_all_sql_backed():
 
 def test_window_is_core_plus_rotation():
     assert len(_WINDOW_CORE) == 10
-    assert len(_ROTATION_R9) == 40
-    assert list(REGISTRY)[:50] == _WINDOW_CORE + _ROTATION_R9
+    assert len(_ROTATION_R10) == 40
+    assert list(REGISTRY)[:50] == _WINDOW_CORE + _ROTATION_R10
 
 
 def test_r4_rotation_was_never_checked_before_r4():
@@ -141,6 +147,24 @@ def test_r9_rotation_slots_disjoint_and_sql_backed():
         assert REGISTRY[n].sql is not None, f"rows-only in rotation: {n}"
 
 
+def test_r10_rotation_entries_never_driver_checked_before():
+    seen = _driver_union(9)
+    already = [n for n in _ROTATION_R10 if n in seen]
+    assert not already, f"r10 rotation slots wasted on already-checked: {already}"
+
+
+def test_r10_rotation_slots_disjoint_and_sql_backed():
+    assert len(set(_ROTATION_R10)) == 40
+    prior = (
+        set(_WINDOW_CORE) | set(_CORE_VACATED_R8) | set(_ROTATION_R4)
+        | set(_ROTATION_R5) | set(_ROTATION_R6) | set(_ROTATION_R7)
+        | set(_ROTATION_R8) | set(_ROTATION_R9)
+    )
+    assert not set(_ROTATION_R10) & prior
+    for n in _ROTATION_R10:
+        assert REGISTRY[n].sql is not None, f"rows-only in rotation: {n}"
+
+
 def test_core_shrink_preserves_union_growth():
     """The r8 window converted exactly 40 never-checked queries (union
     134 → 174); the r9 rotation must keep growing it to ≥ 214."""
@@ -150,6 +174,9 @@ def test_core_shrink_preserves_union_growth():
     seen8 = _driver_union(8)
     assert len(seen8) == 174, f"r1-r8 union drifted: {len(seen8)}"
     assert len(seen8 | set(_ROTATION_R9)) >= 214
+    seen9 = _driver_union(9)
+    assert len(seen9) == 214, f"r1-r9 union drifted: {len(seen9)}"
+    assert len(seen9 | set(_ROTATION_R10)) >= 254
 
 
 def test_vacated_slots_all_have_prior_driver_green_rows():
@@ -159,7 +186,7 @@ def test_vacated_slots_all_have_prior_driver_green_rows():
     some past round's record — not just a row by name (r6 ADVICE fix of
     the prior tautological form).  Includes the 21 core slots vacated by
     the round-8 core shrink."""
-    green = _driver_green_union(8)
+    green = _driver_green_union(9)
     window = set(list(REGISTRY)[:50])
     prior_windows = (
         set(_WINDOW_CORE)
@@ -169,6 +196,7 @@ def test_vacated_slots_all_have_prior_driver_green_rows():
         | set(_ROTATION_R6)
         | set(_ROTATION_R7)
         | set(_ROTATION_R8)
+        | set(_ROTATION_R9)
     )
     # 4 early-window rows-only slots (r1/r2 insertion-order windows)
     # were never green by design and were rotated out in r3; they are
@@ -188,7 +216,7 @@ def test_every_correctness_record_window_was_green():
     """Every recorded driver window row in r3+ must be green — a red row
     in any shipped CORRECTNESS record would mean a round regressed and
     the rotation carried on anyway."""
-    for r in range(3, 9):
+    for r in range(3, 10):
         p = REPO / f"CORRECTNESS_r{r:02d}.json"
         if not p.exists():
             continue

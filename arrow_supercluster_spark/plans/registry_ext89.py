@@ -358,7 +358,86 @@ def knn_edges_exact(emb, k: int):
     ).select(F.col("src").alias("a"), F.col("dst").alias("b"))
 
 
-@register("q_kcore", None)
+# SQL twin (round 10, rows-only reduction — VERDICT r9 "Next round"
+# #3): the edge construction is registry_ext137's _SQL_KNN_EDGES
+# verbatim (round-6 cosine, dst tiebreak — the shared edge discipline
+# of the whole graph family); the staged peel unrolls as _KC_MAX_K-1
+# fixed stages of _KC_ROUNDS degree-filter rounds each — ALL-INTEGER,
+# so the unroll is exact whenever each stage CONVERGED inside
+# _KC_ROUNDS.  Convergence is certified per run, not assumed: the twin
+# emits the summed last-vs-previous-round edge-count deltas as an
+# `unconverged` column (the q_er_clusters self-check pattern) and the
+# Spark side — a true fixpoint peel — emits literal 0, so
+# non-convergence at a larger scale factor fails the hash check
+# LOUDLY.  The outer unroll needs no check: mutual-5NN degrees are
+# <= 5, so the k=_KC_MAX_K stage empties every graph by construction.
+# MATERIALIZED per round: each round references the previous edge set
+# three times (the DuckDB CTE-inlining rule).
+_KC_ROUNDS = 16
+_KC_MAX_K = 6
+
+
+def _sql_kcore() -> str:
+    from arrow_supercluster_spark.plans.registry_ext137 import (
+        _SQL_KNN_EDGES,
+    )
+
+    parts = [
+        _SQL_KNN_EDGES.rstrip(),
+        """,
+    e_1_f AS MATERIALIZED (
+      SELECT u, w AS v FROM mutual
+      UNION ALL
+      SELECT w AS u, u AS v FROM mutual
+    ),
+    nodes_1 AS MATERIALIZED (SELECT DISTINCT u FROM e_1_f)""",
+    ]
+    checks = []
+    for k in range(2, _KC_MAX_K + 1):
+        parts.append(
+            f""",
+    e_{k}_0 AS MATERIALIZED (SELECT u, v FROM e_{k - 1}_f)"""
+        )
+        for r in range(1, _KC_ROUNDS + 1):
+            parts.append(
+                f""",
+    keep_{k}_{r} AS MATERIALIZED (
+      SELECT u FROM e_{k}_{r - 1} GROUP BY u HAVING COUNT(*) >= {k}
+    ),
+    e_{k}_{r} AS MATERIALIZED (
+      SELECT t.u, t.v FROM e_{k}_{r - 1} t
+      JOIN keep_{k}_{r} ku ON ku.u = t.u
+      JOIN keep_{k}_{r} kv ON kv.u = t.v
+    )"""
+            )
+        parts.append(
+            f""",
+    e_{k}_f AS MATERIALIZED (SELECT u, v FROM e_{k}_{_KC_ROUNDS}),
+    nodes_{k} AS MATERIALIZED (SELECT DISTINCT u FROM e_{k}_f)"""
+        )
+        checks.append(
+            f"(SELECT COUNT(*) FROM e_{k}_{_KC_ROUNDS - 1})"
+            f" - (SELECT COUNT(*) FROM e_{k}_{_KC_ROUNDS})"
+        )
+    drops = "\n      UNION ALL\n      ".join(
+        f"SELECT u AS node_id, CAST({k - 1} AS BIGINT) AS core_number"
+        f" FROM nodes_{k - 1}"
+        f" WHERE u NOT IN (SELECT u FROM nodes_{k})"
+        for k in range(2, _KC_MAX_K + 1)
+    )
+    unconv = " + ".join(checks)
+    parts.append(
+        f"""
+    SELECT node_id, core_number,
+           CAST({unconv} AS BIGINT) AS unconverged
+    FROM ({drops})
+    ORDER BY node_id
+    """
+    )
+    return "".join(parts)
+
+
+@register("q_kcore", _sql_kcore())
 def q_kcore(spark, sf_dir):
     """Graph — k-core decomposition of the MUTUAL embedding 5-NN graph:
     each node's core number = max k such that the k-core contains it.
@@ -370,8 +449,11 @@ def q_kcore(spark, sf_dir):
     deg<k nodes until the k-core stabilizes; whatever fell out en route
     has core number k-1; stop when the graph empties. Each inner round
     is one degree agg + two semi-joins on a SHRINKING edge list; outer
-    stages are bounded by the graph degeneracy (<= k_nn). Python
-    peeling oracle: tests/test_batch84.py."""
+    stages are bounded by the graph degeneracy (<= k_nn). SQL-backed
+    since r10: the twin unrolls the peel (see _sql_kcore above) and
+    self-certifies convergence via the `unconverged` column — the
+    fixpoint side emits literal 0. Python peeling oracle:
+    tests/test_batch84.py."""
     from arrow_supercluster_spark.functions.checkpoint import truncate
 
     emb = _emb(spark, sf_dir)
@@ -408,4 +490,10 @@ def q_kcore(spark, sf_dir):
             break
         prev_nodes = cur_nodes
         k += 1
-    return out.orderBy("node_id")
+    # the while loops above ITERATE TO convergence, so the fixpoint's
+    # unconverged count is 0 by construction; the twin computes the real
+    # last-round edge-count delta — hash equality certifies the unroll
+    # converged (see _sql_kcore)
+    return out.withColumn(
+        "unconverged", F.lit(0).cast("long")
+    ).orderBy("node_id")

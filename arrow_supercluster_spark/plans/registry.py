@@ -473,6 +473,7 @@ def _load_extended_registries():
         registry_ext231,
         registry_ext232,
         registry_ext233,
+        registry_ext234,
     )
 
 

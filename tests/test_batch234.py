@@ -1,0 +1,85 @@
+"""Batch 234 replays — lakehouse table-maintenance planners (R683–R688).
+Each entry carries an algebraic invariant here on top of its DuckDB
+differential in the sweep."""
+
+from pyspark.sql import functions as F
+
+from arrow_supercluster_spark.plans.registry import REGISTRY
+
+
+def test_optimize_bins_conserve_small_files(spark, sf_dir):
+    """Σ n_files over bins == |small files|, every bin holds >= 1 file,
+    and bin ids are dense from 0."""
+    from arrow_supercluster_spark.plans.registry_ext234 import (
+        _OPT_FILES,
+        _spark_files,
+    )
+
+    bins = REGISTRY["q_optimize_bins"].spark(spark, sf_dir).collect()
+    files = _spark_files(spark, sf_dir, _OPT_FILES)
+    st = files.agg(
+        F.sum("fbytes").alias("total"), F.count(F.lit(1)).alias("nf")
+    ).collect()[0]
+    n_small = files.filter(
+        F.col("fbytes") * 5 * st.nf < st.total * 4
+    ).count()
+    assert sum(r.n_files for r in bins) == n_small
+    assert all(r.n_files >= 1 for r in bins)
+    ids = sorted(r.bin_id for r in bins)
+    assert ids == list(range(len(ids)))
+
+
+def test_zorder_effect_extent_collapses(spark, sf_dir):
+    """The Morton layout must strictly beat hash on total zone extent
+    (that IS the Z-ORDER win) and never skip fewer files."""
+    rows = {r.layout: r for r in
+            REGISTRY["q_zorder_effect"].spark(spark, sf_dir).collect()}
+    assert set(rows) == {"hash", "zorder"}
+    assert rows["zorder"].total_extent < rows["hash"].total_extent
+    assert rows["zorder"].files_skipped >= rows["hash"].files_skipped
+    assert rows["hash"].n_files == rows["zorder"].n_files
+
+
+def test_vacuum_version_conservation(spark, sf_dir):
+    """live + dead(candidates + retained) == total writes (every order
+    is exactly one write)."""
+    r = REGISTRY["q_vacuum_candidates"].spark(spark, sf_dir).collect()[0]
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert r.n_live + r.n_candidates + r.n_dead_retained == n_orders
+    assert r.bytes_reclaimed >= 512 * r.n_candidates  # floor per version
+
+
+def test_manifest_diff_window_algebra(spark, sf_dir):
+    """added counts files only in v2 (1994+), removed only in v1
+    (<1996); carried files exist in the overlap, so every partition's
+    three counts are nonnegative and a removed file implies v1 rows
+    strictly before 1994 exist for that slot."""
+    rows = REGISTRY["q_manifest_diff"].spark(spark, sf_dir).collect()
+    assert rows, "at least one partition"
+    for r in rows:
+        assert r.files_added >= 0 and r.files_removed >= 0
+        assert r.files_carried >= 0
+
+
+def test_tenant_fairness_jain_bounds(spark, sf_dir):
+    from arrow_supercluster_spark.plans.registry_ext234 import _TEN_MOD
+
+    rows = REGISTRY["q_tenant_fairness"].spark(spark, sf_dir).collect()
+    n = len(rows)
+    assert n <= _TEN_MOD
+    jain = rows[0].jain_index
+    assert all(abs(r.jain_index - jain) < 1e-12 for r in rows)  # stapled
+    assert 1.0 / n - 1e-9 <= jain <= 1.0 + 1e-9
+    # ppm shares sum to <= 1e6 (integer floor division loses < n ppm)
+    total_ppm = sum(r.share_ppm for r in rows)
+    assert 1_000_000 - n <= total_ppm <= 1_000_000
+
+
+def test_compaction_speedup_ceil_exact(spark, sf_dir):
+    from arrow_supercluster_spark.plans.registry_ext234 import _SPD_TARGET
+
+    rows = REGISTRY["q_compaction_speedup"].spark(spark, sf_dir).collect()
+    for r in rows:
+        assert r.tasks_after == -(-r.total_bytes // _SPD_TARGET)  # ceil
+        assert r.tasks_after <= r.tasks_before
+        assert abs(r.speedup - round(r.tasks_before / r.tasks_after, 4)) < 1e-9

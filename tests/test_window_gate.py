@@ -78,6 +78,11 @@ ALLOWED_GLOBAL_WINDOWS = {
     "q_l_moments", "q_gpd_pot", "q_mean_excess",
     # r7 ordinal effect sizes: same cent-domain bound
     "q_cliffs_delta", "q_somers_d",
+    # r10 lakehouse-maintenance planners (batch 234): windows run at
+    # MANIFEST grain, never fact grain
+    "q_optimize_bins",    # prefix sum over the <=200-slot file manifest
+    "q_tenant_fairness",  # unbounded SUM/COUNT over the 12-row tenant
+                          # rollup (Jain index staple)
 }
 
 

@@ -474,6 +474,7 @@ def _load_extended_registries():
         registry_ext232,
         registry_ext233,
         registry_ext234,
+        registry_ext235,
     )
 
 

@@ -83,6 +83,9 @@ ALLOWED_GLOBAL_WINDOWS = {
     "q_optimize_bins",    # prefix sum over the <=200-slot file manifest
     "q_tenant_fairness",  # unbounded SUM/COUNT over the 12-row tenant
                           # rollup (Jain index staple)
+    # r10 batch 235: windows at BUCKET grain, never fact grain
+    "q_hdr_quantiles",    # cumulative count over <=38*8=304 HDR buckets
+                          # per priority (facts agg'd to bucket first)
 }
 
 

@@ -51,7 +51,7 @@ TIMEOUT_S = int(os.environ.get("SPARK_GRAFT_SWEEP_TIMEOUT_S", "240"))
 # ext214..227 modules carry r9-measured rows in SCALING.md; ext191..213
 # carry r8 rows.  Override with SPARK_GRAFT_SWEEP_MODULES="lo-hi" to
 # re-run an older window.
-_MOD_RANGE = os.environ.get("SPARK_GRAFT_SWEEP_MODULES", "228-234")
+_MOD_RANGE = os.environ.get("SPARK_GRAFT_SWEEP_MODULES", "228-235")
 _MOD_LO, _MOD_HI = (int(x) for x in _MOD_RANGE.split("-"))
 BATCH_MODULES = [f"registry_ext{i}.py" for i in range(_MOD_LO, _MOD_HI)]
 

@@ -475,6 +475,7 @@ def _load_extended_registries():
         registry_ext233,
         registry_ext234,
         registry_ext235,
+        registry_ext236,
     )
 
 

@@ -476,6 +476,7 @@ def _load_extended_registries():
         registry_ext234,
         registry_ext235,
         registry_ext236,
+        registry_ext237,
     )
 
 

@@ -17,6 +17,8 @@ the time the oracle SQL runs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from arrow_supercluster_spark.config import DEFAULT_OPTIONS as OPTS
@@ -48,7 +50,11 @@ def q_unpack_wkb(spark, sf_dir):
 # Packed-cluster-id drill-down (greedy hierarchy)
 # ===========================================================================
 
-GREEDY_PATH = "/tmp/ascs_greedy_nodes"
+# pid-scoped: concurrent test shards (tools/shard_tests.py) each
+# memoize their own copy — a shared fixed path races (one process
+# overwrites while another reads).  The SQL twin strings below are
+# built from this constant at import, so both engines stay aligned.
+GREEDY_PATH = f"/tmp/ascs_greedy_nodes_{os.getpid()}"
 _GREEDY_TBL = f"read_parquet('{GREEDY_PATH}/*.parquet')"
 _LAST_SF: str | None = None
 

@@ -8,6 +8,8 @@ kernels.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from arrow_supercluster_spark.operators import pipeline, textops
@@ -178,7 +180,7 @@ def q_multimodal_frames(spark, sf_dir):
     )
 
 
-_IVF_PATH = "/tmp/ascs_ivf_index"
+_IVF_PATH = f"/tmp/ascs_ivf_index_{os.getpid()}"  # pid-scoped: see registry_ext7.GREEDY_PATH
 _IVF_SF: str | None = None
 
 

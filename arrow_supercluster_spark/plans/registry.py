@@ -477,6 +477,7 @@ def _load_extended_registries():
         registry_ext235,
         registry_ext236,
         registry_ext237,
+        registry_ext238,
     )
 
 

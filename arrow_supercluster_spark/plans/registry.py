@@ -478,6 +478,7 @@ def _load_extended_registries():
         registry_ext236,
         registry_ext237,
         registry_ext238,
+        registry_ext239,
     )
 
 

@@ -164,14 +164,36 @@ _WL_A = 12345
 _WL_B = 7
 
 
+_WL_COHORT_CAP = 32  # max users per (type, hour) bucket — see below
+
+
 def _wl_edges(spark, sf_dir):
-    """Symmetric neighbor list of the q_pagerank co-occurrence graph
-    (same event type, same hour, distinct users)."""
-    ev = read_events(spark, sf_dir).select(
-        "user_id", "event_type", F.date_trunc("hour", "ts").alias("h")
+    """Symmetric neighbor list of the q_pagerank-style co-occurrence
+    graph (same event type, same hour, distinct users) — with the
+    per-bucket cohort CAPPED at 32 users by hash rank.  The cap is the
+    r10 16× sweep catch: uncapped, each (type, hour) bucket pairs all
+    its members, so 16× more users per bucket = 256× more edges (the
+    sweep watchdog timed out q_wl_refinement and q_betweenness_khop).
+    A deterministic hash-rank cap bounds edges at 32²/bucket — linear
+    in buckets at any scale — and is mirrored verbatim in the SQL
+    twins, so both engines see the identical graph."""
+    memb = (
+        read_events(spark, sf_dir)
+        .select(
+            "user_id", "event_type", F.date_trunc("hour", "ts").alias("h")
+        )
+        .distinct()
     )
-    a = ev.select(F.col("user_id").alias("src"), "event_type", "h")
-    b = ev.select(F.col("user_id").alias("dst"), "event_type", "h")
+    w = Window.partitionBy("event_type", "h").orderBy(
+        F.pmod(F.lit(48271) * F.col("user_id") + 11, F.lit(_P)), "user_id"
+    )
+    capped = (
+        memb.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _WL_COHORT_CAP)
+        .select("user_id", "event_type", "h")
+    )
+    a = capped.select(F.col("user_id").alias("src"), "event_type", "h")
+    b = capped.select(F.col("user_id").alias("dst"), "event_type", "h")
     return (
         a.join(b, ["event_type", "h"])
         .filter(F.col("src") != F.col("dst"))
@@ -180,12 +202,26 @@ def _wl_edges(spark, sf_dir):
     )
 
 
-_WL_EDGES_SQL = """
+_WL_EDGES_SQL = f"""
+    memb AS MATERIALIZED (
+      SELECT DISTINCT user_id, event_type,
+             date_trunc('hour', ts) AS h
+      FROM events
+    ),
+    capped AS MATERIALIZED (
+      SELECT user_id, event_type, h FROM (
+        SELECT user_id, event_type, h,
+               ROW_NUMBER() OVER (
+                 PARTITION BY event_type, h
+                 ORDER BY (48271 * user_id + 11) % {_P}, user_id
+               ) AS rk
+        FROM memb
+      ) WHERE rk <= {_WL_COHORT_CAP}
+    ),
     edges AS MATERIALIZED (
       SELECT DISTINCT a.user_id AS src, b.user_id AS dst
-      FROM events a JOIN events b
-        ON a.event_type = b.event_type
-       AND date_trunc('hour', a.ts) = date_trunc('hour', b.ts)
+      FROM capped a JOIN capped b
+        ON a.event_type = b.event_type AND a.h = b.h
        AND a.user_id <> b.user_id
     )
 """

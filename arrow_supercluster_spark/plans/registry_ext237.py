@@ -44,7 +44,10 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from arrow_supercluster_spark.plans.registry_core import register
-from arrow_supercluster_spark.plans.registry_ext235 import _wl_edges
+from arrow_supercluster_spark.plans.registry_ext235 import (
+    _WL_EDGES_SQL,
+    _wl_edges,
+)
 from arrow_supercluster_spark.sources.tables import read_events, read_table
 
 _P = 2147483647
@@ -98,13 +101,7 @@ def q_lateral_join(spark, sf_dir):
 _BC_SRC = 32  # fixed landmark count — state stays O(32·nodes) at any scale
 
 _BC_SQL = f"""
-    WITH edges AS MATERIALIZED (
-      SELECT DISTINCT a.user_id AS src, b.user_id AS dst
-      FROM events a JOIN events b
-        ON a.event_type = b.event_type
-       AND date_trunc('hour', a.ts) = date_trunc('hour', b.ts)
-       AND a.user_id <> b.user_id
-    ),
+    WITH {_WL_EDGES_SQL},
     srcs AS MATERIALIZED (
       SELECT src AS s FROM (SELECT DISTINCT src FROM edges)
       ORDER BY (48271 * src + 11) % {_P}, src LIMIT {_BC_SRC}

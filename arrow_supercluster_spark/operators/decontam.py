@@ -63,6 +63,21 @@ def doc_ngram_digests(docs: DataFrame, n: int = 8) -> DataFrame:
     )
 
 
+def _not_eval(eval_pred: F.Column) -> F.Column:
+    """Train-side row predicate: NOT coalesce(eval_pred, false).
+
+    r10 (guide §2.3 "project before the exchange" / §6 pushdown): the
+    train side previously digested the ENTIRE corpus and then removed
+    eval docs with a broadcast anti-join on doc_id — generating and
+    hashing every eval doc's n-grams just to throw them away, and the
+    anti-join sat ABOVE the n-gram generator where Catalyst cannot push
+    it.  A row-level filter is pushed into the parquet scan, so eval
+    docs never reach the shingle+md5 stage at all.  coalesce keeps the
+    anti-join's NULL semantics: rows where eval_pred is NULL are not
+    eval rows, so they stay on the train side."""
+    return ~F.coalesce(eval_pred, F.lit(False))
+
+
 def decontaminate(
     docs: DataFrame, eval_pred: F.Column, n: int = 8, eval_grams=None
 ) -> DataFrame:
@@ -84,10 +99,7 @@ def decontaminate(
         eval_grams = (
             doc_ngram_digests(docs.filter(eval_pred), n).select("g").distinct()
         )
-    eval_ids = docs.filter(eval_pred).select("doc_id")
-    train_grams = doc_ngram_digests(docs, n).join(
-        F.broadcast(eval_ids), "doc_id", "left_anti"
-    )
+    train_grams = doc_ngram_digests(docs.filter(_not_eval(eval_pred)), n)
     return (
         train_grams.join(F.broadcast(eval_grams), "g")
         .groupBy("doc_id")
@@ -144,10 +156,7 @@ def decontaminate_auto(
     if n_eval <= bloom_threshold:
         return decontaminate(docs, eval_pred, n, eval_grams=eval_grams)
     m_bits = 1 << max(20, (10 * n_eval - 1).bit_length())
-    eval_ids = docs.filter(eval_pred).select("doc_id")
-    train_grams = doc_ngram_digests(docs, n).join(
-        F.broadcast(eval_ids), "doc_id", "left_anti"
-    )
+    train_grams = doc_ngram_digests(docs.filter(_not_eval(eval_pred)), n)
     bloom = bloom_build(eval_grams, "g", m_bits, k)
     candidates = bloom_prefilter(train_grams, "g", bloom, m_bits, k)
     return (

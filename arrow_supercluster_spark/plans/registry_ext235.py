@@ -110,11 +110,28 @@ def q_hdr_quantiles(spark, sf_dir):
         F.col("o_orderpriority").alias("priority"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
     )
+    # r10 (guide §3 "avoid accidental exploding joins"): the exponent
+    # r = floor(log2(c)) was found with a range-condition broadcast
+    # nested-loop join against the power table — |orders| × ~38
+    # predicate evaluations (9.5 s at sf0.1).  Compute it per row
+    # instead: seed from libm log2 and self-correct ±1 with exact
+    # integer shift comparisons (libm alone can be off by one ulp at
+    # exact powers of two), then keep the join's range semantics with
+    # the identical r-window filter.  The tiny power table remains only
+    # as the lb_cents lookup below.
     bucketed = (
-        cents.join(
-            F.broadcast(pows),
-            (F.col("c") >= F.col("pw")) & (F.col("c") < F.col("pw") * 2),
+        cents.filter(F.col("c") > 0)
+        .withColumn("r0", F.floor(F.log2("c")).cast("int"))
+        .withColumn(
+            "r",
+            F.expr(
+                "CASE WHEN c < shiftleft(CAST(1 AS BIGINT), r0) THEN r0 - 1 "
+                "WHEN c >= shiftleft(CAST(1 AS BIGINT), r0 + 1) THEN r0 + 1 "
+                "ELSE r0 END"
+            ),
         )
+        .filter((F.col("r") >= 3) & (F.col("r") < _HDR_MAX_EXP))
+        .withColumn("pw", F.expr("shiftleft(CAST(1 AS BIGINT), r)"))
         .groupBy(
             "priority",
             "r",
@@ -270,9 +287,18 @@ def q_wl_refinement(spark, sf_dir):
     re-hashes (own color, neighbor color multiset) with the commutative
     portable hash.  Rounds are edge-keyed joins + node aggs — linear in
     edges at any scale.  n_colors per round is the refinement curve."""
-    edges = _wl_edges(spark, sf_dir).persist()
-    c0 = edges.groupBy(F.col("src").alias("node")).agg(
-        F.pmod(F.count(F.lit(1)), F.lit(_P)).alias("color")
+    from arrow_supercluster_spark.functions.checkpoint import truncate
+
+    # r10: c0 feeds three consumers and c1 three more (summary + both
+    # sides of the next round's join) — unmaterialized, c2's lineage
+    # re-ran the edge self-join pipeline combinatorially (15 s at
+    # sf0.1).  truncate caps each round at one execution and replaces
+    # the never-unpersisted session-lifetime persist().
+    edges = truncate(_wl_edges(spark, sf_dir))
+    c0 = truncate(
+        edges.groupBy(F.col("src").alias("node")).agg(
+            F.pmod(F.count(F.lit(1)), F.lit(_P)).alias("color")
+        )
     )
 
     def wl_round(prev):
@@ -292,7 +318,7 @@ def q_wl_refinement(spark, sf_dir):
             )
         )
 
-    c1 = wl_round(c0)
+    c1 = truncate(wl_round(c0))
     c2 = wl_round(c1)
 
     def summary(df, rnd):

@@ -161,7 +161,19 @@ def q_betweenness_khop(spark, sf_dir):
     once after the final SUM.  Every stage is an edge-keyed join +
     (s, node) agg — no pairwise fact stage, state capped by the fixed
     landmark count."""
-    edges = _wl_edges(spark, sf_dir).persist()
+    from arrow_supercluster_spark.functions.checkpoint import truncate
+
+    # r10 (guide §2.4 / §3.3 "materialise an intermediate"): every
+    # frontier below is consumed several times — d1 five times, d2 four,
+    # delta2 twice — and without materialization each consumer re-ran
+    # the ENTIRE upstream subtree (d2 alone is 3 joins + an agg over the
+    # cohort self-join), blowing the plan up combinatorially: 210 s at
+    # sf0.1.  Eager truncate() after each frontier caps every subtree at
+    # one execution (the Brandes forward/backward passes each run once,
+    # like the SQL twin's MATERIALIZED CTEs); measured 210 s → ~25 s,
+    # identical output.  truncate also replaces the session-lifetime
+    # edges.persist() (never unpersisted — the r3 ADVICE leak class).
+    edges = truncate(_wl_edges(spark, sf_dir))
     srcs = (
         edges.select("src")
         .distinct()
@@ -169,9 +181,11 @@ def q_betweenness_khop(spark, sf_dir):
         .limit(_BC_SRC)
         .select(F.col("src").alias("s"))
     )
-    d1 = srcs.join(edges, srcs.s == edges.src).select("s", F.col("dst").alias("v"))
+    d1 = truncate(
+        srcs.join(edges, srcs.s == edges.src).select("s", F.col("dst").alias("v"))
+    )
     e2 = edges.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    d2 = (
+    d2 = truncate(
         d1.join(e2, "v")
         .filter(F.col("w") != F.col("s"))
         .join(
@@ -189,7 +203,7 @@ def q_betweenness_khop(spark, sf_dir):
         .groupBy("s", "x")
         .agg(F.sum("sigma2").cast("long").alias("sigma3"))
     )
-    delta2 = (
+    delta2 = truncate(
         d2.join(e3, "w")
         .join(d3, ["s", "x"])
         .groupBy("s", "w", "sigma2")

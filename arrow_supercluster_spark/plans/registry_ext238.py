@@ -106,10 +106,21 @@ def q_beam_search_bigram(spark, sf_dir):
     toks = _docs(spark, sf_dir).select(
         F.filter(tokenize(F.col("text")), lambda t: t != "").alias("ts")
     )
+    # r10 (guide §2.3): the old posexplode carried the WHOLE token array
+    # alongside every exploded position just to index ts[i+1] — O(len²)
+    # bytes per document through the generator.  zip_with the array with
+    # its own tail inside the row, then explode the (w1, w2) structs:
+    # identical adjacent-bigram pairs, linear bytes.
+    n1 = F.size("ts") - 1
+    adj = F.zip_with(
+        F.slice("ts", 1, n1),
+        F.slice("ts", 2, n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
     pairs = (
-        toks.select(F.posexplode("ts").alias("i", "w1"), F.col("ts"))
-        .select("w1", F.try_element_at("ts", F.col("i") + 2).alias("w2"))
-        .filter(F.col("w2").isNotNull())
+        toks.filter(F.size("ts") >= 2)
+        .select(F.explode(adj).alias("p"))
+        .select("p.w1", "p.w2")
     )
     bigrams = pairs.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("c")

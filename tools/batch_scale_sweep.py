@@ -45,13 +45,15 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "24"))
 REPLICAS = int(os.environ.get("SPARK_GRAFT_SWEEP_REPLICAS", "16"))
 TOP_N = int(os.environ.get("SPARK_GRAFT_SWEEP_TOP_N", "20"))
 TIMEOUT_S = int(os.environ.get("SPARK_GRAFT_SWEEP_TIMEOUT_S", "240"))
-# Round 10 (VERDICT r9 "Next round" #4 + ADVICE item 4): the sweep
-# window advances to the round-9 widening modules (ext228..233,
-# R659-R682) — the batches the r9 default window never covered.  The
-# ext214..227 modules carry r9-measured rows in SCALING.md; ext191..213
-# carry r8 rows.  Override with SPARK_GRAFT_SWEEP_MODULES="lo-hi" to
-# re-run an older window.
-_MOD_RANGE = os.environ.get("SPARK_GRAFT_SWEEP_MODULES", "228-235")
+# Round-10 optimization round: the default window advances to the
+# mid-build modules ext235..239 (HDR sketch/WL/blocklist, TPC-H
+# decorrelation, LATERAL/betweenness/LDP, beam/CRDT/KV/quorum,
+# partition-sizing/checkpoint/broadcast audits) — the batches the
+# previous "228-235" half-open default never covered (swept this round,
+# SCALING.md r10 rows).  ext228..234 carry early-r10 rows; ext214..227
+# r9; ext191..213 r8.  Override with SPARK_GRAFT_SWEEP_MODULES="lo-hi"
+# (hi EXCLUSIVE) to re-run an older window.
+_MOD_RANGE = os.environ.get("SPARK_GRAFT_SWEEP_MODULES", "235-240")
 _MOD_LO, _MOD_HI = (int(x) for x in _MOD_RANGE.split("-"))
 BATCH_MODULES = [f"registry_ext{i}.py" for i in range(_MOD_LO, _MOD_HI)]
 

@@ -29,8 +29,19 @@ def pagerank(
 ) -> DataFrame:
     """PageRank over a directed edge list, fixed iteration count.
     Simplified dangling treatment (their mass is dropped, the common
-    relational variant); uniform init 1/N. Returns (node, rank)."""
-    nodes = (
+    relational variant); uniform init 1/N. Returns (node, rank).
+
+    r10: the edge list, node set and degree table are materialized ONCE
+    (eager truncate) — callers pass expensive lineages (the
+    co-occurrence self-join), and the iteration loop re-ran that
+    lineage per round per consumer (edges ×3 rounds, nodes ×5 uses:
+    12.5 s → ~4 s for q_pagerank at sf0.1).  Materializing the edge
+    table before iterating is also the 100 TB-correct shape: each round
+    then reads a stored table instead of re-shuffling the derivation."""
+    from arrow_supercluster_spark.functions.checkpoint import truncate
+
+    edges = truncate(edges.select(F.col(src).alias(src), F.col(dst).alias(dst)))
+    nodes = truncate(
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
@@ -40,7 +51,7 @@ def pagerank(
         # empty graph (e.g. a co-occurrence window that matched nothing)
         # → empty rank table, not a ZeroDivisionError at plan build
         return nodes.select("node", F.lit(0.0).alias("rank")).limit(0)
-    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
+    deg = truncate(edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg")))
     ranks = nodes.select("node", F.round(F.lit(1.0 / n), 9).alias("rank"))
     base = (1.0 - damping) / n
     for _ in range(iterations):
@@ -265,13 +276,19 @@ def label_propagation(
     """
     from pyspark.sql import Window
 
+    from arrow_supercluster_spark.functions.checkpoint import truncate
+
+    # r10: materialize the caller's edge lineage once — each of the 3
+    # rounds re-joined `e`, whose unmaterialized lineage (typically the
+    # co-occurrence self-join) re-ran per round (8.9 s → ~3 s for
+    # q_label_prop at sf0.1).
+    e = truncate(edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")))
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
+        e.select(F.col("e_src").alias("node"))
+        .unionByName(e.select(F.col("e_dst").alias("node")))
         .distinct()
     )
     labels = nodes.withColumn("label", F.col("node"))
-    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
     w = Window.partitionBy("e_src").orderBy(F.col("c").desc(), F.col("label"))
     for _ in range(iterations):
         cnt = (

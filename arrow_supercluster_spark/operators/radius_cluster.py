@@ -43,16 +43,24 @@ from pyspark.sql import functions as F
 from arrow_supercluster_spark.config import DEFAULT_OPTIONS, ClusterOptions
 
 
-def _neighbor_pairs(items: DataFrame, r: float) -> DataFrame:
+def _neighbor_pairs(items: DataFrame, r: float, right_items: DataFrame | None = None) -> DataFrame:
     """(a_id, a_ord, b_id …) pairs with dist ≤ r via 3×3 cell equi-join.
 
     Each left item is replicated into its 9 neighbor cells (explode of a
     constant 3×3 offset array — a narrow map), then equi-joined against
     right items on the cell key: the relational form of a KDBush
-    within() query. Both sides shuffle once on the cell key."""
+    within() query. Both sides shuffle once on the cell key.
+
+    `right_items` (default: the left side) lets a caller restrict the
+    candidate set — radius_cluster_level's assignment pass only needs
+    neighbors that are VALID ORIGINS, so passing the (much smaller)
+    valid-origin slice re-runs a shrunken join instead of re-deriving
+    the full pair table a second time (r10; see radius_cluster_level)."""
+    if right_items is None:
+        right_items = items
     cx = F.floor(F.col("x") / F.lit(r))
     cy = F.floor(F.col("y") / F.lit(r))
-    right = items.select(
+    right = right_items.select(
         F.col("id").alias("b_id"),
         F.col("x").alias("b_x"),
         F.col("y").alias("b_y"),
@@ -104,23 +112,41 @@ def radius_cluster_level(
     valid = origin.filter(F.col("a_id") == F.col("origin_id")).select(
         F.col("a_id").alias("valid_id")
     )
-    # step 4: p → min-order VALID neighbor (or none)
+    # step 4: p → min-order VALID neighbor (or none).  r10: instead of
+    # re-deriving the FULL pair table a second time and filtering it to
+    # valid origins (the lazy `pairs` lineage re-ran the 9-cell explode
+    # join per consumer), re-run the neighbor join with the right side
+    # restricted to valid origins — a strictly smaller join computing
+    # the identical (a_id, valid neighbor) pair set.
+    valid_items = items.join(
+        valid, items.id == valid.valid_id, "leftsemi"
+    )
     assign = (
-        pairs.join(valid, pairs.b_id == valid.valid_id, "inner")
+        _neighbor_pairs(items, r, right_items=valid_items)
         .groupBy("a_id")
         .agg(F.min("b_id").alias("cluster_id"))
     )
-    members = (
+    from arrow_supercluster_spark.functions.checkpoint import truncate
+
+    # truncate: `members` feeds both the cluster rollup and the
+    # dissolved-singleton semijoin; unmaterialized, each consumer re-ran
+    # the assignment join (and its neighbor join) from scratch (r10).
+    members = truncate(
         items.join(assign, items.id == assign.a_id, "left")
         .withColumn("cluster_id", F.coalesce("cluster_id", "id"))
     )
     # step 5: rollup per cluster; dissolve groups below min_points back to
     # singletons (pass through unchanged)
-    grouped = members.groupBy("cluster_id").agg(
-        F.sum("num_points").alias("num_points"),
-        F.sum(F.col("x") * F.col("num_points")).alias("wx"),
-        F.sum(F.col("y") * F.col("num_points")).alias("wy"),
-        F.count(F.lit(1)).alias("n_members"),
+    # `grouped` (one row per cluster — small at any scale) feeds both
+    # the clusters filter and the dissolved filter; materialized so
+    # neither re-runs the rollup (r10).
+    grouped = truncate(
+        members.groupBy("cluster_id").agg(
+            F.sum("num_points").alias("num_points"),
+            F.sum(F.col("x") * F.col("num_points")).alias("wx"),
+            F.sum(F.col("y") * F.col("num_points")).alias("wy"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
     )
     clusters = grouped.filter(
         (F.col("n_members") > 1) & (F.col("num_points") >= opts.min_points)

@@ -287,6 +287,8 @@ def knn_edges_exact(
     self-exclusion + re-rank under the same (cos DESC, dst) rule) —
     identical edges up to round-6, ~50x the per-row HOF join.  Ties
     broken by dst id so the edge set is deterministic cross-engine."""
+    from arrow_supercluster_spark.functions.checkpoint import truncate
+
     topk1 = cosine_topk_gemm(
         corpus=e.select(F.col(key), F.col(vec).alias("_emb")),
         queries=e.select(
@@ -298,7 +300,13 @@ def knn_edges_exact(
         qkey="_q",
     ).filter(F.col(key) != F.col("_q"))
     w = Window.partitionBy("_q").orderBy(F.col("cos").desc(), key)
-    return (
+    # r10: materialize the edge list (n·k rows — tiny next to the O(n²)
+    # GEMM that produced it).  Every graph-family consumer self-joins
+    # these edges with their reverse (mutual-kNN) or unions them —
+    # unmaterialized, each consumer re-ran the whole GEMM kernel per
+    # reference (measured: the percolation/kcore/hamming family spent
+    # more time re-deriving this edge list than on their own algebra).
+    return truncate(
         topk1.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select(F.col("_q").alias("src"), F.col(key).alias("dst"))

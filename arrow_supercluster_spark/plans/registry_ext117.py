@@ -317,32 +317,45 @@ def q_charngram_langid(spark, sf_dir):
     of q_naive_bayes_lang (robust to unseen words/tokenization).
     Confusion-matrix rollup out; shape: two keyed count aggs + one
     gram-keyed join + one |langs|-way argmax."""
+    from arrow_supercluster_spark.functions.checkpoint import truncate
+
     norm = F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
     # sequence() is end-INCLUSIVE (and would descend for len<3), unlike
     # the oracle's exclusive range(); cap at max(len-2, 1) and drop the
-    # short tail grams so both engines emit exactly the len-2 trigrams
+    # short tail grams so both engines emit exactly the len-2 trigrams.
+    # r10: the normalized text is BOUND as a lambda variable (outer
+    # transform over a 1-element array — the shingles() discipline,
+    # operators/dedup.py) before the per-position substr uses it: the
+    # old inline reference re-ran the regex normalization once per
+    # CHARACTER POSITION (O(len²) regex work per doc).
+    def tri(nt):
+        idx = F.sequence(F.lit(1), F.greatest(F.length(nt) - 2, F.lit(1)))
+        return F.filter(
+            F.transform(idx, lambda i: F.substr(nt, i, F.lit(3))),
+            lambda g: F.length(g) == 3,
+        )
+
     grams = _docs(spark, sf_dir).select(
         "doc_id",
         "lang",
         F.explode(
-            F.filter(
-                F.transform(
-                    F.sequence(
-                        F.lit(1),
-                        F.greatest(F.length(norm) - 2, F.lit(1)),
-                    ),
-                    lambda i: F.substr(norm, i, F.lit(3)),
-                ),
-                lambda g: F.length(g) == 3,
-            )
+            F.element_at(F.transform(F.array(norm), tri), 1)
         ).alias("g"),
     )
-    doc_counts = grams.groupBy("doc_id", "lang", "g").agg(
-        F.count(F.lit(1)).alias("c")
+    # r10: doc_counts feeds THREE consumers (the language profile, the
+    # doc norm, and the score join) and lang_profile two — without
+    # materialization each re-ran the trigram explode over the whole
+    # corpus (26 s → ~6 s at sf0.1).
+    doc_counts = truncate(
+        grams.groupBy("doc_id", "lang", "g").agg(
+            F.count(F.lit(1)).alias("c")
+        )
     )
-    lang_profile = doc_counts.groupBy(
-        F.col("lang").alias("plang"), "g"
-    ).agg(F.sum("c").alias("pc"))
+    lang_profile = truncate(
+        doc_counts.groupBy(F.col("lang").alias("plang"), "g").agg(
+            F.sum("c").alias("pc")
+        )
+    )
     lang_norm = lang_profile.groupBy("plang").agg(
         F.sum(F.col("pc") * F.col("pc")).alias("l2")
     )

@@ -161,13 +161,25 @@ def q_lof_outliers(spark, sf_dir):
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    scored = (
+    # r10 (guide §1.2 per-task work): d2i is symmetric BIT-EXACTLY —
+    # (a_i−b_i)² ≡ (b_i−a_i)² in IEEE and the dim-order fold is the
+    # same either way — so evaluate the expensive per-pair distance on
+    # ordered pairs only and mirror, halving the O(n²) HOF stage (the
+    # dominant cost: 25M → 12.5M distance folds at sf0.1).
+    from arrow_supercluster_spark.functions.checkpoint import truncate
+
+    half = truncate(
         emb.alias("a")
-        .join(emb.alias("b"), F.col("a.vec_id") != F.col("b.vec_id"))
+        .join(emb.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("src"),
             F.col("b.vec_id").alias("dst"),
             lof_d2i(F.col("a.v"), F.col("b.v")).alias("d2i"),
+        )
+    )
+    scored = half.unionByName(
+        half.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "d2i"
         )
     )
     w = Window.partitionBy("src").orderBy("d2i", "dst")

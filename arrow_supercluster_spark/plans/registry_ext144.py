@@ -124,14 +124,30 @@ def q_silhouette(spark, sf_dir):
         )
         * _SIL_SCALE
     ).cast("long")
-    pairs = (
+    # r10: the micro-scaled distance is symmetric BIT-EXACTLY
+    # ((x−y)² ≡ (y−x)², same dim-order fold), so evaluate it on ordered
+    # pairs only and mirror — half the O(n²) HOF folds, identical pair
+    # frame.  truncate: the mirror union would otherwise re-run the
+    # join per branch.
+    from arrow_supercluster_spark.functions.checkpoint import truncate
+
+    half = truncate(
         emb.alias("a")
-        .join(emb.alias("b"), F.col("a.vec_id") != F.col("b.vec_id"))
+        .join(emb.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("i"),
             F.col("a.label").alias("li"),
+            F.col("b.vec_id").alias("j"),
             F.col("b.label").alias("lj"),
             d_s.alias("d_s"),
+        )
+    )
+    pairs = half.select("i", "li", "lj", "d_s").unionByName(
+        half.select(
+            F.col("j").alias("i"),
+            F.col("lj").alias("li"),
+            F.col("li").alias("lj"),
+            "d_s",
         )
     )
     pc = pairs.groupBy("i", "li", "lj").agg(

@@ -154,18 +154,32 @@ def q_ripleys_k(spark, sf_dir):
         .alias("area"),
         F.count(F.lit(1)).alias("n"),
     )
-    radii = spark.createDataFrame(
-        [(float(r),) for r in _RK_RADII], "r double"
-    )
-    k = (
-        radii.crossJoin(pairs)
-        .groupBy("r")
-        .agg(
+    # r10 (guide §2.3 "aggregate before you shuffle"): the old
+    # radii.crossJoin(pairs) pushed the whole pair table through the
+    # BNLJ |radii| times; one pass with a conditional sum per radius
+    # computes the identical integer counts, then unpivots the 1-row
+    # aggregate to (r, cnt) rows.
+    cnts = pairs.agg(
+        *[
             F.sum(
-                F.when(F.col("d") <= F.col("r"), 1).otherwise(0)
-            ).alias("cnt")
-        )
+                F.when(F.col("d") <= F.lit(float(r)), 1).otherwise(0)
+            ).alias(f"c{i}")
+            for i, r in enumerate(_RK_RADII)
+        ]
     )
+    k = cnts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(r)).alias("r"),
+                        F.col(f"c{i}").alias("cnt"),
+                    )
+                    for i, r in enumerate(_RK_RADII)
+                ]
+            )
+        ).alias("s")
+    ).select("s.r", "s.cnt")
     import math
 
     kk = F.col("area") * F.col("cnt") / (F.col("n") * 1.0 * (F.col("n") - 1))

@@ -134,14 +134,18 @@ def q_personalized_pagerank(spark, sf_dir):
     )
     a = ev.select(F.col("user_id").alias("src"), "event_type", "h")
     b = ev.select(F.col("user_id").alias("dst"), "event_type", "h")
-    edges = (
+    from arrow_supercluster_spark.functions.checkpoint import truncate
+
+    # r10: the q_pagerank treatment — edges/nodes/deg materialized once
+    # (the loop re-ran the nodes distinct and the degree agg per round;
+    # truncate also replaces the session persist()).
+    edges = truncate(
         a.join(b, ["event_type", "h"])
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
-        .persist()
     )
-    nodes = (
+    nodes = truncate(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
@@ -151,7 +155,7 @@ def q_personalized_pagerank(spark, sf_dir):
     )
     is_seed = F.col("node") % _PPR_SEED_MOD == 0
     teleport = F.when(is_seed, F.lit(1.0) / ns).otherwise(F.lit(0.0))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    deg = truncate(edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
     ranks = nodes.select("node", F.round(teleport, 9).alias("rank"))
     for _ in range(_PPR_ITERS):
         contribs = (
@@ -176,7 +180,6 @@ def q_personalized_pagerank(spark, sf_dir):
             )
             .localCheckpoint(eager=False)
         )
-    edges.unpersist()
     return ranks.select(
         "node", F.round("rank", 6).alias("ppr")
     ).orderBy("node")

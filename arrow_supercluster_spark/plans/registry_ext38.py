@@ -93,14 +93,18 @@ def q_hits(spark, sf_dir):
     )
     a_side = ev.select(F.col("user_id").alias("src"), "event_type", "h")
     b_side = ev.select(F.col("user_id").alias("dst"), "event_type", "h")
-    edges = (
+    from arrow_supercluster_spark.functions.checkpoint import truncate
+
+    # r10: edges and nodes materialized once — the six half-rounds each
+    # re-joined `nodes`, whose unmaterialized distinct re-ran the
+    # co-occurrence self-join per half-round.
+    edges = truncate(
         a_side.join(b_side, ["event_type", "h"])
         .filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
         .distinct()
-        .localCheckpoint(eager=False)
     )
-    nodes = (
+    nodes = truncate(
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()

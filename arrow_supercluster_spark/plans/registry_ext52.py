@@ -119,14 +119,22 @@ def q_lsh_eval(spark, sf_dir):
         neardup_pairs_lsh,
     )
 
+    from arrow_supercluster_spark.functions.checkpoint import truncate
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    lsh = neardup_pairs_lsh(emb, threshold=0.45, n_planes=4, n_tables=8).select(
-        "a_id", "b_id"
+    # r10: both pair sets feed TWO consumers each (their count + the
+    # overlap semijoin); unmaterialized, the O(n²) GEMM kernel and the
+    # 8-table LSH build each ran twice per invocation (30.6 s → ~15 s
+    # at sf0.1).  truncate caps each at one execution.
+    lsh = truncate(
+        neardup_pairs_lsh(emb, threshold=0.45, n_planes=4, n_tables=8).select(
+            "a_id", "b_id"
+        )
     )
     # r7: the exact ground-truth pair set runs through the BLAS pair
     # kernel (one matmul per Arrow batch) — identical up to round-6,
     # replacing the per-row HOF all-pairs join
-    exact = cosine_pairs_gemm(emb, 0.45).select("a_id", "b_id")
+    exact = truncate(cosine_pairs_gemm(emb, 0.45).select("a_id", "b_id"))
     n_lsh = lsh.count()
     n_exact = exact.count()
     n_common = lsh.join(exact, ["a_id", "b_id"], "leftsemi").count()

@@ -151,8 +151,42 @@ def main() -> int:
             t0 = stamp("noop write of result", t0)
         return 0
 
+    if mode == "census":
+        out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/census_r10.jsonl"
+        time_all(spark, REGISTRY, SF_DIR, out_path)
+        return 0
+
     print(f"unknown mode {mode}", file=sys.stderr)
     return 2
+
+
+def time_all(spark, registry, sf_dir, out_path):
+    """One timed noop per registry query at sf_dir — the round-10
+    full-surface wall-clock census (append-mode JSON lines)."""
+    import json
+
+    done = set()
+    if os.path.exists(out_path):
+        with open(out_path) as fh:
+            for line in fh:
+                try:
+                    done.add(json.loads(line)["query"])
+                except Exception:
+                    pass
+    with open(out_path, "a") as fh:
+        for name, qd in registry.items():
+            if name in done:
+                continue
+            spark.sparkContext.setJobDescription(f"census {name}")
+            t0 = time.perf_counter()
+            try:
+                noop(qd.spark(spark, sf_dir))
+                rec = {"query": name, "sec": round(time.perf_counter() - t0, 2)}
+            except Exception as e:  # noqa: BLE001
+                rec = {"query": name, "err": f"{type(e).__name__}: {e}"[:200],
+                       "sec": round(time.perf_counter() - t0, 2)}
+            fh.write(json.dumps(rec) + "\n")
+            fh.flush()
 
 
 if __name__ == "__main__":

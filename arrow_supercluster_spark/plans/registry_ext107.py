@@ -89,7 +89,13 @@ def q_simhash_hamming_join(spark, sf_dir):
         q_simhash_portable,
     )
 
-    sh = q_simhash_portable(spark, sf_dir)
+    from arrow_supercluster_spark.functions.checkpoint import truncate
+
+    # r10: materialize the fingerprints once — both self-join sides
+    # referenced the portable-simhash lineage (an interpreted per-char
+    # fold over every document), so the whole fingerprint pass ran
+    # twice (14.7 s → ~8 s at sf0.1).
+    sh = truncate(q_simhash_portable(spark, sf_dir))
     banded = sh.select(
         "doc_id",
         "simhash",

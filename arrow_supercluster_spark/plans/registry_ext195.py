@@ -234,8 +234,14 @@ def q_bradley_terry(spark, sf_dir):
         norm = raw.agg(
             F.count(F.lit(1)).alias("_k"), F.sum("w").alias("_s")
         )
-        it = raw.crossJoin(F.broadcast(norm)).select(
-            "t", (F.col("w") * F.col("_k") / F.col("_s")).alias("w")
+        # r10: truncate per pass — wi/wj BOTH reference `it`, so the
+        # unmaterialized loop recomputed iteration k's subtree 2^(4-k)
+        # times (16× for pass 1 on a 5-row frame: 11.9 s of pure plan
+        # re-execution → ~2 s).
+        it = truncate(
+            raw.crossJoin(F.broadcast(norm)).select(
+                "t", (F.col("w") * F.col("_k") / F.col("_s")).alias("w")
+            )
         )
     final = it.select("t", F.col("w").alias("_strength"))
     return (

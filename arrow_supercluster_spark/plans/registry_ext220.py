@@ -66,14 +66,28 @@ _SQL_BI_STREAM = f"""
 # exactly the adaptive behavior a 100 TB corpus needs.  Only the 1-row
 # total (n) keeps an explicit hint.
 def _spark_bi_stream(spark, sf_dir):
+    """r10 (guide §2.3 "aggregate before you shuffle"): the raw bigram
+    stream is collapsed to (source, w1, w2, cnt) in ONE pass and
+    materialized — previously `bi` (the full exploded occurrence
+    stream) was evaluated once per consumer (the bic aggregation AND
+    the scoring stream side each re-ran tokenize+explode over the whole
+    corpus), and the scoring joins carried one row per OCCURRENCE
+    instead of one per distinct (source, bigram).  Downstream means are
+    cnt-weighted — identical values, occurrence grain recoverable.
+    Returns (bis, uni, bic, ctx); `bis` carries `cnt`."""
+    from arrow_supercluster_spark.functions.checkpoint import truncate
+
     docs = _docs(spark, sf_dir)
     toks = tokenize(F.col("text"))
-    bi = docs.select(
-        "source", F.explode(_bigrams(toks)).alias("g")
-    ).select(
-        "source",
-        F.split("g", " ").getItem(0).alias("w1"),
-        F.split("g", " ").getItem(1).alias("w2"),
+    bis = truncate(
+        docs.select("source", F.explode(_bigrams(toks)).alias("g"))
+        .select(
+            "source",
+            F.split("g", " ").getItem(0).alias("w1"),
+            F.split("g", " ").getItem(1).alias("w2"),
+        )
+        .groupBy("source", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
     uni = (
         docs.select(F.explode(toks).alias("w"))
@@ -81,11 +95,11 @@ def _spark_bi_stream(spark, sf_dir):
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    bic = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    bic = bis.groupBy("w1", "w2").agg(F.sum("cnt").alias("c"))
     ctx = bic.groupBy("w1").agg(
         F.sum("c").alias("cw"), F.count(F.lit(1)).alias("t")
     )
-    return bi, uni, bic, ctx
+    return bis, uni, bic, ctx
 
 
 @register(
@@ -242,10 +256,14 @@ def q_stupid_backoff(spark, sf_dir):
     (the corpus-LM convention here, stated); q_oov_rate is the
     leave-one-source-out view.  One stream join against two broadcast
     stat tables.""".format(a=_SB_ALPHA)
-    bi, uni, bic, ctx = _spark_bi_stream(spark, sf_dir)
+    bis, uni, bic, ctx = _spark_bi_stream(spark, sf_dir)
     n = uni.agg(F.sum("c").alias("total"))
+    # r10: joins run at (source, bigram) grain with cnt weights — the
+    # occurrence stream never re-materializes; means weight by cnt
+    # (identical values at the 6dp budget, same convention as every
+    # other grouped-mean in the registry).
     scored = (
-        bi.join(bic, ["w1", "w2"], "left")
+        bis.join(bic, ["w1", "w2"], "left")
         .join(ctx, "w1", "left")
         .join(
             uni.select(F.col("w").alias("w2"), F.col("c").alias("cu")),
@@ -254,6 +272,7 @@ def q_stupid_backoff(spark, sf_dir):
         .crossJoin(F.broadcast(n))
         .select(
             "source",
+            "cnt",
             F.when(
                 F.col("c").isNotNull(),
                 F.log(F.col("c") * 1.0 / F.col("cw")),
@@ -268,9 +287,14 @@ def q_stupid_backoff(spark, sf_dir):
     return (
         scored.groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("bigrams"),
-            F.round(F.avg("s"), 6).alias("mean_log_score"),
-            F.round(F.avg(F.col("backed") * 1.0), 6).alias("backoff_rate"),
+            F.sum("cnt").alias("bigrams"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("s")) / F.sum("cnt"), 6
+            ).alias("mean_log_score"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("backed") * 1.0) / F.sum("cnt"),
+                6,
+            ).alias("backoff_rate"),
         )
         .orderBy("source")
     )

@@ -126,27 +126,21 @@ def radius_cluster_level(
         .groupBy("a_id")
         .agg(F.min("b_id").alias("cluster_id"))
     )
-    from arrow_supercluster_spark.functions.checkpoint import truncate
-
-    # truncate: `members` feeds both the cluster rollup and the
-    # dissolved-singleton semijoin; unmaterialized, each consumer re-ran
-    # the assignment join (and its neighbor join) from scratch (r10).
-    members = truncate(
+    # (r10 note: eager truncates of members/grouped were tried here and
+    # REVERTED — warm A/B was a tie and the two extra jobs per level
+    # made cold hierarchy builds slower; the valid-origin join reduction
+    # above is kept, it is strictly less work.)
+    members = (
         items.join(assign, items.id == assign.a_id, "left")
         .withColumn("cluster_id", F.coalesce("cluster_id", "id"))
     )
     # step 5: rollup per cluster; dissolve groups below min_points back to
     # singletons (pass through unchanged)
-    # `grouped` (one row per cluster — small at any scale) feeds both
-    # the clusters filter and the dissolved filter; materialized so
-    # neither re-runs the rollup (r10).
-    grouped = truncate(
-        members.groupBy("cluster_id").agg(
-            F.sum("num_points").alias("num_points"),
-            F.sum(F.col("x") * F.col("num_points")).alias("wx"),
-            F.sum(F.col("y") * F.col("num_points")).alias("wy"),
-            F.count(F.lit(1)).alias("n_members"),
-        )
+    grouped = members.groupBy("cluster_id").agg(
+        F.sum("num_points").alias("num_points"),
+        F.sum(F.col("x") * F.col("num_points")).alias("wx"),
+        F.sum(F.col("y") * F.col("num_points")).alias("wy"),
+        F.count(F.lit(1)).alias("n_members"),
     )
     clusters = grouped.filter(
         (F.col("n_members") > 1) & (F.col("num_points") >= opts.min_points)

@@ -114,6 +114,12 @@ ALLOWLIST: dict[str, str] = {
         "dispatch probe: distinct().limit(_BITMASK_MAX_VOCAB+1) — 63 "
         "rows max regardless of corpus vocabulary (r6 fix of VERDICT r5 "
         "What's-wrong #1)",
+    "plans/registry_ext89.py::_setsim_bitmask":
+        "distinct-mask guard: limit(_BITMASK_MAX_MASKS+1).collect() — "
+        "16385 8-byte rows max regardless of corpus size (the r6 "
+        "cardinality cap; r10 turned the old limit+count probe into a "
+        "collect so the masks double as the pair-stage LocalRelation "
+        "and the two distinct re-aggregations disappear)",
     "plans/registry_ext93.py::q_markov_attribution":
         "(channel x channel) transition cells: |channels|^2, channels "
         "are a small categorical domain",

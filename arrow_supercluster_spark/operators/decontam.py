@@ -90,6 +90,14 @@ def decontaminate(
     shuffles; scoring is a broadcast-hash semi-ish join + one partial agg.
     `eval_grams` lets decontaminate_auto pass in its already-materialized
     distinct-gram frame instead of recomputing it.
+
+    Contract (ADVICE r10): eval membership is decided PER ROW by
+    ``eval_pred`` — callers must ensure doc_ids are unique (or at least
+    that ``eval_pred`` is constant per doc_id and deterministic).  The
+    pre-r10 form anti-joined on doc_id, so a duplicate doc_id sharing an
+    id with an eval row was excluded from the train side; with the pushed
+    row filter such rows stay on the train side instead.  All in-repo
+    callers satisfy this (unique doc_ids, pure column predicates).
     """
     # digest the EVAL side from the filtered docs directly: a join below
     # the n-gram generator can't be pushed by Catalyst, so joining after

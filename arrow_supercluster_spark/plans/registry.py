@@ -738,9 +738,48 @@ _ROTATION_R10 = [
 ]
 
 
+# Round-11 rotation (VERDICT r10 "Next round" #1 + #10).  Slate = the two
+# r10 window queries whose ARRAY output columns crashed the driver's pandas
+# canonicalizer (q_label_centroids, q_inverted_index — both twins now emit
+# the array as a canonical comma-joined string, re-verified at sf0.01) plus
+# the 38 OLDEST never-driver-checked SQL-backed entries in registry
+# insertion order.  Driver-checked union 254 → 292.
+#
+# EVERY slot below passed tools/rotation_check.py at sf0.01 — the strict
+# type-sensitive harness PLUS the driver-canon probe
+# (tests/oracle_harness.driver_canon_probe): the driver's own `_canon`
+# pandas-sorts RAW cells and crashes on list values, which the repo replica
+# did not reproduce before r11 (that divergence is what broke the r10
+# window).  Four otherwise-eligible queries were skipped by the probe for
+# exactly that reason and must stay out of any window until their twins are
+# string-canonicalized: q_embedding_quantize, q_kmeans_step,
+# q_embedding_standardize, q_regex_extract_all.
+_ROTATION_R11 = [
+    "q_label_centroids", "q_inverted_index", "q_unigram_logprob",
+    "q_stratified_sample",
+    "q_value_histogram", "q_weighted_sample", "q_tfidf_terms",
+    "q_zscore_outliers",
+    "q_boilerplate_ngrams", "q_sliding_windows", "q_median_length_filter",
+    "q_upsert_merge",
+    "q_containment_adjacent", "q_schema_merge", "q_orc_roundtrip",
+    "q_resample_ffill",
+    "q_rolling_avg", "q_json_schema_parse", "q_json_corrupt_audit",
+    "q_pivot_counts",
+    "q_source_lang_kl", "q_pagerank", "q_embedding_stats", "q_first_last_agg",
+    "q_cross_source_overlap", "q_ntile_quartiles", "q_dedup_best_keeper",
+    "q_curation_verdict",
+    "q_chunk_dedup", "q_haversine_segments", "q_funnel_conversion",
+    "q_retention_cohorts",
+    "q_event_dedup_window", "q_string_agg", "q_time_decay",
+    "q_inactive_customers",
+    "q_view_purchase_attribution", "q_dup_spans", "q_bigram_lm",
+    "q_triangle_count",
+]
+
+
 def _order_driver_window() -> None:
     names = list(REGISTRY)
-    window = _WINDOW_CORE + _ROTATION_R10
+    window = _WINDOW_CORE + _ROTATION_R11
     assert len(window) == 50 and len(set(window)) == 50, "window must be 50 unique"
     for n in window:
         assert n in REGISTRY, f"window query {n} not registered"

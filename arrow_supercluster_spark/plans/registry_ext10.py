@@ -336,7 +336,7 @@ def q_doc_chunks(spark, sf_dir):
 @register(
     "q_inverted_index",
     f"""
-    SELECT tok, list_sort(list(DISTINCT doc_id)) AS docs,
+    SELECT tok, array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS docs,
            COUNT(DISTINCT doc_id) AS df
     FROM (SELECT doc_id, unnest({SQL_TOKS}) AS tok FROM documents)
     GROUP BY tok
@@ -348,7 +348,10 @@ def q_inverted_index(spark, sf_dir):
     One token-keyed agg with map-side partials; postings travel as doc-id
     sets, never text. At 100 TB, head tokens' lists get long — the
     production layout shards postings by (token, doc_id range) buckets;
-    the relational kernel here is the per-bucket unit of that layout."""
+    the relational kernel here is the per-bucket unit of that layout.
+    The posting list travels as a comma-joined string: the driver's
+    pandas canonicalizer cannot hash list cells (CORRECTNESS_r10 err;
+    VERDICT r10 #1)."""
     from arrow_supercluster_spark.operators.dedup import tokenize
 
     docs = _docs(spark, sf_dir)
@@ -358,7 +361,13 @@ def q_inverted_index(spark, sf_dir):
         .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
         # df from the posting array itself — a count_distinct agg would
         # force a second Expand+Exchange for the same number
-        .select("tok", "docs", F.size("docs").alias("df"))
+        .select(
+            "tok",
+            F.array_join(
+                F.transform("docs", lambda x: x.cast("string")), ","
+            ).alias("docs"),
+            F.size("docs").alias("df"),
+        )
     )
 
 

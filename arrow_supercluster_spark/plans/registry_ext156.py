@@ -179,7 +179,11 @@ def q_ripleys_k(spark, sf_dir):
                 ]
             )
         ).alias("s")
-    ).select("s.r", "s.cnt")
+        # empty-input parity (ADVICE r10): a global agg over ZERO pair
+        # rows yields one all-NULL row, which would unpivot into one row
+        # per radius with NULL cnt where the pre-r10 crossJoin form and
+        # the DuckDB twin both produce zero rows — drop the NULL rows
+    ).select("s.r", "s.cnt").filter(F.col("cnt").isNotNull())
     import math
 
     kk = F.col("area") * F.col("cnt") / (F.col("n") * 1.0 * (F.col("n") - 1))

@@ -143,7 +143,9 @@ def q_repetition_stats(spark, sf_dir):
     "q_label_centroids",
     """
     SELECT label, CAST(COUNT(DISTINCT pos) AS BIGINT) AS dim,
-           list(av ORDER BY pos) AS centroid
+           array_to_string(
+             list(CAST(CAST(av AS DECIMAL(38,6)) AS VARCHAR) ORDER BY pos),
+             ',') AS centroid
     FROM (
       SELECT label, pos, round(AVG(v), 6) AS av FROM (
         SELECT label,
@@ -158,8 +160,22 @@ def q_label_centroids(spark, sf_dir):
     """Embedding ops — per-label mean vector (the reference's weighted
     centroid A2, generalized to d dims): posexplode + (label, pos) agg =
     one shuffle of scalars with map-side combine; components rounded so
-    cross-engine hashes agree."""
-    return centroids.label_centroids(_emb(spark, sf_dir))
+    cross-engine hashes agree.  The vector travels as a comma-joined
+    DECIMAL(38,6) string: the driver's pandas canonicalizer cannot hash
+    list cells (CORRECTNESS_r10 err; VERDICT r10 #1), and the fixed-scale
+    decimal rendering is bit-identical across Spark and DuckDB where raw
+    double→string shortest-round-trip notation is not."""
+    cents = centroids.label_centroids(_emb(spark, sf_dir))
+    return cents.select(
+        "label",
+        "dim",
+        F.array_join(
+            F.transform(
+                "centroid", lambda v: v.cast("decimal(38,6)").cast("string")
+            ),
+            ",",
+        ).alias("centroid"),
+    )
 
 
 @register(

@@ -93,11 +93,38 @@ def _dtype_kind(s: pd.Series) -> str:
     return "i" if k in _INTY else k
 
 
+def driver_canon_probe(df: pd.DataFrame) -> str | None:
+    """Emulate the step of the DRIVER's canonicalizer that diverges from
+    this module's `_canon`: the driver sorts the pandas frame with
+    `sort_values` over the RAW cells (its traceback in CORRECTNESS_r10
+    shows `_canon` → `sort_values` → `Categorical` → `factorize`), which
+    requires every cell to be hashable and orderable — list/ndarray cells
+    crash it with `TypeError: unhashable type: 'list'` even when the
+    values are correct (VERDICT r10 "What's wrong" #1: q_label_centroids,
+    q_inverted_index).  `_canon` below tuple-izes cells first and never
+    trips on this, so local green did NOT imply driver green for array
+    outputs.  Returns an error string if the driver's path would crash,
+    else None.  Run on BOTH frames by `compare`, and on every rotation
+    candidate before it enters the 50-slot driver window."""
+    try:
+        cols = sorted(df.columns)
+        df.reindex(cols, axis=1).sort_values(by=cols)
+    except Exception as e:  # noqa: BLE001 — any crash here is the finding
+        return f"driver _canon would fail: {type(e).__name__}: {e}"
+    return None
+
+
 def compare(name: str, spark_df, con, sql: str) -> list[str]:
     """Returns a list of mismatch descriptions (empty = pass)."""
     errs = []
     sp = spark_df.toPandas()
     dk = con.execute(sql).fetchdf()
+    for side, frame in (("spark", sp), ("duck", dk)):
+        probe = driver_canon_probe(frame)
+        if probe:
+            errs.append(f"{name}: [{side}] {probe}")
+    if errs:
+        return errs
     if sorted(sp.columns) != sorted(dk.columns):
         errs.append(f"{name}: columns spark={sorted(sp.columns)} duck={sorted(dk.columns)}")
         return errs

@@ -2,6 +2,16 @@
 DSIR weights, PQ ADC top-k — independent naive-Python oracles plus
 structural invariants."""
 
+# Timing tier (r11, VERDICT r10 "Next round" #2): this module's Spark
+# work put it above the 8 s cut in the measured full-suite profile, so it
+# is excluded from the DEFAULT pytest run (pyproject addopts -m 'not
+# slow') to keep that run inside the driver's budget.  The full suite
+# (tools/shard_tests.py, or pytest -m '') still runs it.
+import pytest as _pytest_tier
+
+pytestmark = _pytest_tier.mark.slow
+
+
 import math
 from collections import Counter
 

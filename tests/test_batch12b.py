@@ -3,6 +3,16 @@ negatives, candidate reduction, exact composition), SemDeDup semantic
 dedup (independent numpy oracle), and the stream-stream interval join
 (streaming pair set ≡ batch pair set)."""
 
+# Timing tier (r11, VERDICT r10 "Next round" #2): this module's Spark
+# work put it above the 8 s cut in the measured full-suite profile, so it
+# is excluded from the DEFAULT pytest run (pyproject addopts -m 'not
+# slow') to keep that run inside the driver's budget.  The full suite
+# (tools/shard_tests.py, or pytest -m '') still runs it.
+import pytest as _pytest_tier
+
+pytestmark = _pytest_tier.mark.slow
+
+
 import numpy as np
 import pandas as pd
 import pytest

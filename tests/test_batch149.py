@@ -1,6 +1,16 @@
 """Batch-149 tests: URL canonicalization vs a urllib-based oracle,
 Luhn vs the textbook python implementation, FFD packing replay."""
 
+# Timing tier (r11, VERDICT r10 "Next round" #2): this module's Spark
+# work put it above the 8 s cut in the measured full-suite profile, so it
+# is excluded from the DEFAULT pytest run (pyproject addopts -m 'not
+# slow') to keep that run inside the driver's budget.  The full suite
+# (tools/shard_tests.py, or pytest -m '') still runs it.
+import pytest as _pytest_tier
+
+pytestmark = _pytest_tier.mark.slow
+
+
 
 def test_url_canonicalize_matches_urllib_oracle(spark, sf_dir):
     from urllib.parse import urlsplit, parse_qsl, urlencode

@@ -1,6 +1,16 @@
 """Batch-193 tests: streaming≡batch for the stream-stream interval
 join, Pettitt brute-force replay, von Neumann replay."""
 
+# Timing tier (r11, VERDICT r10 "Next round" #2): this module's Spark
+# work put it above the 8 s cut in the measured full-suite profile, so it
+# is excluded from the DEFAULT pytest run (pyproject addopts -m 'not
+# slow') to keep that run inside the driver's budget.  The full suite
+# (tools/shard_tests.py, or pytest -m '') still runs it.
+import pytest as _pytest_tier
+
+pytestmark = _pytest_tier.mark.slow
+
+
 import datetime
 import math
 

@@ -7,6 +7,16 @@ its top-15 outliers.  Measured at authoring time: edge recall 0.9816,
 overlap 15/15, and the full q_lof_ivf runs sf0.1 in ~5 s vs the exact
 kernel's 41 s (SCALING.md perf audit)."""
 
+# Timing tier (r11, VERDICT r10 "Next round" #2): this module's Spark
+# work put it above the 8 s cut in the measured full-suite profile, so it
+# is excluded from the DEFAULT pytest run (pyproject addopts -m 'not
+# slow') to keep that run inside the driver's budget.  The full suite
+# (tools/shard_tests.py, or pytest -m '') still runs it.
+import pytest as _pytest_tier
+
+pytestmark = _pytest_tier.mark.slow
+
+
 import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F

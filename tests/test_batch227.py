@@ -3,6 +3,16 @@ q_lof_ivf_pinned (the IVF-LOF algebra under the oracle via a pinned
 deterministic quantizer), the portable-hash CMS conversion, and the
 pinned quantizer's seed-selection arithmetic."""
 
+# Timing tier (r11, VERDICT r10 "Next round" #2): this module's Spark
+# work put it above the 8 s cut in the measured full-suite profile, so it
+# is excluded from the DEFAULT pytest run (pyproject addopts -m 'not
+# slow') to keep that run inside the driver's budget.  The full suite
+# (tools/shard_tests.py, or pytest -m '') still runs it.
+import pytest as _pytest_tier
+
+pytestmark = _pytest_tier.mark.slow
+
+
 from pyspark.sql import functions as F
 
 from arrow_supercluster_spark.plans.registry import REGISTRY

@@ -4,6 +4,16 @@ metamorphic check SURVEY §5 layer 2 names as the one a naive distributed
 port silently fails (every float was rounded BEFORE a comparison or
 output for exactly this reason)."""
 
+# Timing tier (r11, VERDICT r10 "Next round" #2): this module's Spark
+# work put it above the 8 s cut in the measured full-suite profile, so it
+# is excluded from the DEFAULT pytest run (pyproject addopts -m 'not
+# slow') to keep that run inside the driver's budget.  The full suite
+# (tools/shard_tests.py, or pytest -m '') still runs it.
+import pytest as _pytest_tier
+
+pytestmark = _pytest_tier.mark.slow
+
+
 import pytest
 
 from arrow_supercluster_spark.plans.registry import REGISTRY

@@ -3,6 +3,16 @@ correctness argument has quantifiers — "for ANY partitioning", "for ANY
 interval layout" — that example tests under-cover. Each property runs a
 handful of randomized examples against an in-process pandas reference."""
 
+# Timing tier (r11, VERDICT r10 "Next round" #2): this module's Spark
+# work put it above the 8 s cut in the measured full-suite profile, so it
+# is excluded from the DEFAULT pytest run (pyproject addopts -m 'not
+# slow') to keep that run inside the driver's budget.  The full suite
+# (tools/shard_tests.py, or pytest -m '') still runs it.
+import pytest as _pytest_tier
+
+pytestmark = _pytest_tier.mark.slow
+
+
 import datetime as dt
 
 import pandas as pd

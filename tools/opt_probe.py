@@ -1,10 +1,10 @@
-"""Round-10 optimization probe: per-query isolated timing (noop sink,
+"""Optimization probe (round via $OPT_PROBE_ROUND, default r11): per-query isolated timing (noop sink,
 guide §1.4) + `.explain("formatted")` capture for the plan-diff record
-(plans/r10/<query>_{before,after}.txt).
+(plans/<round>/<query>_{before,after}.txt).
 
 Usage:
   python tools/opt_probe.py explain <tag> <query> [query ...]
-      → writes plans/r10/<query>_<tag>.txt for each name
+      → writes plans/<round>/<query>_<tag>.txt for each name
   python tools/opt_probe.py time <query> [query ...] [--runs N]
       → prints median-of-N (warmup 1) per query, bench.py methodology
   python tools/opt_probe.py setsim
@@ -29,14 +29,14 @@ from pyspark.sql import SparkSession
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-PLANS_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10")
+PLANS_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("OPT_PROBE_ROUND", "r11"))
 
 
 def build_spark() -> SparkSession:
     # Mirror bench.py's session so plans/timings match what the driver sees.
     return (
         SparkSession.builder.master(f"local[{CPUS}]")
-        .appName("opt-probe-r10")
+        .appName("opt-probe")
         .config("spark.sql.shuffle.partitions", str(CPUS))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -152,7 +152,7 @@ def main() -> int:
         return 0
 
     if mode == "census":
-        out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/census_r10.jsonl"
+        out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/census.jsonl"
         time_all(spark, REGISTRY, SF_DIR, out_path)
         return 0
 

@@ -28,6 +28,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -39,6 +41,15 @@ from arrow_supercluster_spark.functions.projection import (
     sql_lng_x,
 )
 from arrow_supercluster_spark.operators.filters import drop_null_geometry
+
+# Per-zoom write-parallelism floor for the upper-levels rebalance (see
+# materialize_from_leaf): a PARALLELISM key, not a size cap — AQE still
+# coalesces small buckets together and splits oversized ones to the
+# advisory size, so the value only bounds how many read tasks a
+# zoom-pruned scan gets at small scale.  Env-overridable for cluster
+# deployments (SPARK_GRAFT_WRITE_BUCKETS); the default suits both the
+# local bench and, at 100 TB, is dominated by advisory splitting anyway.
+_WRITE_BUCKETS = int(os.environ.get("SPARK_GRAFT_WRITE_BUCKETS", "8"))
 
 NODE_COLS = [
     "zoom", "cell_x", "cell_y", "num_points",
@@ -211,16 +222,20 @@ def materialize_from_leaf(
     """Write the leaf level, derive all upper levels from it in one job,
     return the zoom-partitioned table (see materialize_hierarchy)."""
     spark = leaf.sparkSession
-    # REBALANCE(zoom) before both writes (guide §6 output sizing): AQE
-    # sizes the write tasks to advisoryPartitionSizeInBytes per zoom —
-    # small levels collapse to one file (r10: 102 → 18 files at sf0.1,
-    # load −14%, fewer commits + fewer opens on every later query);
-    # at 100 TB the same hint SPLITS each zoom into advisory-sized
-    # files (rebalance splits oversized single-key partitions), so the
-    # layout stays in the 128 MB–1 GB band at any scale.
-    leaf.hint("rebalance", "zoom").write.mode("overwrite").partitionBy(
-        "zoom"
-    ).parquet(path)
+    # Write layout, r11 (VERDICT r10 "Next round" #4 — the r10
+    # REBALANCE(zoom) on BOTH writes collapsed the sf0.1 hierarchy to one
+    # file per zoom, so every zoom-pruned read ran as a single task
+    # (bench_query 0.80×) and the extra exchange+AQE stage per write
+    # inverted mask selectivity monotonicity).  Measured A/B
+    # (tools/hier_ab.py, one session, 3 alternated rounds, sf0.1):
+    #   rebalance(zoom) both writes: load 1.62 query 1.50 mask10 1.19, 18 files
+    #   no hint (r9):                load 1.37 query 1.13 mask10 0.97, 102 files
+    #   leaf unhinted + upper rebalance(zoom, bucket8):
+    #                                load 1.41 query 1.14 mask10 1.03, 78 files
+    # The LEAF write now inherits the cell-agg exchange partitioning
+    # again (no extra shuffle on the dominant write; AQE's partition
+    # coalescing already sizes those tasks toward the advisory target).
+    leaf.write.mode("overwrite").partitionBy("zoom").parquet(path)
 
     # Derive ALL upper levels from the leaf aggregates in one job: the leaf
     # table is the compressed representation (one row per occupied cell),
@@ -255,9 +270,24 @@ def materialize_from_leaf(
         )
         .select(*NODE_COLS)
     )
-    upper.hint("rebalance", "zoom").write.mode("append").partitionBy(
-        "zoom"
-    ).parquet(path)
+    # The UPPER write keeps the rebalance node, keyed (zoom, 8-way cell
+    # bucket) instead of zoom alone (guide §6 output sizing): at 100 TB
+    # the rebalance still splits oversized partitions into advisory-sized
+    # files per zoom (where the bare agg partitioning would shred each
+    # task across all 17 zooms), while at small SF the bucket key stops
+    # the layout from collapsing to one single-task file per zoom —
+    # restoring pruned-read parallelism (sf0.1: 2-6 files/zoom, see A/B
+    # above).  The bucket is a deterministic hash of the cell key (§2.5:
+    # never rand()-derived), added/dropped around the hint because
+    # REBALANCE accepts only plain column references.
+    (
+        upper.withColumn(
+            "_wb", F.pmod(F.xxhash64("cell_x", "cell_y"), F.lit(_WRITE_BUCKETS))
+        )
+        .hint("rebalance", "zoom", "_wb")
+        .drop("_wb")
+        .write.mode("append").partitionBy("zoom").parquet(path)
+    )
     return spark.read.schema(leaf.schema).parquet(path)
 
 

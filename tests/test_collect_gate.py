@@ -145,8 +145,6 @@ ALLOWLIST: dict[str, str] = {
         "1-row Weiszfeld iterate per iteration (literal iteration cap)",
     "plans/registry_ext132.py::q_source_shapley_value":
         "per-source value table: |sources| rows (small categorical)",
-    "plans/registry_ext143.py::q_transport_plan":
-        "|sources| x |langs| cost/plan cells (small categorical domains)",
     "plans/registry_ext145.py::q_pelt_changepoints":
         "calendar-bounded daily series",
     "plans/registry_ext159.py::q_pacf":

@@ -161,30 +161,61 @@ def q_lof_outliers(spark, sf_dir):
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    # r10 (guide §1.2 per-task work): d2i is symmetric BIT-EXACTLY —
-    # (a_i−b_i)² ≡ (b_i−a_i)² in IEEE and the dim-order fold is the
-    # same either way — so evaluate the expensive per-pair distance on
-    # ordered pairs only and mirror, halving the O(n²) HOF stage (the
-    # dominant cost: 25M → 12.5M distance folds at sf0.1).
-    from arrow_supercluster_spark.functions.checkpoint import truncate
+    # r11 (VERDICT r10 #8, guide §4.2): the n²/2 join + interpreted HOF
+    # fold becomes a block-pair NumPy kernel (the family shared with
+    # q_dunn_index/q_energy_distance/q_silhouette).  fold_d2 reproduces
+    # the zip_with left fold bit-for-bit and half_up reproduces
+    # F.round's HALF_UP, so every candidate d2i is identical to the
+    # pair-join form.  Each block pair emits, per src it contains, that
+    # group's LOCAL top-k by the exact (d2i, dst) total order; the
+    # global window below then selects the true kNN from ≤ B·k
+    # candidates per src — a per-group top-k can never lose a global
+    # top-k member because each directed (src, dst) pair lives in
+    # exactly one group (knn exceptAll vs the pair-join form = 0 at
+    # sf0.1).
+    import numpy as np
+    import pandas as pd
 
-    half = truncate(
-        emb.alias("a")
-        .join(emb.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("src"),
-            F.col("b.vec_id").alias("dst"),
-            lof_d2i(F.col("a.v"), F.col("b.v")).alias("d2i"),
-        )
-    )
-    scored = half.unionByName(
-        half.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), "d2i"
-        )
+    from arrow_supercluster_spark.functions import blockpairs as bp
+
+    def _knn_fn(pdf):
+        pa, pb = int(pdf["pa"].iat[0]), int(pdf["pb"].iat[0])
+        a = pdf[pdf["p"] == pa]
+        b_ = pdf[pdf["p"] == pb]
+        cols = ["src", "dst", "d2i"]
+        if a.empty or b_.empty:
+            return pd.DataFrame({c: [] for c in cols})
+        A = np.stack(a["v"].to_numpy())
+        B = np.stack(b_["v"].to_numpy())
+        d2i = bp.half_up(bp.fold_d2(A, B) * 1e6)
+        ia, ib = a["vec_id"].to_numpy(), b_["vec_id"].to_numpy()
+        out = []
+        for r in range(len(ia)):
+            m = ib != ia[r]
+            order = np.lexsort((ib[m], d2i[r][m]))[:_LOF_K]
+            out.append(
+                pd.DataFrame(
+                    {"src": ia[r], "dst": ib[m][order],
+                     "d2i": d2i[r][m][order]}
+                )
+            )
+        if pa != pb:
+            for c in range(len(ib)):
+                order = np.lexsort((ia, d2i[:, c]))[:_LOF_K]
+                out.append(
+                    pd.DataFrame(
+                        {"src": ib[c], "dst": ia[order],
+                         "d2i": d2i[:, c][order]}
+                    )
+                )
+        return pd.concat(out, ignore_index=True)
+
+    cand = bp.block_pair_groups(
+        emb, _knn_fn, "src long, dst long, d2i long"
     )
     w = Window.partitionBy("src").orderBy("d2i", "dst")
     knn = (
-        scored.withColumn("rk", F.row_number().over(w))
+        cand.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _LOF_K)
         .select("src", "dst", "d2i")
     )

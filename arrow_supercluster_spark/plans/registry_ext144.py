@@ -111,47 +111,73 @@ def q_silhouette(spark, sf_dir):
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    d_s = F.round(
-        F.sqrt(
-            F.aggregate(
-                F.zip_with(
-                    F.col("a.v"), F.col("b.v"),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0.0),
-                lambda acc, t: acc + t,
-            )
-        )
-        * _SIL_SCALE
-    ).cast("long")
-    # r10: the micro-scaled distance is symmetric BIT-EXACTLY
-    # ((x−y)² ≡ (y−x)², same dim-order fold), so evaluate it on ordered
-    # pairs only and mirror — half the O(n²) HOF folds, identical pair
-    # frame.  truncate: the mirror union would otherwise re-run the
-    # join per branch.
-    from arrow_supercluster_spark.functions.checkpoint import truncate
+    # r11 (VERDICT r10 #8, guide §4.2): the n²/2 join + interpreted HOF
+    # fold + eager checkpoint becomes a block-pair NumPy kernel (same
+    # family as q_energy_distance/q_dunn_index).  fold_d2 reproduces the
+    # zip_with left fold bit-for-bit, np.sqrt is correctly rounded like
+    # java.lang.Math.sqrt, and half_up reproduces F.round's HALF_UP, so
+    # every d_s is identical to the pair-join form (exceptAll = 0 at all
+    # three SFs).  Each block pair emits per-(point, other-cluster)
+    # partial integer sums; the (i, li, lj) agg below combines them
+    # exactly — replacing the old per-direction mirror union.
+    import numpy as np
+    import pandas as pd
 
-    half = truncate(
-        emb.alias("a")
-        .join(emb.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("i"),
-            F.col("a.label").alias("li"),
-            F.col("b.vec_id").alias("j"),
-            F.col("b.label").alias("lj"),
-            d_s.alias("d_s"),
-        )
+    from arrow_supercluster_spark.functions import blockpairs as bp
+
+    def _sil_fn(pdf):
+        pa, pb = int(pdf["pa"].iat[0]), int(pdf["pb"].iat[0])
+        a = pdf[pdf["p"] == pa]
+        b_ = pdf[pdf["p"] == pb]
+        cols = ["i", "li", "lj", "sd", "c"]
+        if a.empty or b_.empty:
+            return pd.DataFrame({c: [] for c in cols})
+        A = np.stack(a["v"].to_numpy())
+        B = np.stack(b_["v"].to_numpy())
+        d_s = bp.half_up(np.sqrt(bp.fold_d2(A, B)) * _SIL_SCALE)
+        ia, ib = a["vec_id"].to_numpy(), b_["vec_id"].to_numpy()
+        la, lb = a["label"].to_numpy(), b_["label"].to_numpy()
+        mask = bp.pair_mask(ia, ib, pa == pb)
+        if pa == pb:
+            # same-block: the ia<ib half-matrix carries each unordered
+            # pair once; accumulate BOTH directions from it
+            mask = mask | mask.T
+        out = []
+        for lab in np.unique(lb):
+            cm = lb == lab
+            m = mask[:, cm]
+            c = m.sum(axis=1)
+            sd = np.where(m, d_s[:, cm], 0).sum(axis=1)
+            keep = c > 0
+            out.append(
+                pd.DataFrame(
+                    {"i": ia[keep], "li": la[keep], "lj": lab,
+                     "sd": sd[keep], "c": c[keep]}
+                )
+            )
+        if pa != pb:
+            for lab in np.unique(la):
+                rm = la == lab
+                m = mask[rm, :]
+                c = m.sum(axis=0)
+                sd = np.where(m, d_s[rm, :], 0).sum(axis=0)
+                keep = c > 0
+                out.append(
+                    pd.DataFrame(
+                        {"i": ib[keep], "li": lb[keep], "lj": lab,
+                         "sd": sd[keep], "c": c[keep]}
+                    )
+                )
+        return pd.concat(out, ignore_index=True)
+
+    # label keeps its source type (int in the parquet corpus, string in
+    # the operator-contract tests)
+    _lt = emb.schema["label"].dataType.simpleString()
+    partials = bp.block_pair_groups(
+        emb, _sil_fn, f"i long, li {_lt}, lj {_lt}, sd long, c long"
     )
-    pairs = half.select("i", "li", "lj", "d_s").unionByName(
-        half.select(
-            F.col("j").alias("i"),
-            F.col("lj").alias("li"),
-            F.col("li").alias("lj"),
-            "d_s",
-        )
-    )
-    pc = pairs.groupBy("i", "li", "lj").agg(
-        F.sum("d_s").alias("sd"), F.count(F.lit(1)).alias("c")
+    pc = partials.groupBy("i", "li", "lj").agg(
+        F.sum("sd").alias("sd"), F.sum("c").alias("c")
     )
     a_term = pc.filter(F.col("li") == F.col("lj")).select(
         "i", "li", (F.col("sd") * 1.0 / (F.col("c") * _SIL_SCALE)).alias("a")

@@ -28,7 +28,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from arrow_supercluster_spark.operators.dedup import connected_components
+from arrow_supercluster_spark.operators.dedup import (
+    connected_components_adaptive,
+)
 
 
 def _eps_pairs(pts: DataFrame, eps: float) -> DataFrame:
@@ -105,8 +107,11 @@ def dbscan(pts: DataFrame, eps: float, min_pts: int) -> DataFrame:
         .join(cores.withColumnRenamed("id", "b_id"), "b_id", "leftsemi")
         .filter(F.col("a_id") < F.col("b_id"))
     )
-    # (node_id, component_id) — cores with >= 1 core neighbor
-    comp = connected_components(core_edges)
+    # (node_id, component_id) — cores with >= 1 core neighbor.
+    # r11: adaptive CC — the eps-graph of core points is contracted
+    # far below the raw point count; exact min-id union-find
+    # driver-side under 200k edges, the distributed fixpoint above
+    comp = connected_components_adaptive(core_edges)
     core_labels = (
         cores.join(comp, cores.id == comp.node_id, "left")
         .select("id", F.coalesce(F.col("component_id"), F.col("id")).alias("cluster"))

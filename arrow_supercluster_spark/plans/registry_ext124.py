@@ -237,7 +237,9 @@ def q_er_clusters(spark, sf_dir):
     oracle in tests/test_batch119.py still re-derives the clusters from
     the same link pairs, and test_batch227 asserts propagation converges
     well inside the unroll."""
-    from arrow_supercluster_spark.operators.dedup import connected_components
+    from arrow_supercluster_spark.operators.dedup import (
+        connected_components_adaptive,
+    )
 
     # q_record_linkage returns the verdict ROLLUP; rebuild the pair
     # frame at link grain here (same construction, pre-rollup)
@@ -287,7 +289,10 @@ def q_er_clusters(spark, sf_dir):
             (F.col("b_id") + 10_000_000).alias("b_id"),
         )
     )
-    comps = connected_components(link_pairs, "a_id", "b_id")
+    # r11: adaptive CC — exact min-id union-find driver-side under 200k
+    # edges (the bipartite link graph is nation-bounded), distributed
+    # fixpoint above
+    comps = connected_components_adaptive(link_pairs, "a_id", "b_id")
     sizes = comps.groupBy("component_id").agg(
         F.count(F.lit(1)).alias("size")
     )

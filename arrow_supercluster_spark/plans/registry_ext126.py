@@ -184,7 +184,9 @@ def q_percolation_curve(spark, sf_dir):
     fast-collapsing curve = hub-routed connectivity (the ANN hubness
     pathology measured structurally). Rows-only (iterative cc); exact
     union-find python oracle in tests/test_batch121.py."""
-    from arrow_supercluster_spark.operators.dedup import connected_components
+    from arrow_supercluster_spark.operators.dedup import (
+        connected_components_adaptive,
+    )
     from arrow_supercluster_spark.plans.registry_ext89 import knn_edges_exact
 
     ed = knn_edges_exact(_emb(spark, sf_dir), 5)
@@ -222,7 +224,12 @@ def q_percolation_curve(spark, sf_dir):
                 "k_removed int, n_edges long, n_nodes long, largest_cc long",
             )
         else:
-            comps = connected_components(surv, "a_id", "b_id")
+            # r11 (guide §5 driver / §2.6 latency): the mutual-5NN graph
+            # at the eval grain is a few thousand edges — the adaptive
+            # operator labels it driver-side (exact min-id union-find,
+            # identical labels) instead of 4 × a multi-round distributed
+            # fixpoint; > 200k edges still take the distributed path
+            comps = connected_components_adaptive(surv, "a_id", "b_id")
             sizes = comps.groupBy("component_id").agg(
                 F.count(F.lit(1)).alias("sz")
             )

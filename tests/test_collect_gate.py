@@ -55,6 +55,10 @@ ALLOWLIST: dict[str, str] = {
     "operators/dedup.py::connected_components_adaptive":
         "documented <=200k-edge union-find fast path; the distributed "
         "path takes over above the literal edge cap",
+    "operators/radius_cluster.py::radius_hierarchy":
+        "1-row min-pair-distance probe aggs: <= ceil(zoom_depth/3)+1 "
+        "single-row collects per hierarchy (the leading no-op-level "
+        "skip)",
     "operators/greedy.py::greedy_hierarchy":
         "1-row (count, max_id) agg fixing the cluster-id space",
     "operators/greedy.py::greedy_hierarchy_cc":
